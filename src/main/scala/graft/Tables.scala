@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Testdata table access + session-level semantics the whole engine relies
+  * on. Every query entry point calls [[Tables.ensureConf]] so the engine's
+  * semantics do not depend on who constructed the SparkSession.
+  *
+  * ANSI is forced OFF because the reference's computations are pandas-shaped
+  * (see SURVEY.md §4): `pd.to_numeric(errors="coerce")` maps to non-ANSI
+  * cast-to-null (reference: include/tasks/batch_ingestion.py:33), and
+  * division by zero must yield null, not an error
+  * (reference: include/tasks/data_warehouse.py:21 turnover_ratio).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def ensureConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Tiny dims (region/nation/supplier) must broadcast; default 10MB is fine
+    // but make intent explicit for a 1000-executor deployment.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively;
+    // read the raw int64 and truncate to the engine's microsecond timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  /** Read one testdata table from a scale-factor directory. `events.ts`
+    * (ns precision) is truncated to Spark's microsecond TimestampType; the
+    * DuckDB oracle applies the identical truncation (see
+    * [[graft.queries.OracleSources]]) so ordering/equality agree. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureConf(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

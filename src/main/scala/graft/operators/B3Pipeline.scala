@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's composite computations as reusable DataFrame → DataFrame
+  * operators. Semantics mirror RyanRibeiroM/b3-analytics-engine exactly;
+  * the physical shape is Spark-native (window functions over a single
+  * per-key hash partitioning, reused across every metric — one shuffle
+  * feeds dedup + both SMAs + returns).
+  *
+  * Reference citations:
+  *  - keep-last dedup: include/tasks/data_warehouse.py:73-74
+  *  - sma_5/sma_20 (rolling, min_periods=1): include/tasks/data_warehouse.py:18-19
+  *  - turnover_ratio + fillna(0): include/tasks/data_warehouse.py:21-25
+  *  - daily_return (pct_change): include/tasks/generate_dashboard.py:31
+  *  - cumulative_return (cumprod(1+r)-1, skipna): include/tasks/generate_dashboard.py:32
+  *  - latest-value-per-key + inner join: include/tasks/data_processing.py:44-64
+  *  - change_day falsy-zero guard: include/tasks/data_processing.py:66-67
+  *  - symbol normalize (.SA strip): include/tasks/data_processing.py:55
+  */
+object B3Pipeline {
+
+  /** Keep the newest row per composite key; priority column breaks ties the
+    * way pandas concat order + keep='last' does (new batch wins). */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Latest whole row per key by event time (max_by semantics). */
+  def latestPerKey(df: DataFrame, key: String, ts: Column, tieBreak: Column): DataFrame =
+    dedupKeepLast(df, Seq(key), Seq(ts.desc, tieBreak.desc))
+
+  /** pandas `.SA` suffix strip for the yfinance → brapi symbol join. */
+  def normalizeSymbol(c: Column): Column = regexp_replace(c, "\\.SA$", "")
+
+  /** change_day with the reference's falsy-zero guard: 0 when either side
+    * is null OR zero (Python truthiness, not SQL null semantics). */
+  def changeDay(open: Column, close: Column): Column =
+    when(open.isNotNull && open =!= 0.0 && close.isNotNull && close =!= 0.0,
+      close - open).otherwise(0.0)
+
+  /** The full calculate_metrics stage over a (key, ts, tiebreak, close,
+    * volume) table: keep-last dedup → sma_5/sma_20 → daily_return →
+    * cumulative_return → turnover_ratio → fillna(0) on derived metrics. */
+  def calculateMetrics(df: DataFrame, key: String, tsCol: String,
+      tieCol: String, closeCol: String, volumeCol: String): DataFrame = {
+    val deduped = dedupKeepLast(df, Seq(key, tsCol),
+      Seq(col(tieCol).desc))
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col(tieCol))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+    val close = col(closeCol)
+    val r = close / lag(close, 1).over(w) - 1.0
+    // marketCap analog: the key's max volume; turnover = volume*close/mcap.
+    val mcap = max(col(volumeCol)).over(Window.partitionBy(key))
+    deduped
+      .withColumn("sma_5", avg(close).over(w.rowsBetween(-4, 0)))
+      .withColumn("sma_20", avg(close).over(w.rowsBetween(-19, 0)))
+      .withColumn("daily_return", r)
+      .withColumn("cumulative_return",
+        when(col("daily_return").isNull, lit(null))
+          .otherwise(exp(sum(log1p(col("daily_return"))).over(wAll)) - 1.0))
+      .withColumn("turnover_ratio",
+        coalesce(when(mcap =!= 0.0, col(volumeCol) * close / mcap), lit(0.0)))
+      .na.fill(0.0, Seq("sma_5", "sma_20", "turnover_ratio"))
+  }
+}

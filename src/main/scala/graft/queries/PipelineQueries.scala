@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.B3Pipeline
+
+/** The reference's two composite pipelines as single DataFrame programs
+  * (SURVEY.md §3.2): the DW load's calculate_metrics chain and the
+  * processing stage's latest-per-key enrichment join. These are the
+  * flagship multi-operator queries.
+  */
+object PipelineQueries {
+
+  /** Flagship: dedup keep-last → SMA(5/20) → daily/cumulative returns →
+    * turnover ratio → fillna(0), per user over time — the whole analytical
+    * essence of the reference in one plan. One shuffle (hash by user_id)
+    * feeds every window; the volume column is parsed from the props string
+    * with coerce-cast semantics. */
+  def b3Metrics(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("volume",
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long"))
+    B3Pipeline.calculateMetrics(ev, "user_id", "ts", "event_id",
+        "value", "volume")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("close"),
+        Num.r(col("sma_5"), 4).as("sma_5"),
+        Num.r(col("sma_20"), 4).as("sma_20"),
+        Num.r(col("daily_return"), 6).as("daily_return"),
+        Num.rExp(col("cumulative_return"), 6).as("cumulative_return"),
+        Num.r(col("turnover_ratio"), 6).as("turnover_ratio"))
+      .orderBy("event_id")
+  }
+
+  private val E = OracleSources.events
+
+  private val b3MetricsSql = s"""
+    WITH src AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS volume
+      FROM $E),
+    deduped AS (
+      SELECT * FROM src
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1),
+    metrics AS (
+      SELECT event_id, user_id, ts, value, volume,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma_5,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_20,
+             value / lag(value, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - 1.0 AS daily_return,
+             max(volume) OVER (PARTITION BY user_id) AS mcap
+      FROM deduped),
+    compounded AS (
+      SELECT *,
+             CASE WHEN daily_return IS NULL THEN NULL
+                  ELSE exp(sum(ln(1.0 + daily_return)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1.0
+             END AS cumulative_return,
+             COALESCE(CASE WHEN mcap <> 0
+                           THEN volume * value / mcap END, 0.0)
+               AS turnover_ratio
+      FROM metrics)
+    SELECT event_id, user_id, ts,
+           round(value, 2) AS close,
+           round(COALESCE(sma_5, 0.0) + 1e-9, 4) AS sma_5,
+           round(COALESCE(sma_20, 0.0) + 1e-9, 4) AS sma_20,
+           round(daily_return + 1e-9, 6) AS daily_return,
+           round(cumulative_return + 1e-8, 6) AS cumulative_return,
+           round(turnover_ratio + 1e-9, 6) AS turnover_ratio
+    FROM compounded
+    ORDER BY event_id"""
+
+  /** The processing stage (data_processing.py:32-108): two "topics" are
+    * carved out of events (purchases = brapi side; views with a `.SA`
+    * suffixed symbol = yfinance side), each reduced to its latest record
+    * per key, then inner-joined on the normalized symbol and projected to
+    * the enriched record with the change_day falsy-zero guard. The small
+    * side is broadcast, mirroring the reference's in-memory dict join. */
+  def enrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val brapi = B3Pipeline.latestPerKey(
+      ev.filter(col("event_type") === "purchase")
+        .select(concat(lit("U"), col("user_id")).as("symbol"),
+          col("ts"), col("event_id"), col("value").as("regular_price")),
+      "symbol", col("ts"), col("event_id"))
+    val yf = B3Pipeline.latestPerKey(
+      ev.filter(col("event_type") === "view")
+        .select(concat(lit("U"), col("user_id"), lit(".SA")).as("raw_symbol"),
+          col("ts"), col("event_id"),
+          col("value").as("close"),
+          lag(col("value"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+            .as("open")),
+      "raw_symbol", col("ts"), col("event_id"))
+      .withColumn("symbol", B3Pipeline.normalizeSymbol(col("raw_symbol")))
+    brapi.join(broadcast(yf), Seq("symbol"), "inner")
+      .select(
+        col("symbol"),
+        round(col("regular_price"), 2).as("regular_price"),
+        round(col("open"), 2).as("open"),
+        round(col("close"), 2).as("close"),
+        round(B3Pipeline.changeDay(col("open"), col("close")), 2)
+          .as("change_day"))
+      .orderBy("symbol")
+  }
+
+  private val enrichJoinSql = s"""
+    WITH brapi AS (
+      SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+             value AS regular_price
+      FROM $E WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1),
+    views AS (
+      SELECT user_id, ts, event_id, value AS close,
+             lag(value, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS open
+      FROM $E WHERE event_type = 'view'),
+    yf AS (
+      SELECT 'U' || CAST(user_id AS VARCHAR) || '.SA' AS raw_symbol,
+             close, open
+      FROM views
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1),
+    yf_norm AS (
+      SELECT regexp_replace(raw_symbol, '\\.SA$$', '') AS symbol, close, open
+      FROM yf)
+    SELECT b.symbol,
+           round(b.regular_price, 2) AS regular_price,
+           round(y.open, 2) AS open,
+           round(y.close, 2) AS close,
+           round(CASE WHEN y.open IS NOT NULL AND y.open <> 0.0
+                       AND y.close IS NOT NULL AND y.close <> 0.0
+                      THEN y.close - y.open ELSE 0.0 END, 2) AS change_day
+    FROM brapi b JOIN yf_norm y ON b.symbol = y.symbol
+    ORDER BY b.symbol"""
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_b3_metrics", b3Metrics, Some(b3MetricsSql)),
+    QueryDef("q_enrich_join", enrichJoin, Some(enrichJoinSql)),
+  )
+}

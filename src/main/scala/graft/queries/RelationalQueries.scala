@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core: scans, filters, coerce-casts, aggregation, joins
+  * (broadcast / semi / anti / multi-way), set ops, sorts and top-k.
+  *
+  * Reference semantics covered (SURVEY.md §2): A3 parquet scan, B1 equality
+  * filter, B2 coerce casts, B3 drop-null, B10 arithmetic derive, C1/C2
+  * join family, D4 distinct, D7 counts, F2/F3/F4 sort/top-k, G1 union.
+  *
+  * Scale notes (100 TB design): all joins against `region`/`nation`/
+  * `supplier`/`part`/`customer` are dimension joins — explicitly
+  * `broadcast()` so the fact table never shuffles for them; aggregations
+  * are partial-agg friendly (plain hash aggregates over low-cardinality
+  * keys); filters and projections sit directly over the scan so Catalyst
+  * pushes them into the parquet reader.
+  */
+object RelationalQueries {
+
+  /** B1+B2+B3+B10: filter → derive revenue → project. Filter is pushed to
+    * the parquet scan; no shuffle at all. */
+  private def scanFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        Num.r(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+          .as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** TPC-H Q1-shaped pricing summary: single shuffle on a 6-value key,
+    * map-side partial aggregation does almost all the work. */
+  private def aggPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Broadcast dimension join: fact lineitem ⋈ part — part is tiny relative
+    * to lineitem at every SF, so broadcast keeps the fact un-shuffled until
+    * the final small aggregation. */
+  private def joinBroadcastDim(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Customer ⋈ orders rollup by market segment. */
+  private def joinCustomerOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_value"),
+        round(avg("o_totalprice"), 4).as("avg_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** C2 semi: customers having at least one high-value order (EXISTS). */
+  private def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o.filter(col("o_totalprice") > 400000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** C2 anti: customers with no orders at all (NOT EXISTS) — the reference's
+    * insert-if-absent upsert shape (yfinance_to_postgres.py:28-56). */
+  private def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o.select("o_custkey"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** TPC-H Q5-shaped snowflake: region ⋈ nation ⋈ customer ⋈ orders ⋈
+    * lineitem. All dims broadcast; only the orders⋈lineitem equi-join
+    * shuffles, on the natural key. */
+  private def joinSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val cust = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val dim = broadcast(
+      cust.join(broadcast(nation.join(broadcast(region),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    orders.join(dim, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** G1+D1: union history with an updates batch, keep-last by explicit
+    * source priority — the reference's concat + drop_duplicates(keep='last')
+    * (data_warehouse.py:73-74) with the implicit concat order made explicit. */
+  private def unionDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+    val history = ev.filter(col("event_id") % 3 =!= 0)
+      .withColumn("src_priority", lit(1))
+    val updates = ev.filter(col("event_id") % 2 === 0)
+      .withColumn("value", round(col("value") * 2.0, 2))
+      .withColumn("src_priority", lit(2))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("src_priority").desc)
+    history.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("src_priority"))
+      .orderBy("event_id")
+  }
+
+  /** D4: distinct + sort (dashboard symbol picker, dashboard.py:73). */
+  private def distinctSort(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select("event_type").distinct().orderBy("event_type")
+
+  /** F3: global top-k with deterministic tie-break. */
+  private def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  /** D7: counts per group (match accounting, data_processing.py:101). */
+  private def countGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** B2: null-coercing cast — props is a JSON-ish string; extract the
+    * numeric and cast, null on failure (pd.to_numeric errors='coerce'). */
+  private def castCoerce(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k"),
+        col("value").cast("string").cast("double").as("value_roundtrip"))
+      .na.drop(Seq("k"))
+      .orderBy("event_id")
+
+  /** B13/B14: time bucketing + formatting (dashboard axis labels). */
+  private def timeBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        col("ts").cast("date").as("day"),
+        date_format(col("ts"), "HH").as("hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("day", "hour")
+
+  /** B8/B15/B16/B17: string surgery — suffix strip, first token, abs,
+    * range derive (dashboard.py:117,158,169; data_processing.py:55). */
+  private def stringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_replace(col("source"), "[0-9]+$", "").as("source_family"),
+        element_at(split(col("text"), " "), 1).as("first_token"),
+        abs(col("n_chars") - lit(300)).as("abs_dev"),
+        (greatest(col("n_chars"), lit(300)) - least(col("n_chars"), lit(300)))
+          .as("range_amp"))
+      .orderBy("doc_id")
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_scan_filter", scanFilter, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             round(l_extendedprice * (1.0 - l_discount) + 1e-9, 2) AS revenue
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_quantity >= 30
+      ORDER BY l_orderkey, l_linenumber""")),
+    QueryDef("q_agg_pricing", aggPricing, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+    QueryDef("q_join_dim", joinBroadcastDim, Some("""
+      SELECT p_brand,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""")),
+    QueryDef("q_join_cust_orders", joinCustomerOrders, Some("""
+      SELECT c_mktsegment,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_value,
+             round(avg(o_totalprice), 4) AS avg_value
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")),
+    QueryDef("q_join_semi", joinSemi, Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""")),
+    QueryDef("q_join_anti", joinAnti, Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+    QueryDef("q_join_snowflake", joinSnowflake, Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY n_name""")),
+    QueryDef("q_union_dedup", unionDedup, Some("""
+      WITH history AS (
+        SELECT event_id, user_id, event_type, value, 1 AS src_priority
+        FROM events WHERE event_id % 3 <> 0),
+      updates AS (
+        SELECT event_id, user_id, event_type,
+               round(value * 2.0, 2) AS value, 2 AS src_priority
+        FROM events WHERE event_id % 2 = 0),
+      unioned AS (SELECT * FROM history UNION ALL SELECT * FROM updates)
+      SELECT event_id, user_id, event_type,
+             round(value, 2) AS value, src_priority
+      FROM unioned
+      QUALIFY row_number() OVER (PARTITION BY event_id
+                                 ORDER BY src_priority DESC) = 1
+      ORDER BY event_id""")),
+    QueryDef("q_distinct_sort", distinctSort, Some("""
+      SELECT DISTINCT event_type FROM events ORDER BY event_type""")),
+    QueryDef("q_topk", topK, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""")),
+    QueryDef("q_count_groups", countGroups, Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("q_cast_coerce", castCoerce, Some("""
+      SELECT event_id,
+             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+             CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip
+      FROM events
+      WHERE regexp_extract(props, '[0-9]+') <> ''
+      ORDER BY event_id""")),
+    QueryDef("q_time_buckets", timeBuckets, Some("""
+      SELECT CAST(ts AS DATE) AS day, strftime(ts, '%H') AS hour,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, hour""")),
+    QueryDef("q_string_ops", stringOps, Some("""
+      SELECT doc_id,
+             regexp_replace(source, '[0-9]+$', '') AS source_family,
+             string_split(text, ' ')[1] AS first_token,
+             abs(n_chars - 300) AS abs_dev,
+             greatest(n_chars, 300) - least(n_chars, 300) AS range_amp
+      FROM documents
+      ORDER BY doc_id""")),
+  )
+}

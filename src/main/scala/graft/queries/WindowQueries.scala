@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Per-key ordered analytics — the reference's signature computations
+  * (SURVEY.md §2.E, §2.D): trailing moving averages with min_periods=1
+  * (data_warehouse.py:18-19), lag-based daily returns and cumulative
+  * compounded returns (generate_dashboard.py:31-32), keep-last dedup
+  * (data_warehouse.py:74), latest-row-per-group (dashboard.py:109),
+  * argmax rankings (dashboard.py:143,158,169), share-of-total
+  * (dashboard.py:147-153), pivot + correlation matrix
+  * (generate_dashboard.py:52-53).
+  *
+  * `events(user_id, ts, value)` stands in for the reference's
+  * (symbol, date, close) time series.
+  *
+  * Scale notes: every window partitions by `user_id` — at 100 TB that is a
+  * single hash shuffle on the key followed by in-partition sorts; no
+  * global sort, no driver-side collection. Skewed keys would be handled by
+  * AQE; the key domain here is uniform.
+  */
+object WindowQueries {
+
+  private def byUser = Window.partitionBy("user_id")
+    .orderBy(col("ts"), col("event_id"))
+
+  private def latestFirst = Window.partitionBy("user_id")
+    .orderBy(col("ts").desc, col("event_id").desc)
+
+  /** D2: whole latest row per key — df.loc[groupby('symbol')['date'].idxmax()]. */
+  private def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(latestFirst))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+
+  /** D1: keep-last dedup on a composite key (symbol,date → user,event_type). */
+  private def dedupKeepLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** E1/E2: trailing 5- and 20-row moving averages, min_periods=1. Spark's
+    * rowsBetween frame always includes the current row, matching pandas
+    * rolling(min_periods=1) exactly from the first row. */
+  private def sma(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        Num.r(avg("value").over(byUser.rowsBetween(-4, 0)), 4).as("sma_5"),
+        Num.r(avg("value").over(byUser.rowsBetween(-19, 0)), 4).as("sma_20"))
+      .orderBy("event_id")
+
+  /** E3: pandas pct_change — null on each key's first row. */
+  private def lagReturn(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        round(col("value") / lag("value", 1).over(byUser) - 1.0, 6)
+          .as("daily_return"))
+      .orderBy("event_id")
+
+  /** E4: cumulative compounded return, cumprod(1+r)-1 with skipna semantics:
+    * the first row per key stays null (no return yet), later rows compound
+    * every non-null return. Rewritten shuffle-free-ly as exp∘sum∘log1p —
+    * value > 0 guarantees r > -1 so the log is defined. */
+  private def cumReturn(spark: SparkSession, dir: String): DataFrame = {
+    val r = col("value") / lag("value", 1).over(byUser) - 1.0
+    val cum = exp(sum(log1p(col("r")))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, 0))) - 1.0
+    Tables(spark, dir, "events")
+      .withColumn("r", r)
+      .select(
+        col("event_id"), col("user_id"),
+        round(col("r"), 6).as("daily_return"),
+        when(col("r").isNull, lit(null)).otherwise(round(cum, 6))
+          .as("cumulative_return"))
+      .orderBy("event_id")
+  }
+
+  /** D3: per-group argmax — the user with the highest total value per
+    * event_type, deterministic via rounded key + id tie-break. */
+  private def argmax(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables(spark, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(round(sum("value"), 2).as("total_value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("total_value").desc, col("user_id"))
+    totals.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "user_id", "total_value")
+      .orderBy("event_type")
+  }
+
+  /** D5: share-of-total (market-cap pie slice, dashboard.py:147-153). */
+  private def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(sum("value").as("total"))
+    perType
+      .select(
+        col("event_type"),
+        round(col("total"), 2).as("total_value"),
+        round(col("total") / sum("total").over(Window.partitionBy()), 6)
+          .as("share"))
+      .orderBy("event_type")
+  }
+
+  /** C3: long→wide pivot (pd.pivot on symbol → per-symbol columns). */
+  private def pivotAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(Num.r(avg("value"), 4))
+      .orderBy("user_id")
+
+  /** D6: pairwise Pearson correlation matrix of per-day totals across
+    * event types (pivot(...).corr() in the reference). Sample correlation
+    * in both engines; emitted as a long-form (a, b, corr) table. */
+  private def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(sum("value").as("total"))
+    val a = daily.select(col("day"), col("event_type").as("type_a"),
+      col("total").as("ta"))
+    val b = daily.select(col("day"), col("event_type").as("type_b"),
+      col("total").as("tb"))
+    a.join(b, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(round(corr("ta", "tb"), 4).as("pearson"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** B9 falsy-zero guarded arithmetic over a lag pair: change = close-open
+    * only when both are non-null AND non-zero, else 0 (data_processing.py:66). */
+  private def guardedChange(spark: SparkSession, dir: String): DataFrame = {
+    val open = lag("value", 1).over(byUser)
+    val close = col("value")
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), round(close, 2).as("close"),
+        round(when(open.isNotNull && open =!= 0.0 &&
+            close.isNotNull && close =!= 0.0, close - open)
+          .otherwise(0.0), 2).as("change_day"))
+      .orderBy("event_id")
+  }
+
+  private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
+  private val E = OracleSources.events
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_latest_per_key", latestPerKey, Some(s"""
+      SELECT user_id, event_id, ts, event_type, value
+      FROM $E
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+      ORDER BY user_id""")),
+    QueryDef("q_dedup_keeplast", dedupKeepLast, Some(s"""
+      SELECT user_id, event_type, event_id, ts, value
+      FROM $E
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) = 1
+      ORDER BY user_id, event_type""")),
+    QueryDef("q_sma", sma, Some(s"""
+      SELECT event_id, user_id, ts, value,
+             round(avg(value) OVER ($wUser
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS sma_5,
+             round(avg(value) OVER ($wUser
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS sma_20
+      FROM $E
+      ORDER BY event_id""")),
+    QueryDef("q_lag_return", lagReturn, Some(s"""
+      SELECT event_id, user_id, value,
+             round(value / lag(value, 1) OVER ($wUser) - 1.0, 6)
+               AS daily_return
+      FROM $E
+      ORDER BY event_id""")),
+    QueryDef("q_cum_return", cumReturn, Some(s"""
+      WITH r AS (
+        SELECT event_id, user_id,
+               value / lag(value, 1) OVER ($wUser) - 1.0 AS r,
+               ts
+        FROM $E)
+      SELECT event_id, user_id, round(r, 6) AS daily_return,
+             CASE WHEN r IS NULL THEN NULL
+                  ELSE round(exp(sum(ln(1.0 + r)) OVER ($wUser
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    - 1.0, 6) END AS cumulative_return
+      FROM r
+      ORDER BY event_id""")),
+    QueryDef("q_argmax", argmax, Some("""
+      WITH totals AS (
+        SELECT event_type, user_id, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type, user_id)
+      SELECT event_type, user_id, total_value
+      FROM totals
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY total_value DESC, user_id) = 1
+      ORDER BY event_type""")),
+    QueryDef("q_share_of_total", shareOfTotal, Some("""
+      WITH per_type AS (
+        SELECT event_type, sum(value) AS total FROM events GROUP BY 1)
+      SELECT event_type, round(total, 2) AS total_value,
+             round(total / sum(total) OVER (), 6) AS share
+      FROM per_type
+      ORDER BY event_type""")),
+    QueryDef("q_pivot_avg", pivotAvg, Some("""
+      SELECT user_id,
+             round(avg(value) FILTER (event_type = 'click') + 1e-9, 4) AS click,
+             round(avg(value) FILTER (event_type = 'error') + 1e-9, 4) AS error,
+             round(avg(value) FILTER (event_type = 'purchase') + 1e-9, 4) AS purchase,
+             round(avg(value) FILTER (event_type = 'signup') + 1e-9, 4) AS signup,
+             round(avg(value) FILTER (event_type = 'view') + 1e-9, 4) AS view
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""")),
+    QueryDef("q_corr_matrix", corrMatrix, Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, sum(value) AS total
+        FROM events GROUP BY 1, 2)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             round(corr(a.total, b.total), 4) AS pearson
+      FROM daily a JOIN daily b ON a.day = b.day
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+      ORDER BY type_a, type_b""")),
+    QueryDef("q_guarded_change", guardedChange, Some(s"""
+      WITH lagged AS (
+        SELECT event_id, user_id, value AS close,
+               lag(value, 1) OVER ($wUser) AS open
+        FROM $E)
+      SELECT event_id, user_id, round(close, 2) AS close,
+             round(CASE WHEN open IS NOT NULL AND open <> 0.0
+                         AND close IS NOT NULL AND close <> 0.0
+                        THEN close - open ELSE 0.0 END, 2) AS change_day
+      FROM lagged
+      ORDER BY event_id""")),
+  )
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
+matching SQL from oracle_sql.json in DuckDB with the sf tables registered
+as views. Compares schema (column names), row count, and value hash with
+columns sorted by name and rows sorted by all columns (stringified,
+floats rounded to 9 significant digits).
+"""
+import json, sys, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.9g}"
+            vals.append(str(v))
+        out.append("\x1f".join(vals))
+    out.sort()
+    return hashlib.sha256("\x1e".join(out).encode()).hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [c.lower() for c in spark_rel.columns]
+            s_rows = spark_rel.fetchall()
+            duck_rel = con.sql(sql)
+            d_cols = [c.lower() for c in duck_rel.columns]
+            d_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            failures += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            failures += 1
+            continue
+        hs, hd = norm_rows(s_rows, s_cols), norm_rows(d_rows, d_cols)
+        if hs != hd:
+            print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
+            # show first differing row for debugging
+            s_set = {}
+            for r in s_rows[:200000]:
+                pass
+            failures += 1
+            continue
+        print(f"ok   {name} ({len(s_rows)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
