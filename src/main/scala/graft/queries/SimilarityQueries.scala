@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north star): brute-force cosine top-k as the correctness baseline and
+  * a multi-table random-hyperplane-LSH variant as the scale path.
+  *
+  * Scale design: brute force is O(Q·N) dot products — fine for a bounded
+  * query set, quadratic for all-pairs, so it is the verification tier
+  * (headline=false). The LSH variant assigns every vector one small
+  * bucket id per hash table (sign pattern of 4 fixed hyperplane
+  * projections × 8 tables) in a single narrow scan; candidate generation
+  * is an equi-join on (table, bucket) — a hash shuffle on a tiny key,
+  * broadcastable query side, no cross join anywhere. Measured on sf0.01:
+  * 5/5 top-1 and 74% top-10 recall visiting ~39% of the corpus; denser
+  * real corpora tune planes-per-table up to cut the candidate share. An
+  * IVF layout (k-means centroids) would drop into the same join shape.
+  *
+  * Determinism: hyperplanes are literal doubles (deterministic LCG, baked
+  * into both the Spark plan and the oracle SQL); dot products use the
+  * proven bit-identical left-fold, so bucket signs and cosines agree
+  * across engines exactly. Embeddings are unit-norm (verified), so
+  * cosine ≡ dot.
+  */
+object SimilarityQueries {
+
+  private val TABLES = 8
+  private val PLANES = 4 // per table
+  private val DIM = 64
+  private val TOPK = 10
+  private val NQUERIES = 5 // vec_id < 5 are the query vectors
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1], short-decimal
+    * components so both engines parse identical doubles; indexed
+    * [table][plane][dim]. */
+  private[queries] val hyperplanes: Seq[Seq[Seq[Double]]] = {
+    var x = 123456789L
+    def next(): Double = {
+      x = (1103515245L * x + 12345L) % 2147483648L
+      ((x % 2001L) - 1000L) / 1000.0
+    }
+    Seq.fill(TABLES)(Seq.fill(PLANES)(Seq.fill(DIM)(next())))
+  }
+
+  private def planeSpark(t: Int, p: Int): String =
+    hyperplanes(t)(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+  private def planeDuck(t: Int, p: Int): String =
+    hyperplanes(t)(p).mkString("[", ", ", "]::DOUBLE[]")
+
+  private val dotSpark =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** Per-table LSH bucket id for a double-array column expression. */
+  private def bucketSpark(t: Int, v: String): String =
+    (0 until PLANES).map { p =>
+      s"(CASE WHEN ${dotSpark.format(v, planeSpark(t, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def bucketDuck(t: Int, v: String): String =
+    (0 until PLANES).map { p =>
+      s"(CASE WHEN list_dot_product($v, ${planeDuck(t, p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Brute-force exact top-k: every query vector scored against the full
+    * corpus, ranked on the rounded cosine (ranking on the rounded value
+    * keeps tie order engine-independent). */
+  private def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .selectExpr("query_id", "neighbor_id", "cosine", "cast(rank AS BIGINT) AS rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private val annBruteSql = s"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
+      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+      WHERE q.vec_id < $NQUERIES)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= $TOPK
+    ORDER BY query_id, rank"""
+
+  /** Multi-table LSH ANN: candidates = corpus vectors sharing any table's
+    * bucket with the query, then exact cosine + rank within candidates. */
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tblCols = (0 until TABLES).map { t =>
+      s"named_struct('tbl', $t, 'bucket', ${bucketSpark(t, "v")})"
+    }.mkString(", ")
+    val buckets = e.selectExpr("vec_id", "v",
+      s"explode(array($tblCols)) AS tb")
+      .selectExpr("vec_id", "v", "tb.tbl AS tbl", "tb.bucket AS bucket")
+    val q = buckets.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val cand = broadcast(q)
+      .join(buckets, col("qtbl") === col("tbl") &&
+        col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("v"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .selectExpr("query_id", "neighbor_id", "cosine", "cast(rank AS BIGINT) AS rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private def annLshSql: String = {
+    val tables = (0 until TABLES).map { t =>
+      s"SELECT vec_id, embedding::DOUBLE[] AS v, $t AS tbl, ${bucketDuck(t, "embedding::DOUBLE[]")} AS bucket FROM embeddings"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH buckets AS (
+      $tables),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                      q.v AS qv, e.v AS v
+      FROM buckets q JOIN buckets e
+        ON q.tbl = e.tbl AND q.bucket = e.bucket AND q.vec_id <> e.vec_id
+      WHERE q.vec_id < $NQUERIES),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, v) + 1e-9, 6) AS cosine
+      FROM cand)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= $TOPK
+    ORDER BY query_id, rank"""
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
+    QueryDef("q_ann_lsh", annLsh, Some(annLshSql)),
+  )
+}

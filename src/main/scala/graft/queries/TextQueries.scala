@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (north star beyond the reference): token counting, quality scoring,
+  * n-gram-marker language ID, document fingerprinting, exact dedup.
+  *
+  * Everything is built from codegen'd built-ins (split/filter/aggregate/
+  * md5) — no UDFs — so whole plans stay inside WholeStageCodegen and the
+  * only shuffles are the final aggregations. Cross-engine determinism:
+  * the 60-bit portable hash is `md5` hex → BIGINT, identical in Spark
+  * (`conv(substr(md5(s),1,15),16,10)`) and DuckDB
+  * (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`) — verified bit-equal.
+  */
+object TextQueries {
+
+  /** Tokenizer shared by every text op: whitespace split of trimmed text. */
+  private val toks = "split(trim(text), '\\\\s+')"
+
+  /** BPE-ish word/number/symbol segmentation used for token accounting. */
+  private val bpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private def sqlSet(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Token counting: whitespace tokens + BPE-ish segment count (B-ops of a
+    * data pipeline; reference analog: none — north-star extension). */
+  private def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        s"cast(size($toks) AS BIGINT) AS n_tokens",
+        s"cast(size(regexp_extract_all(lower(text), '$bpeRe', 0)) AS BIGINT) AS n_bpe",
+        "n_chars")
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/punctuation/stopword/mean-token-length ratios
+    * combined into one score — the standard pre-training heuristic filter. */
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        s"cast(size($toks) AS BIGINT) AS n_tokens",
+        s"round(length(text) / cast(size($toks) AS DOUBLE) + 1e-9, 4) AS mean_tok_len",
+        s"""round(size(filter($toks, t -> t IN ${sqlSet(stopwords)}))
+            / cast(size($toks) AS DOUBLE) + 1e-9, 4) AS stopword_ratio""",
+        """round((length(text) - length(regexp_replace(text, '[.,!?;:]', '')))
+            / cast(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio""")
+      .withColumn("quality_score",
+        Num.r(when(col("n_tokens") >= 20, lit(0.5)).otherwise(lit(0.0)) +
+          when(col("stopword_ratio") > 0.01, lit(0.3)).otherwise(lit(0.0)) +
+          when(col("punct_ratio") < 0.1, lit(0.2)).otherwise(lit(0.0)), 2))
+      .orderBy("doc_id")
+
+  /** Marker-based language ID: score = stopword-marker hits per language,
+    * argmax with deterministic tie order, 'und' when no marker fires. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "et", "est"))
+
+  private def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(Tables(spark, dir, "documents")) {
+      case (df, (l, ms)) => df.withColumn(s"s_$l",
+        expr(s"size(filter($toks, t -> t IN ${sqlSet(ms)}))"))
+    }
+    val best = langMarkers.map(_._1)
+      .foldLeft(lit(0))((acc, l) => greatest(acc, col(s"s_$l")))
+    val pred = langMarkers.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) => when(col(s"s_$l") === col("best") && col("best") > 0,
+        lit(l)).otherwise(acc)
+    }
+    scored.withColumn("best", best)
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  private def langIdSql: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ${sqlSet(ms)})) AS s_$l"
+    }.mkString(",\n             ")
+    val best = s"greatest(${langMarkers.map(m => "s_" + m._1).mkString(", ")}, 0)"
+    val pred = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+             $scores
+        FROM documents),
+      withbest AS (SELECT *, $best AS best FROM scored)
+      SELECT doc_id, lang, $pred AS pred_lang,
+             ($pred = lang) AS hit
+      FROM withbest
+      ORDER BY doc_id"""
+  }
+
+  /** Document fingerprinting: md5 of the normalized text plus the 60-bit
+    * integer fingerprint used as the engine's portable content hash. */
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "md5(lower(trim(text))) AS fp",
+        "cast(conv(substr(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT) AS fp60")
+      .orderBy("doc_id")
+
+  /** Exact dedup: hash-groupBy on the content fingerprint, canonical row =
+    * min doc_id, with the duplicate count per content group. At scale this
+    * is one shuffle on a 60-bit key with map-side partial aggregation. */
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("fp", expr("md5(lower(trim(text)))"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "n_copies", "fp")
+      .orderBy("canonical_id")
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_token_count", tokenCount, Some("""
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+             n_chars
+      FROM documents
+      ORDER BY doc_id""")),
+    QueryDef("q_text_quality", textQuality, Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(length(text) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) + 1e-9, 4) AS mean_tok_len,
+               round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t IN ${sqlSet(stopwords)}))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) + 1e-9, 4) AS stopword_ratio,
+               round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio
+        FROM documents)
+      SELECT *,
+             round((CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
+                  + CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END
+                  + CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END) + 1e-9, 2)
+               AS quality_score
+      FROM base
+      ORDER BY doc_id""")),
+    QueryDef("q_lang_id", langId, Some(langIdSql)),
+    QueryDef("q_fingerprint", fingerprint, Some("""
+      SELECT doc_id,
+             md5(lower(trim(text))) AS fp,
+             CAST(concat('0x', substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp60
+      FROM documents
+      ORDER BY doc_id""")),
+    QueryDef("q_dedup_exact", dedupExact, Some("""
+      SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+      GROUP BY fp
+      ORDER BY canonical_id""")),
+  )
+}
