@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Structured-Streaming re-expression of the reference's streaming
+  * semantics (SURVEY.md §2.H). The reference's Kafka consumers are
+  * modeled as any streaming DataFrame (MemoryStream in tests, Kafka or
+  * file source in production — the transforms are source-agnostic).
+  *
+  * Reference mappings:
+  *  - bounded drain (consumer_timeout_ms=15000, data_processing.py:13)
+  *    → Trigger.AvailableNow: process everything available, then stop;
+  *  - per-key latest-value dicts (data_processing.py:44-56)
+  *    → dropDuplicates within watermark, keep-first per (key, ts) after
+  *      event reversal, or stateful latest via window on the sink side;
+  *  - late/duplicate handling, UNIQUE(symbol,ts) DO NOTHING
+  *    (init.sql:32) → watermark + dropDuplicates(key, ts): first write
+  *    wins, exactly the ON CONFLICT DO NOTHING semantics;
+  *  - 40-day recompute window (data_warehouse.py:67) → withWatermark
+  *    bounding state instead of the reference's full re-read;
+  *  - insert-if-absent JDBC upsert (yfinance_to_postgres.py:28-56)
+  *    → foreachBatch + left_anti against existing keys.
+  *
+  * Scale notes: every stateful op is keyed-state with a watermark TTL —
+  * state is O(active keys in window), never O(history). The reference's
+  * reread-everything pattern (H3) is deliberately NOT reproduced; its
+  * downstream-visible semantics (idempotent, new-wins) are.
+  */
+object StreamingPipeline {
+
+  /** First-write-wins dedup on (key, eventTime) — ON CONFLICT DO NOTHING.
+    * Watermark bounds the dedup state to the lateness horizon. */
+  def dedupFirstWins(src: DataFrame, key: String, tsCol: String,
+      lateness: String): DataFrame =
+    src.withWatermark(tsCol, lateness)
+      .dropDuplicates(key, tsCol)
+
+  /** The enrichment projection of data_processing.py:69-83 applied on a
+    * stream: symbol normalize + guarded change_day. Stateless → appends. */
+  def enrich(src: DataFrame): DataFrame =
+    src.withColumn("symbol",
+        regexp_replace(col("symbol"), "\\.SA$", ""))
+      .withColumn("change_day",
+        when(col("open").isNotNull && col("open") =!= 0.0 &&
+          col("close").isNotNull && col("close") =!= 0.0,
+          col("close") - col("open")).otherwise(0.0))
+
+  /** Tumbling event-time aggregation with watermark — the per-minute
+    * micro-batch rollup shape (H1) as a first-class streaming agg. */
+  def windowedAgg(src: DataFrame, tsCol: String, key: String,
+      valueCol: String, window: String, lateness: String): DataFrame =
+    src.withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(key))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("total"),
+        avg(valueCol).as("mean"))
+      .select(col("window.start").as("w_start"), col(key),
+        col("n"), col("total"), col("mean"))
+
+  /** Bounded drain to an in-memory sink: process all available input then
+    * stop — the 15 s-idle-timeout consumer loop, idiomatically. */
+  def drainAvailableNow(df: DataFrame, queryName: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Insert-if-absent sink: per micro-batch, left-anti the batch against
+    * the existing keys then append — A15's ON CONFLICT DO NOTHING for an
+    * arbitrary table. `existing` is re-read per batch so repeated keys
+    * across batches are also suppressed. */
+  def upsertSink(src: DataFrame, keys: Seq[String], targetPath: String):
+      DataStreamWriter[org.apache.spark.sql.Row] =
+    src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (new java.io.File(targetPath).exists()) {
+            val existing = spark.read.parquet(targetPath)
+              .select(keys.map(col): _*)
+            batch.join(existing, keys, "left_anti")
+          } else batch
+        // dedup within the batch itself on the keys (first wins)
+        fresh.dropDuplicates(keys)
+          .write.mode("append").parquet(targetPath)
+        ()
+      }
+}

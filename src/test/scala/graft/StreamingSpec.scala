@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingPipeline
+
+/** End-to-end Structured Streaming semantics with MemoryStream sources and
+  * AvailableNow bounded drains — the reference's Kafka loops without a
+  * broker (SURVEY.md §2.H). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("dedupFirstWins: ON CONFLICT DO NOTHING semantics on (key, ts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    mem.addData(("A", ts(10), 1.0), ("A", ts(10), 2.0), ("B", ts(11), 3.0))
+    val out = StreamingPipeline.dedupFirstWins(
+      mem.toDF.toDF("sym", "t", "v"), "sym", "t", "1 hour")
+    StreamingPipeline.drainAvailableNow(out, "dedup_t")
+    val rows = spark.sql("SELECT sym, v FROM dedup_t ORDER BY sym")
+      .as[(String, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows(0) == ("A", 1.0)) // first write won
+    assert(rows(1) == ("B", 3.0))
+  }
+
+  test("enrich: symbol normalize + falsy-zero change_day on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Double)]
+    mem.addData(("PETR4.SA", 10.0, 12.0), ("VALE3", 0.0, 12.0))
+    val out = StreamingPipeline.enrich(
+      mem.toDF.toDF("symbol", "open", "close"))
+    StreamingPipeline.drainAvailableNow(out, "enrich_t")
+    val rows = spark.sql("SELECT symbol, change_day FROM enrich_t ORDER BY symbol")
+      .as[(String, Double)].collect()
+    assert(rows.toSeq == Seq(("PETR4", 2.0), ("VALE3", 0.0)))
+  }
+
+  test("windowedAgg: tumbling event-time aggregation emits closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData((ts(0), "A", 1.0), (ts(30), "A", 3.0), (ts(90), "A", 5.0))
+    // watermark 0s: the 0-60s window closes once the 90s event arrives
+    val out = StreamingPipeline.windowedAgg(
+      mem.toDF.toDF("t", "sym", "v"), "t", "sym", "v", "1 minute", "0 seconds")
+    StreamingPipeline.drainAvailableNow(out, "winagg_t")
+    val rows = spark.sql(
+      "SELECT sym, n, total FROM winagg_t WHERE w_start = timestamp'1970-01-01 00:00:00'")
+      .as[(String, Long, Double)].collect()
+    assert(rows.toSeq == Seq(("A", 2L, 4.0)))
+  }
+
+  test("upsertSink: insert-if-absent across micro-batches and re-runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft_upsert").toString + "/tbl"
+    val mem = MemoryStream[(String, Long, Double)]
+    mem.addData(("A", 1L, 10.0), ("A", 1L, 99.0), ("B", 2L, 20.0))
+    val w = StreamingPipeline.upsertSink(
+      mem.toDF.toDF("sym", "seq", "v"), Seq("sym", "seq"), target)
+    w.start().awaitTermination()
+    // second run re-sends A and adds C — only C lands
+    val mem2 = MemoryStream[(String, Long, Double)]
+    mem2.addData(("A", 1L, 555.0), ("C", 3L, 30.0))
+    StreamingPipeline.upsertSink(
+      mem2.toDF.toDF("sym", "seq", "v"), Seq("sym", "seq"), target)
+      .start().awaitTermination()
+    val rows = spark.read.parquet(target).orderBy("sym")
+      .select("sym", "v").as[(String, Double)].collect()
+    assert(rows.length == 3)
+    assert(rows(0) == ("A", 10.0)) // first write won, 99.0/555.0 rejected
+    assert(rows(1) == ("B", 20.0))
+    assert(rows(2) == ("C", 30.0))
+  }
+}
