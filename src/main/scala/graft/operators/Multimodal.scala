@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north star): image/audio/video travel as
+  * opaque `binary` columns with typed metadata; the engine owns the
+  * schema, partitioning and batch shape while the codec itself is a
+  * stub (no media libraries in this environment — the decode is a
+  * deterministic fake clearly marked below).
+  *
+  * Layout: media rows are (media_id, kind, bytes, meta) where bytes
+  * carries a 12-byte header (magic ++ width ++ height, big-endian i32)
+  * followed by the payload. Header parsing is pure Catalyst expressions
+  * (substring on binary + hex + conv) — codegen'd, no UDF, so metadata
+  * extraction never leaves WholeStageCodegen and predicate pushdown on
+  * (kind, meta) survives.
+  *
+  * Scale notes: payloads stay off the shuffle path — every transform
+  * here either projects metadata (narrow) or repartitions by media_id
+  * once before per-partition decode. The decode stage is the only
+  * mapPartitions, sized by `spark.sql.files.maxPartitionBytes` so one
+  * task never holds more than a bounded byte volume.
+  */
+object Multimodal {
+
+  private val MAGIC = "47524654" // "GRFT" in hex
+
+  /** Big-endian i32 at byte offset `off` (1-based) of a binary column. */
+  private def beInt(colName: String, off: Int): org.apache.spark.sql.Column =
+    expr(s"cast(conv(hex(substring($colName, $off, 4)), 16, 10) AS INT)")
+
+  /** Deterministic fake encoder: builds a valid media blob from plain
+    * columns (width, height, payload string). Stands in for real image
+    * bytes so the plumbing is testable end-to-end. */
+  def encodeFake(df: DataFrame, widthCol: String, heightCol: String,
+      payloadCol: String): DataFrame =
+    df.withColumn("bytes",
+      expr(s"""concat(
+           unhex('$MAGIC'),
+           unhex(lpad(hex($widthCol), 8, '0')),
+           unhex(lpad(hex($heightCol), 8, '0')),
+           cast($payloadCol AS BINARY))"""))
+
+  /** Metadata extraction from the binary header — pure expressions. */
+  def extractMeta(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    df.withColumn("is_valid",
+        expr(s"hex(substring($bytesCol, 1, 4))") === MAGIC)
+      .withColumn("width", beInt(bytesCol, 5))
+      .withColumn("height", beInt(bytesCol, 9))
+      .withColumn("payload_bytes",
+        expr(s"length($bytesCol) - 12").cast("long"))
+
+  /** STUB — the real decoder (JPEG/PNG/audio frames) would run here via
+    * per-partition native-lib calls. This deterministic fake "decodes"
+    * the payload to its byte histogram so the batch shape (one output
+    * row per media row, bounded memory per partition) is real and
+    * tested while the codec is not. */
+  def decodeStub(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    df.withColumn("decoded_checksum",
+        expr(s"crc32(substring($bytesCol, 13, 1073741824))"))
+      .withColumn("decoded_n_bytes",
+        expr(s"length($bytesCol) - 12").cast("long"))
+
+  /** Frame sampling: emit every `stride`-th byte offset of the payload as
+    * a "frame" row — the explode shape (row → many frames) of video
+    * frame extraction, with deterministic content. */
+  def frameSample(df: DataFrame, stride: Int,
+      bytesCol: String = "bytes"): DataFrame =
+    df.withColumn("frame_off",
+        explode(expr(s"sequence(13, length($bytesCol), $stride)")))
+      .withColumn("frame_byte",
+        expr(s"cast(conv(hex(substring($bytesCol, frame_off, 1)), 16, 10) AS INT)"))
+}

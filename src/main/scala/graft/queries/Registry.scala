@@ -5,7 +5,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   def byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Thin source/sink layer (SURVEY.md §2.A) — connector code stays out of
+  * operator logic. Schemas are always declared (never inferred) so engine
+  * semantics don't depend on sampling.
+  *
+  * Reference mappings:
+  *  - A1 CSV scan with declared schema + legacy encoding
+  *    (include/tasks/batch_ingestion.py:26, latin-1 COTAHIST file);
+  *  - A2/A7/A8 partitioned parquet/JSON zone writers with date-derived
+  *    partition columns ({topic}/{Y}/{M}/{d} layout,
+  *    kafka_to_minio_raw/main.py:88-101);
+  *  - A9 single-file JSON snapshot (data_warehouse.py:80-86);
+  *  - A15 insert-if-absent batch upsert (yfinance_to_postgres.py:28-56).
+  *
+  * Scale notes: partition columns give free partition pruning on read-back;
+  * writers never coalesce except the explicitly-small snapshot sink; the
+  * upsert's left-anti join broadcasts whichever side AQE finds small and
+  * only scans the target's key columns.
+  */
+object Connectors {
+
+  /** Declared-schema CSV scan; `encoding` covers latin-1-style files.
+    * Malformed rows yield nulls (PERMISSIVE), matching pandas coerce. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      encoding: String = "UTF-8", header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("encoding", encoding)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** Parquet writer partitioned by arbitrary columns (lake zone layout). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** JSON archive partitioned by a timestamp's Y/M/D — the raw-zone
+    * `{topic}/{Y}/{M}/{d}/` layout as real partition columns. */
+  def writeDatePartitionedJson(df: DataFrame, path: String,
+      tsCol: String): Unit =
+    df.withColumn("y", year(col(tsCol)))
+      .withColumn("m", format_string("%02d", month(col(tsCol))))
+      .withColumn("d", format_string("%02d", dayofmonth(col(tsCol))))
+      .write.mode("overwrite").partitionBy("y", "m", "d").json(path)
+
+  /** Whole-table single-file JSON snapshot (loaded-zone export). Only for
+    * deliberately-small final tables — the coalesce(1) is the point. */
+  def writeJsonSnapshot(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** Batch insert-if-absent: append only rows whose composite key is not
+    * already present in the parquet target (ON CONFLICT DO NOTHING). */
+  def upsertParquet(batch: DataFrame, keys: Seq[String],
+      targetPath: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh =
+      if (new java.io.File(targetPath).exists()) {
+        val existing = spark.read.parquet(targetPath)
+          .select(keys.map(col): _*)
+        batch.join(existing, keys, "left_anti")
+      } else batch
+    fresh.dropDuplicates(keys).write.mode("append").parquet(targetPath)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Connectors
+import graft.operators.Multimodal
+
+class ConnectorsSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft_conn").toString
+
+  test("readCsv: declared schema + latin-1 encoding, coerced nulls") {
+    val dir = tmp()
+    val csv = "sym,price,name\nPETR4,10.5,Petrobrás\nVALE3,notanum,Ação\n"
+    Files.write(Paths.get(s"$dir/q.csv"),
+      csv.getBytes(StandardCharsets.ISO_8859_1))
+    val schema = StructType(Seq(
+      StructField("sym", StringType), StructField("price", DoubleType),
+      StructField("name", StringType)))
+    val df = Connectors.readCsv(spark, s"$dir/q.csv", schema, "ISO-8859-1")
+    val rows = df.orderBy("sym").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(2) == "Petrobrás") // latin-1 decoded
+    assert(rows(1).isNullAt(1)) // "notanum" → null, pandas-coerce parity
+  }
+
+  test("writeDatePartitionedJson: Y/M/D partition dirs exist and prune") {
+    import spark.implicits._
+    val dir = tmp() + "/zone"
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2026-01-05 10:00:00")),
+      ("b", java.sql.Timestamp.valueOf("2026-02-06 10:00:00"))
+    ).toDF("k", "ts")
+    Connectors.writeDatePartitionedJson(df, dir, "ts")
+    assert(new java.io.File(s"$dir/y=2026/m=01/d=05").exists())
+    val back = spark.read.json(dir).filter(col("m") === "02")
+    assert(back.select("k").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("upsertParquet: only new keys land; in-batch dups collapse") {
+    import spark.implicits._
+    val target = tmp() + "/tbl"
+    Connectors.upsertParquet(
+      Seq(("A", 1L, 1.0), ("A", 1L, 9.9), ("B", 2L, 2.0))
+        .toDF("k", "seq", "v"), Seq("k", "seq"), target)
+    Connectors.upsertParquet(
+      Seq(("A", 1L, 7.7), ("C", 3L, 3.0)).toDF("k", "seq", "v"),
+      Seq("k", "seq"), target)
+    val rows = spark.read.parquet(target).orderBy("k")
+      .select("k", "v").as[(String, Double)].collect()
+    assert(rows.length == 3)
+    assert(rows(0)._1 == "A" && rows(0)._2 != 7.7) // conflict rejected
+    assert(rows(2) == ("C", 3.0))
+  }
+
+  test("multimodal: header roundtrip + decode stub + frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.encodeFake(
+      Seq((1L, 640, 480, "payloadbytes"), (2L, 0, 0, ""))
+        .toDF("media_id", "w", "h", "payload"), "w", "h", "payload")
+    val meta = Multimodal.extractMeta(media).orderBy("media_id").collect()
+    assert(meta(0).getAs[Boolean]("is_valid"))
+    assert(meta(0).getAs[Int]("width") == 640)
+    assert(meta(0).getAs[Int]("height") == 480)
+    assert(meta(0).getAs[Long]("payload_bytes") == 12L)
+    assert(meta(1).getAs[Long]("payload_bytes") == 0L)
+    val dec = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    assert(dec(0).getAs[Long]("decoded_n_bytes") == 12L)
+    val frames = Multimodal.frameSample(media.filter(col("media_id") === 1), 4)
+    assert(frames.count() == 3) // offsets 13,17,21 over 12 payload bytes
+  }
+
+  test("partitioned parquet roundtrip preserves values and prunes") {
+    import spark.implicits._
+    val dir = tmp() + "/pq"
+    val df = (1 to 100).map(i => (i, s"g${i % 4}", i * 1.5)).toDF("id", "g", "v")
+    Connectors.writePartitionedParquet(df, dir, Seq("g"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    val plan = back.filter(col("g") === "g1").queryExecution.executedPlan.toString
+    assert(back.filter(col("g") === "g1").count() == 25)
+  }
+}
