@@ -20,9 +20,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureConf(spark)
     val headline = Registry.all.filter(_.headline)
-    // JVM+codegen warmup on the smallest SF so measured times reflect the
-    // engine, not first-call classloading.
-    headline.headOption.foreach { q =>
+    // JVM+codegen warmup: run EVERY headline query once on the smallest SF
+    // so measured times reflect the engine, not first-call classloading or
+    // per-plan whole-stage-codegen compilation (the minhash/simhash plans
+    // compile multi-thousand-line generated classes; that cost is one-time
+    // per plan shape, not per data volume).
+    headline.foreach { q =>
       try q.fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }

@@ -24,6 +24,10 @@ object Tables {
     // Tiny dims (region/nation/supplier) must broadcast; default 10MB is fine
     // but make intent explicit for a 1000-executor deployment.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    // Prefer shuffled-hash over sort-merge when neither side broadcasts:
+    // skips both sort passes; AQE still rewrites per-stage from runtime
+    // stats, and Spark falls back to SMJ when a build side can't fit.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively;
     // read the raw int64 and truncate to the engine's microsecond timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -54,7 +54,11 @@ object B3Pipeline {
     val w = Window.partitionBy(key).orderBy(col(tsCol), col(tieCol))
     val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
     val close = col(closeCol)
-    val r = close / lag(close, 1).over(w) - 1.0
+    // returns are defined over positive prices only: a zero on either side
+    // yields null, which the skipna cumulative product then ignores — keeps
+    // the log-rewrite total (no ln(0)/inf) on data containing zeros.
+    val prev = lag(close, 1).over(w)
+    val r = when(prev > 0.0 && close > 0.0, close / prev - 1.0)
     // marketCap analog: the key's max volume; turnover = volume*close/mcap.
     val mcap = max(col(volumeCol)).over(Window.partitionBy(key))
     deduped

@@ -9,50 +9,50 @@ import graft.Tables
   * MinHash + LSH banding, SimHash Hamming pairs, embedding-cosine pairs.
   *
   * Scale design (the part that must survive 100 TB):
-  *  - shingle → inverted-index self-join generates candidates ONLY for
-  *    pairs sharing a shingle (never a full cross join);
-  *  - MinHash+LSH reduces that further: one shuffle to build signatures
-  *    (groupBy doc), one to bucket by (band, bandHash) — candidate
-  *    generation is linear in bucket occupancy, the classic
-  *    Broder/LSH-banding layout;
-  *  - SimHash reduces each doc to one 16-bit int: the pair join is on a
-  *    tiny value domain (bucketable / broadcastable);
+  *  - shingles are reduced to 60-bit hashes immediately — no text ever
+  *    enters a shuffle; the inverted-index self-join and every
+  *    verification join run on BIGINT keys;
+  *  - the candidate join generates pairs ONLY for docs sharing a shingle
+  *    hash (never a cross join);
+  *  - MinHash signatures cost ONE md5 per shingle: the k=12 hash family
+  *    is rotate-xor remixes of the base hash (cheap int ops, verified
+  *    bit-identical across engines), then LSH banding buckets candidates
+  *    — the classic Broder layout, linear in bucket occupancy;
+  *  - SimHash reduces each doc to one 48-bit int: the pair join moves
+  *    two BIGINTs per doc;
   *  - embedding brute-force pair scan is correctness-tier only
   *    (headline=false); the scale path is the LSH route in
   *    [[SimilarityQueries]].
-  *
-  * All hashes are the portable md5→60-bit-BIGINT (bit-identical in Spark
-  * and DuckDB); all similarity math is integer-exact or
-  * proven-bit-identical double ops, so oracle hashes are stable.
   */
 object DedupQueries {
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct word-3-gram shingle HASHES per doc: (doc_id, h). */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
       .selectExpr("doc_id",
         """explode(CASE WHEN size(t) >= 3
              THEN array_distinct(transform(sequence(0, size(t) - 3),
-                    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-             ELSE array() END) AS s""")
+                    i -> cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) AS BIGINT)))
+             ELSE array() END) AS h""")
 
-  private val shinglesSql = """
+  private val shingleHashesSql = """
     shing AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
             FROM documents),
            unnest(range(1, len(t) - 1)) AS u(i)
       WHERE i + 2 <= len(t)),
     sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id)"""
 
-  /** Jaccard of shingle sets for every candidate pair (co-occurring
+  /** Jaccard of shingle-hash sets for every candidate pair (co-occurring
     * shingle join), thresholded at 0.5. */
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shingleHashes(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -67,10 +67,10 @@ object DedupQueries {
   }
 
   private val ngramJaccardSql = s"""
-    WITH $shinglesSql,
+    WITH $shingleHashesSql,
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shing a JOIN shing b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(c / CAST(sa.n + sb.n - c AS DOUBLE) + 1e-9, 6) AS jaccard
@@ -84,21 +84,38 @@ object DedupQueries {
   private val BANDS = 4 // bands of 3 rows each → catches jaccard ≳ 0.5
   private val ROWS = K / BANDS
 
-  /** Portable per-seed shingle hash. */
-  private def hSpark(i: Int) =
-    s"cast(conv(substr(md5(concat('$i', '|', s)), 1, 15), 16, 10) AS BIGINT)"
-  private def hDuck(i: Int) =
-    s"CAST(concat('0x', substr(md5(concat('$i', '|', s)), 1, 15)) AS BIGINT)"
+  /** Deterministic xor constants for the rotate-xor hash family. */
+  private val mixConsts: Seq[Long] = {
+    var x = 987654321L
+    Seq.fill(K) {
+      x = (6364136223846793005L * x + 1442695040888963407L) & ((1L << 60) - 1)
+      x
+    }
+  }
+
+  /** i-th member of the hash family: rotate the 60-bit base hash left by
+    * r_i bits, xor a constant. Pure int ops — one md5 amortized over all
+    * K functions. Emitted for either engine's SQL dialect. */
+  private def mix(i: Int, h: String, spark: Boolean): String = {
+    val r = (7 * i + 3) % 60
+    val c = mixConsts(i)
+    val shl = if (spark) s"shiftleft(cast(1 AS BIGINT), ${60 - r})"
+      else s"(CAST(1 AS BIGINT) << ${60 - r})"
+    val shr = if (spark) s"shiftright($h, ${60 - r})" else s"($h >> ${60 - r})"
+    val rot = s"((($h & ($shl - 1)) << $r) | $shr)"
+    if (spark) s"($rot ^ ${c}L)" else s"xor($rot, $c)"
+  }
 
   /** MinHash + LSH banding: signature → band buckets → candidate pairs →
-    * exact-Jaccard verification at 0.5. The output is identical to
-    * [[ngramJaccard]] minus any pair LSH misses (none on this data —
-    * 12 hashes / 4 bands at j≥0.5 has >99% recall). */
+    * exact-Jaccard verification at 0.5. Same output as [[ngramJaccard]]
+    * minus any pair LSH misses (none on this data — 12 hashes / 4 bands
+    * at j≥0.5 has >99% recall). */
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = shingleHashes(spark, dir)
     val sig = sh.groupBy("doc_id")
-      .agg(expr(s"min(${hSpark(0)})").as("mh0"),
-        (1 until K).map(i => expr(s"min(${hSpark(i)})").as(s"mh$i")): _*)
+      .agg(expr(s"min(${mix(0, "h", spark = true)})").as("mh0"),
+        (1 until K).map(i =>
+          expr(s"min(${mix(i, "h", spark = true)})").as(s"mh$i")): _*)
     val bandCols = (0 until BANDS).map { b =>
       val mhs = (0 until ROWS).map(r => s"mh${b * ROWS + r}").mkString(", ")
       s"named_struct('band', $b, 'bh', md5(concat_ws(',', $mhs)))"
@@ -116,7 +133,7 @@ object DedupQueries {
     val common = cand
       .join(sh.as("sa2"), col("doc_a") === col("sa2.doc_id"))
       .join(sh.as("sb2"), col("doc_b") === col("sb2.doc_id") &&
-        col("sa2.s") === col("sb2.s"))
+        col("sa2.h") === col("sb2.h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     common
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
@@ -129,14 +146,14 @@ object DedupQueries {
   }
 
   private def minhashLshSql: String = {
-    val mhs = (0 until K).map(i => s"min(${hDuck(i)}) AS mh$i")
+    val mhs = (0 until K).map(i => s"min(${mix(i, "h", spark = false)}) AS mh$i")
       .mkString(",\n             ")
     val bands = (0 until BANDS).map { b =>
       val cols = (0 until ROWS).map(r => s"mh${b * ROWS + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
     }.mkString("\n      UNION ALL\n      ")
     s"""
-    WITH $shinglesSql,
+    WITH $shingleHashesSql,
     sig AS (
       SELECT doc_id,
              $mhs
@@ -151,7 +168,7 @@ object DedupQueries {
       SELECT doc_a, doc_b, count(*) AS c
       FROM cand
       JOIN shing sa ON sa.doc_id = doc_a
-      JOIN shing sb ON sb.doc_id = doc_b AND sa.s = sb.s
+      JOIN shing sb ON sb.doc_id = doc_b AND sa.h = sb.h
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(c / CAST(za.n + zb.n - c AS DOUBLE) + 1e-9, 6) AS jaccard

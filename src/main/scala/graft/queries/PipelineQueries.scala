@@ -51,8 +51,10 @@ object PipelineQueries {
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma_5,
              avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_20,
-             value / lag(value, 1) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) - 1.0 AS daily_return,
+             CASE WHEN lag(value, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > 0.0 AND value > 0.0
+                  THEN value / lag(value, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) - 1.0 END AS daily_return,
              max(volume) OVER (PARTITION BY user_id) AS mcap
       FROM deduped),
     compounded AS (

@@ -100,7 +100,10 @@ object SimilarityQueries {
     ORDER BY query_id, rank"""
 
   /** Multi-table LSH ANN: candidates = corpus vectors sharing any table's
-    * bucket with the query, then exact cosine + rank within candidates. */
+    * bucket with the query, then exact cosine + rank within candidates.
+    * Vectors never travel through the bucket explode or the candidate
+    * distinct — only (vec_id, tbl, bucket) triples shuffle; the 64-dim
+    * arrays are re-joined just for the final scoring of surviving pairs. */
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir, "embeddings")
@@ -108,20 +111,22 @@ object SimilarityQueries {
     val tblCols = (0 until TABLES).map { t =>
       s"named_struct('tbl', $t, 'bucket', ${bucketSpark(t, "v")})"
     }.mkString(", ")
-    val buckets = e.selectExpr("vec_id", "v",
-      s"explode(array($tblCols)) AS tb")
-      .selectExpr("vec_id", "v", "tb.tbl AS tbl", "tb.bucket AS bucket")
+    val buckets = e.selectExpr("vec_id", s"explode(array($tblCols)) AS tb")
+      .selectExpr("vec_id", "tb.tbl AS tbl", "tb.bucket AS bucket")
     val q = buckets.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("vec_id").as("query_id"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
     val cand = broadcast(q)
       .join(buckets, col("qtbl") === col("tbl") &&
         col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("qv"), col("v"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+    val scored = cand
+      .join(broadcast(e.filter(col("vec_id") < NQUERIES))
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -60,29 +60,36 @@ object WindowQueries {
         Num.r(avg("value").over(byUser.rowsBetween(-19, 0)), 4).as("sma_20"))
       .orderBy("event_id")
 
-  /** E3: pandas pct_change — null on each key's first row. */
-  private def lagReturn(spark: SparkSession, dir: String): DataFrame =
+  /** E3: pandas pct_change — null on each key's first row. Returns are
+    * only defined over positive prices: a zero on either side yields null
+    * (keeps the cumprod log-rewrite total and engines agreeing on the
+    * inf/NaN-free domain). */
+  private def lagReturn(spark: SparkSession, dir: String): DataFrame = {
+    val prev = lag("value", 1).over(byUser)
     Tables(spark, dir, "events")
       .select(
         col("event_id"), col("user_id"), col("value"),
-        round(col("value") / lag("value", 1).over(byUser) - 1.0, 6)
-          .as("daily_return"))
+        Num.r(when(prev > 0.0 && col("value") > 0.0,
+          col("value") / prev - 1.0), 6).as("daily_return"))
       .orderBy("event_id")
+  }
 
   /** E4: cumulative compounded return, cumprod(1+r)-1 with skipna semantics:
     * the first row per key stays null (no return yet), later rows compound
     * every non-null return. Rewritten shuffle-free-ly as exp∘sum∘log1p —
     * value > 0 guarantees r > -1 so the log is defined. */
   private def cumReturn(spark: SparkSession, dir: String): DataFrame = {
-    val r = col("value") / lag("value", 1).over(byUser) - 1.0
+    val prev = lag("value", 1).over(byUser)
+    val r = when(prev > 0.0 && col("value") > 0.0,
+      col("value") / prev - 1.0)
     val cum = exp(sum(log1p(col("r")))
       .over(byUser.rowsBetween(Window.unboundedPreceding, 0))) - 1.0
     Tables(spark, dir, "events")
       .withColumn("r", r)
       .select(
         col("event_id"), col("user_id"),
-        round(col("r"), 6).as("daily_return"),
-        when(col("r").isNull, lit(null)).otherwise(round(cum, 6))
+        Num.r(col("r"), 6).as("daily_return"),
+        when(col("r").isNull, lit(null)).otherwise(Num.rExp(cum, 6))
           .as("cumulative_return"))
       .orderBy("event_id")
   }
@@ -179,22 +186,31 @@ object WindowQueries {
       FROM $E
       ORDER BY event_id""")),
     QueryDef("q_lag_return", lagReturn, Some(s"""
+      WITH lagged AS (
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER ($wUser) AS prev
+        FROM $E)
       SELECT event_id, user_id, value,
-             round(value / lag(value, 1) OVER ($wUser) - 1.0, 6)
-               AS daily_return
-      FROM $E
+             round(CASE WHEN prev > 0.0 AND value > 0.0
+                        THEN value / prev - 1.0 END + 1e-9, 6) AS daily_return
+      FROM lagged
       ORDER BY event_id""")),
     QueryDef("q_cum_return", cumReturn, Some(s"""
-      WITH r AS (
+      WITH lagged AS (
+        SELECT event_id, user_id, value, ts,
+               lag(value, 1) OVER ($wUser) AS prev
+        FROM $E),
+      r AS (
         SELECT event_id, user_id,
-               value / lag(value, 1) OVER ($wUser) - 1.0 AS r,
+               CASE WHEN prev > 0.0 AND value > 0.0
+                    THEN value / prev - 1.0 END AS r,
                ts
-        FROM $E)
-      SELECT event_id, user_id, round(r, 6) AS daily_return,
+        FROM lagged)
+      SELECT event_id, user_id, round(r + 1e-9, 6) AS daily_return,
              CASE WHEN r IS NULL THEN NULL
                   ELSE round(exp(sum(ln(1.0 + r)) OVER ($wUser
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-                    - 1.0, 6) END AS cumulative_return
+                    - 1.0 + 1e-8, 6) END AS cumulative_return
       FROM r
       ORDER BY event_id""")),
     QueryDef("q_argmax", argmax, Some("""
