@@ -18,6 +18,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def ensureConf(spark: SparkSession): Unit = {
+    graft.functions.DotProduct.register(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -241,8 +241,7 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          .as("dot"))
+        expr("dot_product(a.v, b.v)").as("dot"))
       .select(col("vec_a"), col("vec_b"), Num.r(col("dot"), 6).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")

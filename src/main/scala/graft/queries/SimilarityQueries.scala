@@ -50,8 +50,10 @@ object SimilarityQueries {
   private def planeDuck(t: Int, p: Int): String =
     hyperplanes(t)(p).mkString("[", ", ", "]::DOUBLE[]")
 
-  private val dotSpark =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Native fused-loop dot product ([[graft.functions.DotProduct]]);
+    * bit-identical to the aggregate∘zip_with composition and to DuckDB's
+    * list_dot_product — strict left-to-right summation. */
+  private val dotSpark = "dot_product(%s, %s)"
 
   /** Per-table LSH bucket id for a double-array column expression. */
   private def bucketSpark(t: Int, v: String): String =
