@@ -161,6 +161,36 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** E4 exact path: running compounded product via the custom
+    * [[graft.functions.ProductAgg]] window UDAF — IEEE-sequential multiply
+    * in frame order, matching DuckDB's product() bit-for-bit. The factor
+    * value/(value+1) ∈ [0,1) keeps the running product bounded. */
+  private def cumProduct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("f", col("value") / (col("value") + 1.0))
+      .selectExpr("event_id", "user_id",
+        """round(product_agg(f) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+           AS running_product""")
+      .orderBy("event_id")
+
+  /** B13/B14/B20: presentation tier — UTC→America/Sao_Paulo conversion,
+    * HH:mm axis labels, currency/percent rendering. (The oracle uses a
+    * fixed -3h offset: São Paulo has no DST since 2019 and the events
+    * table is 2024.) */
+  private def renderDisplay(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        date_format(from_utc_timestamp(col("ts"), "America/Sao_Paulo"),
+          "HH:mm").as("label_sp"),
+        concat(lit("R$ "), format_string("%.2f", col("value") + lit(1e-9)))
+          .as("price_brl"),
+        format_string("%.1f%%", col("value") + lit(1e-9)).as("pct"),
+        element_at(split(col("event_type"), "_"), 1).as("display_name"))
+      .orderBy("event_id")
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -249,6 +279,21 @@ object WindowQueries {
       WHERE a.event_type < b.event_type
       GROUP BY 1, 2
       ORDER BY type_a, type_b""")),
+    QueryDef("q_cum_product", cumProduct, Some(s"""
+      SELECT event_id, user_id,
+             round(product_agg(f) OVER ($wUser
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+               AS running_product
+      FROM (SELECT event_id, user_id, ts, value / (value + 1.0) AS f FROM $E)
+      ORDER BY event_id""".replace("product_agg", "product"))),
+    QueryDef("q_render_display", renderDisplay, Some(s"""
+      SELECT event_id,
+             strftime(ts - INTERVAL 3 HOUR, '%H:%M') AS label_sp,
+             'R$$ ' || printf('%.2f', value + 1e-9) AS price_brl,
+             printf('%.1f%%', value + 1e-9) AS pct,
+             string_split(event_type, '_')[1] AS display_name
+      FROM $E
+      ORDER BY event_id""")),
     QueryDef("q_guarded_change", guardedChange, Some(s"""
       WITH lagged AS (
         SELECT event_id, user_id, value AS close,

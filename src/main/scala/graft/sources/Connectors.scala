@@ -54,6 +54,58 @@ object Connectors {
   def writeJsonSnapshot(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
+  /** A4/A5: Kafka JSON source, streaming. Multi-topic subscribe tags rows
+    * with the `topic` metadata column; `earliest` + a fresh checkpoint
+    * reproduces the reference's re-read-all drain, a durable checkpoint
+    * its incremental archiver. (No broker in this test environment — the
+    * construction is exercised to the unresolved-relation boundary only.) */
+  def kafkaJsonStream(spark: SparkSession, bootstrapServers: String,
+      topics: Seq[String], schema: StructType,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("topic"), col("timestamp").as("kafka_ts"),
+        from_json(col("value").cast("string"), schema).as("js"))
+      .select(col("topic"), col("kafka_ts"), col("js.*"))
+
+  /** A4 batch flavor: bounded read of everything currently in the topic. */
+  def kafkaJsonBatch(spark: SparkSession, bootstrapServers: String,
+      topics: Seq[String], schema: StructType): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("js"))
+      .select(col("js.*"))
+
+  /** A6: JSON-serialize every row into a Kafka topic (acks=all is the
+    * Kafka sink default in Spark). */
+  def writeKafkaJson(df: DataFrame, bootstrapServers: String,
+      topic: String): Unit =
+    df.select(to_json(struct(col("*"))).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+
+  /** A13/H5: high-watermark incremental scan — rows strictly beyond the
+    * cursor, plus the next cursor value, in one pass. The caller persists
+    * the cursor between polls (the reference keeps it in process memory,
+    * postgres_producer/main.py:56-79). */
+  def incrementalScan(df: DataFrame, tsCol: String,
+      cursor: Option[java.sql.Timestamp]): (DataFrame, Option[java.sql.Timestamp]) = {
+    val fresh = cursor.map(c => df.filter(col(tsCol) > lit(c))).getOrElse(df)
+    val nextCursor = fresh.agg(max(col(tsCol))).collect()(0) match {
+      case row if row.isNullAt(0) => cursor
+      case row => Some(row.getTimestamp(0))
+    }
+    (fresh, nextCursor)
+  }
+
   /** Batch insert-if-absent: append only rows whose composite key is not
     * already present in the parquet target (ON CONFLICT DO NOTHING). */
   def upsertParquet(batch: DataFrame, keys: Seq[String],
