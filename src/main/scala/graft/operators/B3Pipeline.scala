@@ -49,9 +49,16 @@ object B3Pipeline {
     * cumulative_return → turnover_ratio → fillna(0) on derived metrics. */
   def calculateMetrics(df: DataFrame, key: String, tsCol: String,
       tieCol: String, closeCol: String, volumeCol: String): DataFrame = {
-    val deduped = dedupKeepLast(df, Seq(key, tsCol),
-      Seq(col(tieCol).desc))
     val w = Window.partitionBy(key).orderBy(col(tsCol), col(tieCol))
+    // Keep-last dedup on (key, ts) expressed over the SAME partitioning as
+    // every metric window: a row survives iff it is the last of its equal-ts
+    // run in (ts, tie) order. One hash shuffle on `key` then feeds dedup and
+    // all windows — vs. a naive row_number over (key, ts) which would add a
+    // second, wider shuffle before the metrics.
+    val nextTs = lead(col(tsCol), 1).over(w)
+    val deduped = df
+      .withColumn("__last", nextTs.isNull || nextTs =!= col(tsCol))
+      .filter(col("__last")).drop("__last")
     val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
     val close = col(closeCol)
     // returns are defined over positive prices only: a zero on either side
