@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
+
+/** One keyed, timestamped, tie-broken record — the unit of the engine's
+  * latest-per-key streaming state. */
+case class KeyedValue(key: String, ts: java.sql.Timestamp, seq: Long,
+    value: Double)
 
 /** Structured-Streaming re-expression of the reference's streaming
   * semantics (SURVEY.md §2.H). The reference's Kafka consumers are
@@ -58,6 +63,47 @@ object StreamingPipeline {
         avg(valueCol).as("mean"))
       .select(col("window.start").as("w_start"), col(key),
         col("n"), col("total"), col("mean"))
+
+  /** C1 streaming variant: two quote streams inner-joined on the
+    * normalized symbol, with event-time watermarks and a join-time bound
+    * so both sides' state is droppable — the reference's in-memory dict
+    * join (data_processing.py:44-64) with bounded state instead of
+    * unbounded topic re-reads. `maxDelay` is how far the two sources may
+    * drift apart and still match. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, lateness: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness)
+    val r = right
+      .withColumnRenamed(keyCol, "r_key")
+      .withColumnRenamed(tsCol, "r_ts")
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      col(keyCol) === col("r_key") &&
+        col("r_ts") >= col(tsCol) - expr(s"INTERVAL $maxDelay") &&
+        col("r_ts") <= col(tsCol) + expr(s"INTERVAL $maxDelay"))
+  }
+
+  /** H6 as explicit keyed state: keep the newest (ts, value) per key with
+    * flatMapGroupsWithState, emitting the running latest on every update.
+    * State is one record per key — O(active keys), with event-time timeout
+    * dropping keys idle past the watermark. */
+  def latestPerKeyState(src: Dataset[KeyedValue], lateness: String):
+      Dataset[KeyedValue] = {
+    import src.sparkSession.implicits._
+    src.withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedValue, KeyedValue](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val newest = (rows ++ state.getOption.iterator)
+              .maxBy(r => (r.ts.getTime, r.seq))
+            state.update(newest)
+            Iterator.single(newest)
+          }
+      }
+  }
 
   /** Bounded drain to an in-memory sink: process all available input then
     * stop — the 15 s-idle-timeout consumer loop, idiomatically. */

@@ -57,6 +57,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("A", 2L, 4.0)))
   }
 
+  test("streamStreamJoin: two watermarked streams join on symbol within bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val brapi = MemoryStream[(String, Timestamp, Double)]
+    val yf = MemoryStream[(String, Timestamp, Double)]
+    brapi.addData(("PETR4", ts(100), 10.0), ("VALE3", ts(100), 20.0))
+    yf.addData(("PETR4", ts(110), 11.0), ("ITUB4", ts(110), 30.0),
+      ("PETR4", ts(100000), 99.0)) // outside the 1-minute bound
+    val joined = graft.streaming.StreamingPipeline.streamStreamJoin(
+      brapi.toDF.toDF("symbol", "t", "price"),
+      yf.toDF.toDF("symbol", "t", "close"),
+      "symbol", "t", "1 hour", "1 MINUTE")
+    graft.streaming.StreamingPipeline.drainAvailableNow(joined, "ssj_t")
+    val rows = spark.sql("SELECT symbol, price, close FROM ssj_t")
+      .as[(String, Double, Double)].collect()
+    assert(rows.toSeq == Seq(("PETR4", 10.0, 11.0))) // only in-bound match
+  }
+
+  test("latestPerKeyState: flatMapGroupsWithState keeps newest per key") {
+    import spark.implicits._
+    import graft.streaming.KeyedValue
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedValue]
+    mem.addData(
+      KeyedValue("A", ts(10), 1L, 1.0),
+      KeyedValue("A", ts(30), 2L, 3.0),
+      KeyedValue("A", ts(20), 3L, 2.0), // older ts: must NOT displace seq 2
+      KeyedValue("B", ts(5), 4L, 9.0))
+    val out = graft.streaming.StreamingPipeline
+      .latestPerKeyState(mem.toDS(), "1 hour")
+    graft.streaming.StreamingPipeline.drainAvailableNow(out.toDF, "state_t")
+    val rows = spark.sql(
+      "SELECT key, value FROM state_t ORDER BY key")
+      .as[(String, Double)].collect()
+    assert(rows.toSeq == Seq(("A", 3.0), ("B", 9.0))) // newest-by-ts won
+  }
+
   test("upsertSink: insert-if-absent across micro-batches and re-runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
