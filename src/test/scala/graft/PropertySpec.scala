@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.B3Pipeline
+
+/** Property-style invariants (SURVEY.md §5.3) over seeded random frames —
+  * deterministic, multi-case, no external generator integration needed. */
+class PropertySpec extends SparkSpec {
+
+  private def randomFrames(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val rows = Seq.fill(30 + rnd.nextInt(40))((
+        s"K${rnd.nextInt(4)}",
+        10 + rnd.nextInt(10), // ts with collisions
+        rnd.nextInt(1000).toLong, // tie/seq
+        math.rint((0.5 + rnd.nextDouble() * 99) * 100) / 100, // close > 0
+        rnd.nextInt(5000).toLong)) // volume
+      rows
+    }
+  }
+
+  test("dedupKeepLast is idempotent and key-unique") {
+    import spark.implicits._
+    randomFrames(42L, 8).foreach { rows =>
+      val df = rows.toDF("sym", "t", "seq", "close", "volume")
+      val once = B3Pipeline.dedupKeepLast(df, Seq("sym", "t"),
+        Seq(col("seq").desc))
+      val twice = B3Pipeline.dedupKeepLast(once, Seq("sym", "t"),
+        Seq(col("seq").desc))
+      assert(once.count() == twice.count())
+      assert(once.groupBy("sym", "t").count().filter(col("count") > 1).isEmpty)
+      // survivor is the max-seq row of its group
+      val viaMaxBy = df.groupBy("sym", "t").agg(max("seq").as("seq"))
+      assert(once.select("sym", "t", "seq").except(viaMaxBy).isEmpty)
+    }
+  }
+
+  test("SMA is bounded by the running min/max of its window") {
+    import spark.implicits._
+    randomFrames(7L, 5).foreach { rows =>
+      val df = rows.toDF("sym", "t", "seq", "close", "volume")
+      val out = B3Pipeline.calculateMetrics(df, "sym", "t", "seq",
+        "close", "volume")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("sym").orderBy(col("t"), col("seq")).rowsBetween(-4, 0)
+      val bad = out
+        .withColumn("lo", min("close").over(w))
+        .withColumn("hi", max("close").over(w))
+        .filter(col("sma_5") < col("lo") - 1e-9 ||
+          col("sma_5") > col("hi") + 1e-9)
+        .count()
+      assert(bad == 0)
+    }
+  }
+
+  test("turnover_ratio is non-negative and ≤ volume ratio bound") {
+    import spark.implicits._
+    randomFrames(13L, 5).foreach { rows =>
+      val df = rows.toDF("sym", "t", "seq", "close", "volume")
+      val out = B3Pipeline.calculateMetrics(df, "sym", "t", "seq",
+        "close", "volume")
+      assert(out.filter(col("turnover_ratio") < 0).isEmpty)
+    }
+  }
+
+  test("latest-per-key join cardinality ≤ min(|L|,|R|) and key-unique") {
+    import spark.implicits._
+    randomFrames(99L, 5).foreach { rows =>
+      val df = rows.toDF("sym", "t", "seq", "close", "volume")
+      val l = B3Pipeline.latestPerKey(df, "sym", col("t"), col("seq"))
+      val r = B3Pipeline.latestPerKey(
+        df.filter(col("seq") % 2 === 0), "sym", col("t"), col("seq"))
+        .select(col("sym"), col("close").as("rclose"))
+      val joined = l.join(r, "sym")
+      assert(joined.count() <= math.min(l.count(), r.count()))
+      assert(joined.groupBy("sym").count().filter(col("count") > 1).isEmpty)
+    }
+  }
+
+  test("union-dedup: updates always win over history (new-wins invariant)") {
+    import spark.implicits._
+    randomFrames(5L, 5).foreach { rows =>
+      val history = rows.toDF("sym", "t", "seq", "close", "volume")
+        .withColumn("prio", lit(1))
+      val updates = history.sample(0.5, 11L)
+        .withColumn("close", col("close") * 2)
+        .withColumn("prio", lit(2))
+      val merged = B3Pipeline.dedupKeepLast(
+        history.unionByName(updates), Seq("sym", "t", "seq"),
+        Seq(col("prio").desc))
+      // every (sym,t,seq) present in updates must surface with prio=2
+      val lost = merged.join(updates.select("sym", "t", "seq"),
+        Seq("sym", "t", "seq"), "left_semi").filter(col("prio") =!= 2).count()
+      assert(lost == 0)
+    }
+  }
+}
