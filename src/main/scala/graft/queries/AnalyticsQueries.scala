@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-analytics operators beyond the reference's own surface: as-of
+  * join, session windows, rollup hierarchies, exact percentiles, day-
+  * over-day retention, and a view→purchase funnel — the standard toolkit
+  * of a large event table.
+  *
+  * Scale notes: the as-of join is the UNION trick — one shuffle on the
+  * key, one in-partition sort, `last_value(ignoreNulls)` carry-forward —
+  * never a range self-join (which explodes on dense quote sides).
+  * Sessionization is native `session_window` keyed state. Retention and
+  * funnel pre-aggregate to per-(user, day)/per-(user, stage) minimums
+  * before any join, so joins move only distinct keys.
+  */
+object AnalyticsQueries {
+
+  /** As-of join: each purchase picks the same user's latest view at or
+    * before it (price-at-decision attribution). Union-trick plan: tag
+    * sides, one window pass, filter back to purchases. */
+  private def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("side"), col("value").as("view_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("side"), lit(null).cast("double").as("view_value"))
+    // views sort before purchases at the same instant (side 0 < 1) so a
+    // same-ts view is visible to the purchase — the <= of an ASOF join.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("asof_view_value",
+        last(col("view_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("asof_view_value"), 2).as("asof_view_value"))
+      .orderBy("event_id")
+  }
+
+  private val E = OracleSources.events
+
+  private val asofJoinSql = s"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 0 AS side, value AS view_value
+      FROM $E WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS side, NULL AS view_value
+      FROM $E WHERE event_type = 'purchase'),
+    carried AS (
+      SELECT *,
+             last_value(view_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_view_value
+      FROM tagged)
+    SELECT event_id, user_id, ts,
+           round(asof_view_value, 2) AS asof_view_value
+    FROM carried WHERE side = 1
+    ORDER BY event_id"""
+
+  /** Sessionization: native session_window with a 30-minute gap; a
+    * session ends 30 min after its last event. */
+  private def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionizeSql = s"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM $E),
+    ids AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM ids
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start"""
+
+  /** Rollup hierarchy totals: (flag, status), (flag), () — one pass. */
+  private def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.r(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val rollupPricingSql = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity) + 1e-9, 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** Exact interpolated percentiles per group (median / p90 / p99). */
+  private def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        Num.r(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Num.r(expr("percentile(value, 0.9)"), 4).as("p90"),
+        Num.r(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  private val percentilesSql = """
+    SELECT event_type,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) + 1e-9, 4) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value) + 1e-9, 4) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value) + 1e-9, 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  /** Day-over-day retention: of the users active on day d, how many were
+    * active again on d+1. */
+  private def retention(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    daily.as("a")
+      .join(daily.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("active_users"),
+        count(col("b.user_id")).as("retained_next_day"))
+      .orderBy("day")
+  }
+
+  private val retentionSql = s"""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT a.day AS day,
+           count(*) AS active_users,
+           count(b.user_id) AS retained_next_day
+    FROM daily a
+    LEFT JOIN daily b ON a.user_id = b.user_id AND b.day = a.day + 1
+    GROUP BY a.day
+    ORDER BY day"""
+
+  /** View→purchase funnel: per user, did a purchase follow the first
+    * view; global stage counts. */
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    firstView.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") >= col("first_view"),
+        "left")
+      .groupBy("user_id").agg(max(col("p_ts").isNotNull).as("converted"))
+      .agg(count(lit(1)).as("n_view_users"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+  }
+
+  private val funnelSql = s"""
+    WITH first_view AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM $E WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+      SELECT f.user_id, max(p.ts IS NOT NULL) AS converted
+      FROM first_view f
+      LEFT JOIN (SELECT user_id, ts FROM $E WHERE event_type = 'purchase') p
+        ON p.user_id = f.user_id AND p.ts >= f.first_view
+      GROUP BY f.user_id)
+    SELECT count(*) AS n_view_users,
+           sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted
+    FROM conv"""
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
+    QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
+    QueryDef("q_retention", retention, Some(retentionSql)),
+    QueryDef("q_funnel", funnel, Some(funnelSql)),
+  )
+}

@@ -6,7 +6,7 @@ object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ WindowQueries.all ++ PipelineQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ AnalyticsQueries.all
 
   def byName: Map[String, QueryDef] =
     all.map(q => q.name -> q).toMap
