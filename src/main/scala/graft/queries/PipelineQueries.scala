@@ -144,8 +144,65 @@ object PipelineQueries {
     FROM brapi b JOIN yf_norm y ON b.symbol = y.symbol
     ORDER BY b.symbol"""
 
+  /** The dashboard read path (SURVEY.md §3.3) as one DataFrame program:
+    * 24h-window predicated scan (relative to the data's max ts — no wall
+    * clock), symbol-picker membership filter (B12 isin), latest row per
+    * key (D2), share-of-total (D5) and argmax flags (D3). */
+  def dashboard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val selected = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)
+    val ev = Tables(spark, dir, "events")
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val recent = ev
+      .filter(col("ts") >= lit(maxTs) - expr("INTERVAL 24 HOURS") &&
+        col("user_id").isin(selected: _*))
+    val latest = recent
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val totals = recent.groupBy("user_id")
+      .agg(sum("value").as("total_value"), count(lit(1)).as("n_events"))
+    latest.join(totals, "user_id")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("latest_value"),
+        Num.r(col("total_value"), 2).as("total_value"),
+        col("n_events"),
+        Num.r(col("total_value") /
+          sum("total_value").over(Window.partitionBy()), 6).as("share"),
+        (rank().over(Window.partitionBy()
+          .orderBy(Num.r(col("total_value"), 2).desc)) === 1)
+          .as("is_top_by_value"))
+      .orderBy("user_id")
+  }
+
+  private val dashboardSql = s"""
+    WITH ev AS (SELECT * FROM $E),
+    recent AS (
+      SELECT * FROM ev
+      WHERE ts >= (SELECT max(ts) FROM ev) - INTERVAL 24 HOUR
+        AND user_id IN (1, 2, 3, 5, 8, 13, 21, 34)),
+    latest AS (
+      SELECT user_id, event_id, value
+      FROM recent
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1),
+    totals AS (
+      SELECT user_id, sum(value) AS total_value, count(*) AS n_events
+      FROM recent GROUP BY user_id)
+    SELECT l.user_id, l.event_id,
+           round(l.value, 2) AS latest_value,
+           round(t.total_value + 1e-9, 2) AS total_value,
+           t.n_events,
+           round(t.total_value / sum(t.total_value) OVER () + 1e-9, 6) AS share,
+           (rank() OVER (ORDER BY round(t.total_value + 1e-9, 2) DESC) = 1)
+             AS is_top_by_value
+    FROM latest l JOIN totals t ON l.user_id = t.user_id
+    ORDER BY l.user_id"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_b3_metrics", b3Metrics, Some(b3MetricsSql)),
     QueryDef("q_enrich_join", enrichJoin, Some(enrichJoinSql)),
+    QueryDef("q_dashboard", dashboard, Some(dashboardSql)),
   )
 }
