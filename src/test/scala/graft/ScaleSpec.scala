@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Executable checks of the 100 TB design notes: salting spreads heavy
+  * keys without changing results; bucketed tables co-locate joins (no
+  * Exchange in the plan). */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedSumCount: identical result to plain groupBy on skewed data") {
+    import spark.implicits._
+    // one key carries 90% of rows
+    val rows = (1 to 9000).map(i => ("HOT", i.toLong, 1.0)) ++
+      (1 to 1000).map(i => (s"k${i % 50}", i.toLong, 2.0))
+    val df = rows.toDF("k", "id", "v")
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+    val salted = Skew.saltedSumCount(df, "k", "v", "id", 16)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // and the partial stage really fans the hot key out
+    val partials = df.withColumn("__salt", pmod(hash(col("id")), lit(16)))
+      .filter(col("k") === "HOT").select("__salt").distinct().count()
+    assert(partials > 8) // hot key spread over most salt buckets
+  }
+
+  test("saltedJoin: equals plain join on skewed fact x small dim") {
+    import spark.implicits._
+    val fact = ((1 to 5000).map(i => ("HOT", i.toLong)) ++
+      (1 to 500).map(i => (s"k${i % 20}", i.toLong))).toDF("k", "id")
+    val dim = (Seq("HOT") ++ (0 until 20).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10.0) }.toDF("k", "w")
+    val plain = fact.join(dim, "k").select("k", "id", "w")
+    val salted = Skew.saltedJoin(fact, dim, "k", "id", 8)
+      .select("k", "id", "w")
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
+  test("bucketed tables: co-located join plans without a shuffle") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lines")
+    (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("okey", "otag")
+      .write.bucketBy(8, "okey").sortBy("okey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    (1 to 5000).map(i => ((i % 1000) + 1L, i * 1.5)).toDF("okey", "amount")
+      .write.bucketBy(8, "okey").sortBy("okey")
+      .option("path", s"$wh/b_lines").saveAsTable("b_lines")
+    // force a non-broadcast join so the bucketed co-location is visible
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lines"), "okey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketed co-location: no shuffle exchange anywhere in the join plan
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(joined.count() == 5000)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}

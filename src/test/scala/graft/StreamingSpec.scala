@@ -94,6 +94,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("A", 3.0), ("B", 9.0))) // newest-by-ts won
   }
 
+  test("E2E §3.2: stream → dedup → enrich → upsert → batch metrics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft_e2e").toString + "/dw"
+    // minute 1: quotes arrive (with an in-batch duplicate)
+    val mem = MemoryStream[(String, Timestamp, Double, Double)]
+    mem.addData(
+      ("PETR4.SA", ts(60), 10.0, 11.0),
+      ("PETR4.SA", ts(60), 10.0, 99.0), // dup (symbol, t): first wins
+      ("VALE3.SA", ts(60), 20.0, 22.0))
+    val flow1 = graft.streaming.StreamingPipeline.enrich(
+      graft.streaming.StreamingPipeline.dedupFirstWins(
+        mem.toDF.toDF("symbol", "t", "open", "close"), "symbol", "t", "1 hour"))
+    graft.streaming.StreamingPipeline.upsertSink(flow1, Seq("symbol", "t"), target)
+      .start().awaitTermination()
+    // minute 2: a re-send (idempotence) plus fresh quotes
+    val mem2 = MemoryStream[(String, Timestamp, Double, Double)]
+    mem2.addData(
+      ("PETR4.SA", ts(60), 10.0, 55.0), // replay: must NOT overwrite
+      ("PETR4.SA", ts(120), 11.0, 12.0),
+      ("VALE3.SA", ts(120), 22.0, 21.0))
+    val flow2 = graft.streaming.StreamingPipeline.enrich(
+      graft.streaming.StreamingPipeline.dedupFirstWins(
+        mem2.toDF.toDF("symbol", "t", "open", "close"), "symbol", "t", "1 hour"))
+    graft.streaming.StreamingPipeline.upsertSink(flow2, Seq("symbol", "t"), target)
+      .start().awaitTermination()
+    // load stage: batch metrics over the DW table (calculate_metrics chain)
+    val dw = spark.read.parquet(target)
+      .withColumn("seq", col("t").cast("long"))
+      .withColumn("volume", lit(100L))
+    val metrics = graft.operators.B3Pipeline.calculateMetrics(
+      dw, "symbol", "t", "seq", "close", "volume")
+      .orderBy("symbol", "t")
+      .select("symbol", "close", "change_day", "sma_5", "daily_return")
+      .collect()
+    assert(metrics.length == 4) // 2 symbols × 2 minutes, dups suppressed
+    val petr = metrics.filter(_.getString(0) == "PETR4")
+    assert(petr(0).getDouble(1) == 11.0) // first write won (not 99/55)
+    assert(petr(0).getDouble(2) == 1.0) // change_day = 11 - 10
+    assert(petr(1).getDouble(3) == 11.5) // sma_5 over (11, 12)
+    assert(math.abs(petr(1).getDouble(4) - (12.0 / 11.0 - 1)) < 1e-12)
+  }
+
   test("upsertSink: insert-if-absent across micro-batches and re-runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
