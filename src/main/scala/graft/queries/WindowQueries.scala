@@ -175,6 +175,20 @@ object WindowQueries {
            AS running_product""")
       .orderBy("event_id")
 
+  /** Time-based sliding window (rangeBetween over event time): per user,
+    * mean of the trailing hour — the range-frame complement of the
+    * row-frame SMAs. */
+  private def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, 0L)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        Num.r(avg("value").over(w), 4).as("avg_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+      .orderBy("event_id")
+  }
+
   /** B13/B14/B20: presentation tier — UTC→America/Sao_Paulo conversion,
     * HH:mm axis labels, currency/percent rendering. (The oracle uses a
     * fixed -3h offset: São Paulo has no DST since 2019 and the events
@@ -279,6 +293,18 @@ object WindowQueries {
       WHERE a.event_type < b.event_type
       GROUP BY 1, 2
       ORDER BY type_a, type_b""")),
+    QueryDef("q_range_window", rangeWindow, Some(s"""
+      SELECT event_id, user_id, ts,
+             round(avg(value) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               + 1e-9, 4) AS avg_1h,
+             count(*) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS n_1h
+      FROM $E
+      ORDER BY event_id""")),
     QueryDef("q_cum_product", cumProduct, Some(s"""
       SELECT event_id, user_id,
              round(product_agg(f) OVER ($wUser

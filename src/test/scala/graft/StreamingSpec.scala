@@ -137,6 +137,37 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(petr(1).getDouble(4) - (12.0 / 11.0 - 1)) < 1e-12)
   }
 
+  test("H4 durable offsets: checkpointed file stream processes each file once") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_ckpt").toString
+    new java.io.File(s"$work/in").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/in/a.json"), """{"k":"a","v":1}""")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(s"$work/in")
+        .writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // add one more file, run AGAIN with the same checkpoint
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/in/b.json"), """{"k":"b","v":2}""")
+    runOnce()
+    val out = spark.read.parquet(s"$work/out")
+    // exactly-once per file: a.json not reprocessed on the second run
+    assert(out.count() == 2)
+    assert(out.select("k").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
   test("upsertSink: insert-if-absent across micro-batches and re-runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
