@@ -122,7 +122,31 @@ object TextQueries {
       .select("canonical_id", "n_copies", "fp")
       .orderBy("canonical_id")
 
+  /** Dataset profiling: per-column null counts, ranges, exact distinct
+    * cardinality — the data-quality sweep a pipeline runs before
+    * training. One pass over the table, long-form output. */
+  private def profile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    d.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        countDistinct(col("lang")).as("ndv_lang"),
+        countDistinct(col("source")).as("ndv_source"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        Num.r(avg("n_chars"), 4).as("avg_chars"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_profile", profile, Some("""
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+             count(DISTINCT lang) AS ndv_lang,
+             count(DISTINCT source) AS ndv_source,
+             min(n_chars) AS min_chars,
+             max(n_chars) AS max_chars,
+             round(avg(n_chars) + 1e-9, 4) AS avg_chars
+      FROM documents""")),
     QueryDef("q_token_count", tokenCount, Some("""
       SELECT doc_id,
              len(string_split_regex(trim(text), '\s+')) AS n_tokens,
