@@ -195,7 +195,37 @@ object RelationalQueries {
           .as("range_amp"))
       .orderBy("doc_id")
 
+  /** Set operations beyond union: cohort membership via INTERSECT /
+    * EXCEPT over two halves of the month. Distinct-key inputs, so the
+    * set ops shuffle only user ids. */
+  private def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val first = ev.filter(dayofmonth(col("ts")) <= 15)
+      .select("user_id").distinct()
+    val second = ev.filter(dayofmonth(col("ts")) > 15)
+      .select("user_id").distinct()
+    first.intersect(second).withColumn("cohort", lit("both"))
+      .unionByName(first.except(second).withColumn("cohort", lit("first_only")))
+      .unionByName(second.except(first).withColumn("cohort", lit("second_only")))
+      .select("cohort", "user_id")
+      .orderBy("cohort", "user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_set_ops", setOps, Some("""
+      WITH first_half AS (
+        SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15),
+      second_half AS (
+        SELECT DISTINCT user_id FROM events WHERE day(ts) > 15)
+      SELECT 'both' AS cohort, user_id
+      FROM (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half)
+      UNION ALL
+      SELECT 'first_only', user_id
+      FROM (SELECT user_id FROM first_half EXCEPT SELECT user_id FROM second_half)
+      UNION ALL
+      SELECT 'second_only', user_id
+      FROM (SELECT user_id FROM second_half EXCEPT SELECT user_id FROM first_half)
+      ORDER BY cohort, user_id""")),
     QueryDef("q_scan_filter", scanFilter, Some("""
       SELECT l_orderkey, l_linenumber, l_quantity,
              round(l_extendedprice * (1.0 - l_discount) + 1e-9, 2) AS revenue
