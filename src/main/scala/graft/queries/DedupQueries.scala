@@ -49,7 +49,9 @@ object DedupQueries {
   /** Jaccard of shingle-hash sets for every candidate pair (co-occurring
     * shingle join), thresholded at 0.5. */
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
+    // referenced three times (both join sides + sizes): materialize once
+    // rather than re-tokenize + re-md5 the corpus per reference
+    val sh = shingleHashes(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") &&
@@ -111,7 +113,8 @@ object DedupQueries {
     * minus any pair LSH misses (none on this data — 12 hashes / 4 bands
     * at j≥0.5 has >99% recall). */
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(spark, dir)
+    // referenced four times (signatures, sizes, both verify sides)
+    val sh = shingleHashes(spark, dir).cache()
     val sig = sh.groupBy("doc_id")
       .agg(expr(s"min(${mix(0, "h", spark = true)})").as("mh0"),
         (1 until K).map(i =>
