@@ -163,8 +163,83 @@ object SimilarityQueries {
     ORDER BY query_id, rank"""
   }
 
+  private val NCENTROIDS = 16
+  private val NPROBE = 2
+
+  /** IVF ANN: coarse quantization against a fixed centroid set (the
+    * first NCENTROIDS vectors — a deterministic stand-in for k-means
+    * training, which belongs offline), inverted lists per centroid,
+    * queries probe their NPROBE nearest lists and rank exactly within.
+    * Plan shape at scale: one narrow pass assigns centroids (broadcast
+    * 16 vectors), lists are a hash shuffle on centroid_id, the probe is
+    * an equi-join on centroid_id — same join skeleton as the LSH route. */
+  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = broadcast(e.filter(col("vec_id") < NCENTROIDS)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val scoredC = e.join(centroids)
+      .select(col("vec_id"), col("v"), col("c_id"),
+        Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = scoredC
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    val probes = scoredC
+      .filter(col("vec_id") < NQUERIES)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= NPROBE)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
+    val scored = broadcast(probes)
+      .join(assigned, Seq("c_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .selectExpr("query_id", "neighbor_id", "cosine", "cast(rank AS BIGINT) AS rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private def annIvfSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+    scored_c AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim
+      FROM e CROSS JOIN centroids c),
+    assigned AS (
+      SELECT vec_id, v, c_id
+      FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, c_id
+      FROM scored_c WHERE vec_id < $NQUERIES
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) <= $NPROBE),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, a.v) + 1e-9, 6) AS cosine
+      FROM probes p JOIN assigned a ON p.c_id = a.c_id
+      WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= $TOPK
+    ORDER BY query_id, rank"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql)),
+    QueryDef("q_ann_ivf", annIvf, Some(annIvfSql)),
   )
 }
