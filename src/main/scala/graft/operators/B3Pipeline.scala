@@ -44,6 +44,26 @@ object B3Pipeline {
     when(open.isNotNull && open =!= 0.0 && close.isNotNull && close =!= 0.0,
       close - open).otherwise(0.0)
 
+  /** The historical batch load (SURVEY.md §3.1): declared-schema CSV scan
+    * → lot-padrão filter (CODBDI=2) → coerce-casts → dropna → strict date
+    * parse → date-partitioned parquet zone write. Single stage, zero
+    * shuffles (the partitionBy write is file-level, not a repartition). */
+  def historicalLoad(spark: org.apache.spark.sql.SparkSession,
+      csvPath: String, outPath: String): DataFrame = {
+    val numeric = Seq("PREABE", "PREMAX", "PREMIN", "PREULT", "QUATOT", "VOLTOT")
+    val raw = graft.sources.Connectors.readCsv(
+      spark, csvPath, graft.Schemas.cotahistBar, "ISO-8859-1")
+    val cleaned = numeric.foldLeft(raw.filter(col("CODBDI") === 2)) {
+        (df, c) => df.withColumn(c, col(c).cast("double"))
+      }
+      .na.drop(numeric)
+      .withColumn("trade_date", to_date(col("DATPRE"), "yyyy-MM-dd"))
+      .filter(col("trade_date").isNotNull)
+    cleaned.write.mode("overwrite").partitionBy("trade_date")
+      .parquet(outPath)
+    cleaned
+  }
+
   /** The full calculate_metrics stage over a (key, ts, tiebreak, close,
     * volume) table: keep-last dedup → sma_5/sma_20 → daily_return →
     * cumulative_return → turnover_ratio → fillna(0) on derived metrics. */

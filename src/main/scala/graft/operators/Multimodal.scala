@@ -62,6 +62,39 @@ object Multimodal {
       .withColumn("decoded_n_bytes",
         expr(s"length($bytesCol) - 12").cast("long"))
 
+  /** One decoded media row — the typed output of the per-partition
+    * decode stage. */
+  case class MediaFeature(media_id: Long, n_bytes: Long, byte_mode: Int,
+      mode_count: Long)
+
+  /** Per-partition decode — the batch shape a REAL codec runs in: one
+    * task iterates its partition's rows, holding a single blob (plus the
+    * codec's working set) at a time; partition size is bounded by
+    * `spark.sql.files.maxPartitionBytes`. The decode body here is the
+    * STUB (byte-histogram mode stands in for pixel decode); swap the
+    * body for an image/audio library call and the plumbing — typed
+    * Dataset in/out, encoders, partition iteration — is unchanged. */
+  def decodePartitioned(df: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val payload = bytes.drop(12)
+          // --- stubbed decode body begins (would be the codec call) ---
+          val hist = new Array[Long](256)
+          payload.foreach(b => hist(b & 0xff) += 1)
+          val mode = if (payload.isEmpty) -1
+            else hist.indexOf(hist.max)
+          // --- stubbed decode body ends ---
+          MediaFeature(id, payload.length.toLong, mode,
+            if (mode >= 0) hist(mode) else 0L)
+        }
+      }
+  }
+
   /** Frame sampling: emit every `stride`-th byte offset of the payload as
     * a "frame" row — the explode shape (row → many frames) of video
     * frame extraction, with deterministic content. */

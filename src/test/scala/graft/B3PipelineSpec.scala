@@ -86,6 +86,27 @@ class B3PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq("PETR4", "PETR4", "X.SAY", "A.SA"))
   }
 
+  test("historicalLoad: CSV -> filter/coerce/dropna/parse -> partitioned parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    // COTAHIST-shaped rows: one lot-padrao (CODBDI=2), one odd-lot (=96),
+    // one with a garbage price (coerce -> null -> dropped)
+    val header = graft.Schemas.cotahistBar.fieldNames.mkString(",")
+    def row(codbdi: Int, preult: String, date: String) =
+      s"1,$date,$codbdi,PETR4,10,PETROBRAS,ON,10.0,12.0,9.5,10.8,$preult,100,1000,108000,BRPETRACNOR9"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/cotahist.csv"),
+      Seq(header, row(2, "11.0", "2020-01-02"), row(96, "11.0", "2020-01-02"),
+        row(2, "oops", "2020-01-03"), row(2, "12.5", "2020-01-03"))
+        .mkString("\n"))
+    val out = graft.operators.B3Pipeline.historicalLoad(
+      spark, s"$dir/cotahist.csv", s"$dir/zone")
+    assert(out.count() == 2) // odd-lot filtered, garbage price dropped
+    assert(new java.io.File(s"$dir/zone/trade_date=2020-01-02").exists())
+    val back = spark.read.parquet(s"$dir/zone")
+    assert(back.count() == 2)
+    assert(back.filter(col("CODNEG") === "PETR4").count() == 2)
+  }
+
   test("calculateMetrics: turnover_ratio null-safe fill") {
     val out = B3Pipeline.calculateMetrics(
       ev(Seq(("A", 1, 10.0, 0L), ("A", 2, 20.0, 0L))), // mcap = 0

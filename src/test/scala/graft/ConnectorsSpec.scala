@@ -99,6 +99,17 @@ class ConnectorsSpec extends SparkSpec {
     assert(e.getMessage.contains("kafka"))
   }
 
+  test("decodePartitioned: typed per-partition decode with empty-payload edge") {
+    import spark.implicits._
+    val media = Multimodal.encodeFake(
+      Seq((1L, 2, 2, "aaab"), (2L, 0, 0, "")).toDF("media_id", "w", "h", "payload"),
+      "w", "h", "payload")
+    val feats = Multimodal.decodePartitioned(media)
+      .collect().sortBy(_.media_id)
+    assert(feats(0) == Multimodal.MediaFeature(1L, 4L, 'a'.toInt, 3L))
+    assert(feats(1) == Multimodal.MediaFeature(2L, 0L, -1, 0L))
+  }
+
   test("partitioned parquet roundtrip preserves values and prunes") {
     import spark.implicits._
     val dir = tmp() + "/pq"
