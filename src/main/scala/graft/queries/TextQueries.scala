@@ -111,6 +111,61 @@ object TextQueries {
         "cast(conv(substr(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT) AS fp60")
       .orderBy("doc_id")
 
+  private val WIN_K = 8 // char k-gram length
+  private val WIN_W = 4 // winnowing window (hashes per window)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    * algorithm): hash every char k-gram of the normalized text, keep the
+    * minimum hash of each sliding window of W hashes, dedupe. Guarantees
+    * any match of length ≥ k+W−1 shares a fingerprint, with ~2/(W+1)
+    * selection density. Output: per-doc fingerprint count + an
+    * order-independent digest of the fingerprint set. */
+  private def winnow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "regexp_replace(lower(text), '[^a-z0-9]', '') AS norm")
+      .selectExpr("doc_id",
+        s"""CASE WHEN length(norm) >= $WIN_K
+             THEN transform(sequence(0, length(norm) - $WIN_K),
+               i -> cast(conv(substr(md5(substring(norm, i + 1, $WIN_K)), 1, 15), 16, 10) AS BIGINT))
+             ELSE array() END AS hashes""")
+      .selectExpr("doc_id",
+        s"""CASE WHEN size(hashes) = 0 THEN array()
+             WHEN size(hashes) <= $WIN_W THEN array(array_min(hashes))
+             ELSE array_distinct(transform(sequence(0, size(hashes) - $WIN_W),
+               j -> array_min(slice(hashes, j + 1, $WIN_W))))
+           END AS fps""")
+      .selectExpr("doc_id",
+        "cast(size(fps) AS BIGINT) AS n_fps",
+        """md5(concat_ws(',', transform(array_sort(fps),
+             x -> cast(x AS STRING)))) AS fp_digest""")
+      .orderBy("doc_id")
+
+  private val winnowSql = s"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) >= $WIN_K
+               THEN list_transform(range(0, length(norm) - $WIN_K + 1),
+                 i -> CAST(concat('0x', substr(md5(substr(norm, i + 1, $WIN_K)), 1, 15)) AS BIGINT))
+               ELSE [] END AS hashes
+      FROM norm),
+    winnowed AS (
+      SELECT doc_id,
+             CASE WHEN len(hashes) = 0 THEN []
+               WHEN len(hashes) <= $WIN_W THEN [list_min(hashes)]
+               ELSE list_distinct(list_transform(range(0, len(hashes) - $WIN_W + 1),
+                 j -> list_min(list_slice(hashes, j + 1, j + $WIN_W))))
+             END AS fps
+      FROM hashed)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+    FROM winnowed
+    ORDER BY doc_id"""
+
   /** Exact dedup: hash-groupBy on the content fingerprint, canonical row =
     * min doc_id, with the duplicate count per content group. At scale this
     * is one shuffle on a 60-bit key with map-side partial aggregation. */
@@ -179,6 +234,7 @@ object TextQueries {
              CAST(concat('0x', substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp60
       FROM documents
       ORDER BY doc_id""")),
+    QueryDef("q_winnow", winnow, Some(winnowSql)),
     QueryDef("q_dedup_exact", dedupExact, Some("""
       SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
              md5(lower(trim(text))) AS fp
