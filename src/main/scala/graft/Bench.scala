@@ -31,8 +31,10 @@ object Bench {
     }
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // a failed query must be visibly -1, never a plausible elapsed time
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -101,7 +101,11 @@ object Multimodal {
   def frameSample(df: DataFrame, stride: Int,
       bytesCol: String = "bytes"): DataFrame =
     df.withColumn("frame_off",
-        explode(expr(s"sequence(13, length($bytesCol), $stride)")))
+        // empty/truncated payloads (≤ header) produce zero frames rather
+        // than an illegal descending sequence
+        explode(expr(s"""CASE WHEN length($bytesCol) >= 13
+             THEN sequence(13, length($bytesCol), $stride)
+             ELSE array() END""")))
       .withColumn("frame_byte",
         expr(s"cast(conv(hex(substring($bytesCol, frame_off, 1)), 16, 10) AS INT)"))
 }

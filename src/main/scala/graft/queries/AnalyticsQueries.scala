@@ -82,7 +82,7 @@ object AnalyticsQueries {
     WITH ordered AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+                    < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
       FROM $E),
     ids AS (
       SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts

@@ -41,10 +41,12 @@ object RelationalQueries {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        // 4-decimal addends rounded to 2 sit on tie boundaries: sum as
+        // exact integer ten-thousandths so both engines see identical bits
+        round(Num.cents4Sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Num.r(avg("l_quantity"), 4).as("avg_qty"),
+        Num.r(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -58,7 +60,7 @@ object RelationalQueries {
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        round(Num.cents4Sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
@@ -73,7 +75,7 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("total_value"),
-        round(avg("o_totalprice"), 4).as("avg_value"))
+        Num.r(avg("o_totalprice"), 4).as("avg_value"))
       .orderBy("c_mktsegment")
   }
 
@@ -116,7 +118,7 @@ object RelationalQueries {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        round(Num.cents4Sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
       .orderBy("n_name")
   }
@@ -232,21 +234,21 @@ object RelationalQueries {
       FROM lineitem
       WHERE l_returnflag = 'R' AND l_quantity >= 30
       ORDER BY l_orderkey, l_linenumber""")),
-    QueryDef("q_agg_pricing", aggPricing, Some("""
+    QueryDef("q_agg_pricing", aggPricing, Some(s"""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_discount), 4) AS avg_disc,
+             round(${Num.sqlCents4Sum("l_extendedprice * (1.0 - l_discount)")}, 2) AS sum_disc_price,
+             round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+             round(avg(l_discount) + 1e-9, 4) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")),
-    QueryDef("q_join_dim", joinBroadcastDim, Some("""
+    QueryDef("q_join_dim", joinBroadcastDim, Some(s"""
       SELECT p_brand,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             round(${Num.sqlCents4Sum("l_extendedprice * (1.0 - l_discount)")}, 2) AS revenue,
              count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -255,7 +257,7 @@ object RelationalQueries {
       SELECT c_mktsegment,
              count(*) AS n_orders,
              round(sum(o_totalprice), 2) AS total_value,
-             round(avg(o_totalprice), 4) AS avg_value
+             round(avg(o_totalprice) + 1e-9, 4) AS avg_value
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""")),
@@ -270,9 +272,9 @@ object RelationalQueries {
       FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       ORDER BY c_custkey""")),
-    QueryDef("q_join_snowflake", joinSnowflake, Some("""
+    QueryDef("q_join_snowflake", joinSnowflake, Some(s"""
       SELECT n_name,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             round(${Num.sqlCents4Sum("l_extendedprice * (1.0 - l_discount)")}, 2) AS revenue
       FROM region
       JOIN nation   ON n_regionkey = r_regionkey
       JOIN customer ON c_nationkey = n_nationkey

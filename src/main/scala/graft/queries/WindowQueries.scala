@@ -30,24 +30,21 @@ object WindowQueries {
   private def latestFirst = Window.partitionBy("user_id")
     .orderBy(col("ts").desc, col("event_id").desc)
 
-  /** D2: whole latest row per key — df.loc[groupby('symbol')['date'].idxmax()]. */
+  /** D2: whole latest row per key — df.loc[groupby('symbol')['date'].idxmax()].
+    * Delegates to the operator module so keep-last semantics live once. */
   private def latestPerKey(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
-      .withColumn("rn", row_number().over(latestFirst))
-      .filter(col("rn") === 1)
+    graft.operators.B3Pipeline.latestPerKey(
+        Tables(spark, dir, "events"), "user_id", col("ts"), col("event_id"))
       .select("user_id", "event_id", "ts", "event_type", "value")
       .orderBy("user_id")
 
   /** D1: keep-last dedup on a composite key (symbol,date → user,event_type). */
-  private def dedupKeepLast(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  private def dedupKeepLast(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.B3Pipeline.dedupKeepLast(
+        Tables(spark, dir, "events"), Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
       .select("user_id", "event_type", "event_id", "ts", "value")
       .orderBy("user_id", "event_type")
-  }
 
   /** E1/E2: trailing 5- and 20-row moving averages, min_periods=1. Spark's
     * rowsBetween frame always includes the current row, matching pandas
@@ -116,7 +113,7 @@ object WindowQueries {
       .select(
         col("event_type"),
         round(col("total"), 2).as("total_value"),
-        round(col("total") / sum("total").over(Window.partitionBy()), 6)
+        Num.r(col("total") / sum("total").over(Window.partitionBy()), 6)
           .as("share"))
       .orderBy("event_type")
   }
@@ -143,7 +140,7 @@ object WindowQueries {
     a.join(b, Seq("day"))
       .filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b")
-      .agg(round(corr("ta", "tb"), 4).as("pearson"))
+      .agg(Num.r(corr("ta", "tb"), 4).as("pearson"))
       .orderBy("type_a", "type_b")
   }
 
@@ -270,7 +267,7 @@ object WindowQueries {
       WITH per_type AS (
         SELECT event_type, sum(value) AS total FROM events GROUP BY 1)
       SELECT event_type, round(total, 2) AS total_value,
-             round(total / sum(total) OVER (), 6) AS share
+             round(total / sum(total) OVER () + 1e-9, 6) AS share
       FROM per_type
       ORDER BY event_type""")),
     QueryDef("q_pivot_avg", pivotAvg, Some("""
@@ -288,7 +285,7 @@ object WindowQueries {
         SELECT CAST(ts AS DATE) AS day, event_type, sum(value) AS total
         FROM events GROUP BY 1, 2)
       SELECT a.event_type AS type_a, b.event_type AS type_b,
-             round(corr(a.total, b.total), 4) AS pearson
+             round(corr(a.total, b.total) + 1e-9, 4) AS pearson
       FROM daily a JOIN daily b ON a.day = b.day
       WHERE a.event_type < b.event_type
       GROUP BY 1, 2

@@ -106,13 +106,24 @@ object Connectors {
     (fresh, nextCursor)
   }
 
+  /** True on any Hadoop-visible filesystem (local, HDFS, s3a) — a plain
+    * java.io.File check silently fails for every non-local URI. */
+  private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Batch insert-if-absent: append only rows whose composite key is not
-    * already present in the parquet target (ON CONFLICT DO NOTHING). */
+    * already present in the parquet target (ON CONFLICT DO NOTHING).
+    * Across batches the existing row always wins; WITHIN a batch the
+    * surviving duplicate is whichever dropDuplicates sees first — pass
+    * data with an upstream dedup (e.g. dedupFirstWins) when the in-batch
+    * survivor must be deterministic. */
   def upsertParquet(batch: DataFrame, keys: Seq[String],
       targetPath: String): Unit = {
     val spark = batch.sparkSession
     val fresh =
-      if (new java.io.File(targetPath).exists()) {
+      if (pathExists(spark, targetPath)) {
         val existing = spark.read.parquet(targetPath)
           .select(keys.map(col): _*)
         batch.join(existing, keys, "left_anti")

@@ -100,6 +100,10 @@ object StreamingPipeline {
             val newest = (rows ++ state.getOption.iterator)
               .maxBy(r => (r.ts.getTime, r.seq))
             state.update(newest)
+            // arm the event-time timeout: drop this key once the watermark
+            // passes its newest event — without this the state never expires
+            // and grows O(all keys ever seen)
+            state.setTimeoutTimestamp(newest.ts.getTime, lateness)
             Iterator.single(newest)
           }
       }
@@ -129,12 +133,13 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fresh =
-          if (new java.io.File(targetPath).exists()) {
+          if (graft.sources.Connectors.pathExists(spark, targetPath)) {
             val existing = spark.read.parquet(targetPath)
               .select(keys.map(col): _*)
             batch.join(existing, keys, "left_anti")
           } else batch
-        // dedup within the batch itself on the keys (first wins)
+        // in-batch key dedup; survivor is unspecified — dedup upstream
+        // (dedupFirstWins) when it must be deterministic
         fresh.dropDuplicates(keys)
           .write.mode("append").parquet(targetPath)
         ()

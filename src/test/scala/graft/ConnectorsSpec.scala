@@ -71,6 +71,8 @@ class ConnectorsSpec extends SparkSpec {
     assert(dec(0).getAs[Long]("decoded_n_bytes") == 12L)
     val frames = Multimodal.frameSample(media.filter(col("media_id") === 1), 4)
     assert(frames.count() == 3) // offsets 13,17,21 over 12 payload bytes
+    // empty payload must yield zero frames, not an illegal-sequence crash
+    assert(Multimodal.frameSample(media, 4).count() == 3)
   }
 
   test("incrementalScan: cursor advances, only fresh rows emitted, idempotent when drained") {

@@ -62,10 +62,19 @@ def main():
         hs, hd = norm_rows(s_rows, s_cols), norm_rows(d_rows, d_cols)
         if hs != hd:
             print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
-            # show first differing row for debugging
-            s_set = {}
-            for r in s_rows[:200000]:
-                pass
+            # show the first rows present on one side only (normalized form)
+            def norm_set(rows, cols):
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                out = set()
+                for r in rows:
+                    out.add(tuple(f"{r[i]:.9g}" if isinstance(r[i], float)
+                                  else str(r[i]) for i in order))
+                return out
+            s_set, d_set = norm_set(s_rows, s_cols), norm_set(d_rows, d_cols)
+            for label, diff in (("spark-only", s_set - d_set),
+                                ("duck-only", d_set - s_set)):
+                for row in sorted(diff)[:3]:
+                    print(f"       {label}: {row}")
             failures += 1
             continue
         print(f"ok   {name} ({len(s_rows)} rows)")
