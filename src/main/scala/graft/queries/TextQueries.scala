@@ -111,6 +111,36 @@ object TextQueries {
         "cast(conv(substr(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT) AS fp60")
       .orderBy("doc_id")
 
+  /** Repetition filter (Gopher-style): fraction of duplicate word
+    * 3-grams within the doc — high values flag boilerplate/spam. */
+  private def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"$toks AS t")
+      .selectExpr("doc_id",
+        """CASE WHEN size(t) >= 3
+             THEN transform(sequence(0, size(t) - 3),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+             ELSE array() END AS grams""")
+      .selectExpr("doc_id",
+        "cast(size(grams) AS BIGINT) AS n_grams",
+        "cast(size(array_distinct(grams)) AS BIGINT) AS n_distinct",
+        """round(CASE WHEN size(grams) > 0
+             THEN 1.0 - size(array_distinct(grams)) / cast(size(grams) AS DOUBLE)
+             ELSE 0.0 END + 1e-9, 4) AS rep_ratio""")
+      .orderBy("doc_id")
+
+  /** Content-pattern flags (C4-style cleanup signals): URL/email
+    * mentions and the digit character ratio. */
+  private def contentFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "cast(size(regexp_extract_all(text, 'https?://[^ ]+', 0)) AS BIGINT) AS n_urls",
+        "cast(size(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)) AS BIGINT) AS n_emails",
+        """round((length(text) - length(regexp_replace(text, '[0-9]', '')))
+             / cast(length(text) AS DOUBLE) + 1e-9, 4) AS digit_ratio""")
+      .orderBy("doc_id")
+
   private val WIN_K = 8 // char k-gram length
   private val WIN_W = 4 // winnowing window (hashes per window)
 
@@ -232,6 +262,31 @@ object TextQueries {
       SELECT doc_id,
              md5(lower(trim(text))) AS fp,
              CAST(concat('0x', substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp60
+      FROM documents
+      ORDER BY doc_id""")),
+    QueryDef("q_repetition", repetition, Some("""
+      WITH grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE [] END AS grams
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents))
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+             round(CASE WHEN len(grams) > 0
+               THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+               ELSE 0.0 END + 1e-9, 4) AS rep_ratio
+      FROM grams
+      ORDER BY doc_id""")),
+    QueryDef("q_content_flags", contentFlags, Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS digit_ratio
       FROM documents
       ORDER BY doc_id""")),
     QueryDef("q_winnow", winnow, Some(winnowSql)),
