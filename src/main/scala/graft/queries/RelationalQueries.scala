@@ -213,7 +213,42 @@ object RelationalQueries {
       .orderBy("cohort", "user_id")
   }
 
+  /** Deterministic hash sampling — the reproducible, cluster-stable
+    * alternative to random sampling for building eval/dev splits: keep
+    * rows whose 60-bit content hash lands in the lowest 5% of the space,
+    * then per-stratum counts. Same rows selected on any cluster, any
+    * partitioning, any engine. */
+  private def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(expr(
+        "cast(conv(substr(md5(cast(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < 5"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum("value"), 2).as("sampled_value"))
+      .orderBy("event_type")
+
+  /** Equi-width histogram per group — width-10 value buckets. */
+  private def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_hash", sampleHash, Some("""
+      SELECT event_type, count(*) AS n_sampled,
+             round(sum(value), 2) AS sampled_value
+      FROM events
+      WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5
+      GROUP BY event_type
+      ORDER BY event_type""")),
+    QueryDef("q_histogram", histogram, Some("""
+      SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, bucket""")),
     QueryDef("q_set_ops", setOps, Some("""
       WITH first_half AS (
         SELECT DISTINCT user_id FROM events WHERE day(ts) <= 15),

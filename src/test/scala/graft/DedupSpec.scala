@@ -56,6 +56,39 @@ class DedupSpec extends SparkSpec {
     assert(hashes.forall(h => h >= 0 && h < (1L << 60)))
   }
 
+  test("simhash band equi-join finds exactly the naive all-pairs result") {
+    import spark.implicits._
+    // random 48-bit signatures with a few planted near pairs
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => (i, rnd.nextLong() & ((1L << 48) - 1)))
+    val planted = Seq(
+      (200L, base(0)._2 ^ 0x5L), // hamming 2 from doc 0
+      (201L, base(1)._2 ^ 0x1L), // hamming 1 from doc 1
+      (202L, base(2)._2 ^ 0xF0FL)) // hamming 8 — must NOT pair
+    val sigs = (base ++ planted).toDF("doc_id", "simhash")
+    val naive = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.simhash ^ b.simhash) <= 3"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect().toSet
+    val bandStructs = (0 until 4).map(b =>
+      s"named_struct('b', $b, 'v', shiftright(simhash, ${b * 12}) & 4095)")
+      .mkString(", ")
+    val bands = sigs
+      .selectExpr("doc_id", "simhash", s"explode(array($bandStructs)) AS band")
+      .selectExpr("doc_id", "simhash", "band.b AS b", "band.v AS v")
+    val banded = bands.as("a").join(bands.as("b2"),
+        col("a.b") === col("b2.b") && col("a.v") === col("b2.v") &&
+          col("a.doc_id") < col("b2.doc_id"))
+      .select(col("a.doc_id"), col("b2.doc_id"),
+        col("a.simhash").as("sa"), col("b2.simhash").as("sb"))
+      .distinct()
+      .filter(expr("bit_count(sa ^ sb) <= 3"))
+      .select(col("a.doc_id"), col("b2.doc_id")).collect().toSet
+    assert(banded == naive) // pigeonhole banding is exact
+    assert(naive.exists(r => r == org.apache.spark.sql.Row(0L, 200L)))
+    assert(!naive.exists(r => r == org.apache.spark.sql.Row(2L, 202L)))
+  }
+
   test("simhash of identical token multisets is identical (hamming 0)") {
     import spark.implicits._
     val tok = Seq((0L, "x y z x"), (1L, "x y z x"), (2L, "p q r s t u v w"))
