@@ -37,6 +37,42 @@ class ScaleSpec extends SparkSpec {
     assert(salted.count() == plain.count())
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val saved = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.join.preferSortMergeJoin" ->
+        spark.conf.get("spark.sql.join.preferSortMergeJoin"))
+    try {
+      // tiny thresholds so the hot key's partition counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      val fact = ((1 to 80000).map(i => ("HOT", i.toLong)) ++
+        (1 to 2000).map(i => (s"k${i % 100}", i.toLong))).toDF("k", "id")
+      val dim = (Seq("HOT") ++ (0 until 100).map(i => s"k$i"))
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "w")
+      val joined = fact.join(dim, "k")
+      // collect() runs THIS df's queryExecution — count() would build its
+      // own plan and leave this one un-finalized (AQE shows the initial
+      // plan, never skew=true, on an unexecuted DataFrame)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"))
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join handling in final plan:\n$finalPlan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables: co-located join plans without a shuffle") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
