@@ -213,6 +213,18 @@ object RelationalQueries {
       .orderBy("cohort", "user_id")
   }
 
+  /** Outer-join family: per-customer order rollup keeping order-less
+    * customers (left outer + null-safe aggregates). */
+  private def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
   /** Deterministic hash sampling — the reproducible, cluster-stable
     * alternative to random sampling for building eval/dev splits: keep
     * rows whose 60-bit content hash lands in the lowest 5% of the space,
@@ -236,6 +248,13 @@ object RelationalQueries {
       .orderBy("event_type", "bucket")
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_join_outer", joinOuter, Some("""
+      SELECT c_custkey, c_mktsegment,
+             count(o_orderkey) AS n_orders,
+             round(COALESCE(sum(o_totalprice), 0.0), 2) AS total_spent
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey""")),
     QueryDef("q_sample_hash", sampleHash, Some("""
       SELECT event_type, count(*) AS n_sampled,
              round(sum(value), 2) AS sampled_value

@@ -111,6 +111,29 @@ object TextQueries {
         "cast(conv(substr(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT) AS fp60")
       .orderBy("doc_id")
 
+  /** Vocabulary building: corpus-wide token frequencies, top 50 — the
+    * first step of tokenizer training. Explode → one hash-shuffle count
+    * with map-side partial aggregation. */
+  private def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr(s"explode($toks) AS token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+
+  /** Edit-distance similarity over the distinct source labels — the
+    * small-domain string-similarity shape (typo clustering). */
+  private def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "documents").select("source").distinct()
+    s.as("a").join(s.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        levenshtein(col("a.source"), col("b.source")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("src_a", "src_b")
+  }
+
   /** Repetition filter (Gopher-style): fraction of duplicate word
     * 3-grams within the doc — high values flag boilerplate/spam. */
   private def repetition(spark: SparkSession, dir: String): DataFrame =
@@ -264,6 +287,20 @@ object TextQueries {
              CAST(concat('0x', substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp60
       FROM documents
       ORDER BY doc_id""")),
+    QueryDef("q_vocab", vocab, Some("""
+      SELECT t AS token, count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents)
+      GROUP BY t
+      ORDER BY freq DESC, token
+      LIMIT 50""")),
+    QueryDef("q_edit_distance", editDistance, Some("""
+      WITH s AS (SELECT DISTINCT source FROM documents)
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+      FROM s a JOIN s b ON a.source < b.source
+      WHERE levenshtein(a.source, b.source) <= 2
+      ORDER BY src_a, src_b""")),
     QueryDef("q_repetition", repetition, Some("""
       WITH grams AS (
         SELECT doc_id,
