@@ -51,16 +51,16 @@ object B3Pipeline {
   def historicalLoad(spark: org.apache.spark.sql.SparkSession,
       csvPath: String, outPath: String): DataFrame = {
     val numeric = Seq("PREABE", "PREMAX", "PREMIN", "PREULT", "QUATOT", "VOLTOT")
+    // coerce-to-null happens in the PERMISSIVE CSV parse against the
+    // declared DoubleType schema — dropna then removes the coerced rows
     val raw = graft.sources.Connectors.readCsv(
       spark, csvPath, graft.Schemas.cotahistBar, "ISO-8859-1")
-    val cleaned = numeric.foldLeft(raw.filter(col("CODBDI") === 2)) {
-        (df, c) => df.withColumn(c, col(c).cast("double"))
-      }
+    val cleaned = raw.filter(col("CODBDI") === 2)
       .na.drop(numeric)
       .withColumn("trade_date", to_date(col("DATPRE"), "yyyy-MM-dd"))
       .filter(col("trade_date").isNotNull)
-    cleaned.write.mode("overwrite").partitionBy("trade_date")
-      .parquet(outPath)
+    graft.sources.Connectors.writePartitionedParquet(
+      cleaned, outPath, Seq("trade_date"))
     cleaned
   }
 

@@ -82,7 +82,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val payload = bytes.drop(12)
+          // null blob (failed fetch / corrupt record) decodes like empty —
+          // a sentinel feature row, never a task-killing NPE
+          val payload = if (bytes == null) Array.emptyByteArray
+            else bytes.drop(12)
           // --- stubbed decode body begins (would be the codec call) ---
           val hist = new Array[Long](256)
           payload.foreach(b => hist(b & 0xff) += 1)

@@ -39,12 +39,22 @@ object DedupQueries {
   /** One cached shingle table per (session, dir): jaccard + minhash each
     * reference it 3-4 times, and bench/verify call both — a per-call
     * .cache() would leak a new cached lineage every invocation, while
-    * this map bounds storage to #dirs entries reused across calls. */
+    * this map bounds storage to #dirs entries reused across calls.
+    * ASSUMES lake dirs are immutable (true for the testdata zones and the
+    * engine's write-once lake layout); call [[clearShingleCache]] after
+    * rewriting a directory in place. */
   private val shingleCacheMap =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shingleHashesCached(spark: SparkSession, dir: String): DataFrame =
     shingleCacheMap.getOrElseUpdate((spark, dir),
       shingleHashes(spark, dir).cache())
+
+  /** Unpersist and forget every cached shingle table. */
+  def clearShingleCache(): Unit = {
+    shingleCacheMap.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    shingleCacheMap.clear()
+  }
 
   private val shingleHashesSql = """
     shing AS (

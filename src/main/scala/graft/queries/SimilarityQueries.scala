@@ -184,14 +184,13 @@ object SimilarityQueries {
         Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = scoredC
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
+    // rank ONCE; assignment (rank 1) and query probes (rank ≤ NPROBE) are
+    // filters over the same ranked pass, not two independent scoring scans
+    val ranked = scoredC.withColumn("crank", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("c_id"))
-    val probes = scoredC
-      .filter(col("vec_id") < NQUERIES)
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= NPROBE)
+    val probes = ranked
+      .filter(col("vec_id") < NQUERIES && col("crank") <= NPROBE)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
     val scored = broadcast(probes)
       .join(assigned, Seq("c_id"))

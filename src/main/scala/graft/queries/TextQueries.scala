@@ -160,8 +160,10 @@ object TextQueries {
         "doc_id",
         "cast(size(regexp_extract_all(text, 'https?://[^ ]+', 0)) AS BIGINT) AS n_urls",
         "cast(size(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)) AS BIGINT) AS n_emails",
-        """round((length(text) - length(regexp_replace(text, '[0-9]', '')))
-             / cast(length(text) AS DOUBLE) + 1e-9, 4) AS digit_ratio""")
+        """round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[0-9]', '')))
+               / cast(length(text) AS DOUBLE)
+             ELSE 0.0 END + 1e-9, 4) AS digit_ratio""")
       .orderBy("doc_id")
 
   private val WIN_K = 8 // char k-gram length
@@ -322,8 +324,10 @@ object TextQueries {
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
              CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
-             round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-               / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS digit_ratio
+             round(CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END + 1e-9, 4) AS digit_ratio
       FROM documents
       ORDER BY doc_id""")),
     QueryDef("q_winnow", winnow, Some(winnowSql)),

@@ -27,9 +27,6 @@ object WindowQueries {
   private def byUser = Window.partitionBy("user_id")
     .orderBy(col("ts"), col("event_id"))
 
-  private def latestFirst = Window.partitionBy("user_id")
-    .orderBy(col("ts").desc, col("event_id").desc)
-
   /** D2: whole latest row per key — df.loc[groupby('symbol')['date'].idxmax()].
     * Delegates to the operator module so keep-last semantics live once. */
   private def latestPerKey(spark: SparkSession, dir: String): DataFrame =

@@ -131,17 +131,6 @@ object StreamingPipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fresh =
-          if (graft.sources.Connectors.pathExists(spark, targetPath)) {
-            val existing = spark.read.parquet(targetPath)
-              .select(keys.map(col): _*)
-            batch.join(existing, keys, "left_anti")
-          } else batch
-        // in-batch key dedup; survivor is unspecified — dedup upstream
-        // (dedupFirstWins) when it must be deterministic
-        fresh.dropDuplicates(keys)
-          .write.mode("append").parquet(targetPath)
-        ()
+        graft.sources.Connectors.upsertParquet(batch, keys, targetPath)
       }
 }

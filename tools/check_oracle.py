@@ -62,19 +62,20 @@ def main():
         hs, hd = norm_rows(s_rows, s_cols), norm_rows(d_rows, d_cols)
         if hs != hd:
             print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
-            # show the first rows present on one side only (normalized form)
-            def norm_set(rows, cols):
+            # first rows whose multiplicity differs (Counter, not set:
+            # duplicate-row count mismatches must also surface)
+            from collections import Counter
+            def norm_counter(rows, cols):
                 order = sorted(range(len(cols)), key=lambda i: cols[i])
-                out = set()
-                for r in rows:
-                    out.add(tuple(f"{r[i]:.9g}" if isinstance(r[i], float)
-                                  else str(r[i]) for i in order))
-                return out
-            s_set, d_set = norm_set(s_rows, s_cols), norm_set(d_rows, d_cols)
-            for label, diff in (("spark-only", s_set - d_set),
-                                ("duck-only", d_set - s_set)):
+                return Counter(
+                    tuple(f"{r[i]:.9g}" if isinstance(r[i], float)
+                          else str(r[i]) for i in order)
+                    for r in rows)
+            s_ctr, d_ctr = norm_counter(s_rows, s_cols), norm_counter(d_rows, d_cols)
+            for label, diff in (("spark-only", s_ctr - d_ctr),
+                                ("duck-only", d_ctr - s_ctr)):
                 for row in sorted(diff)[:3]:
-                    print(f"       {label}: {row}")
+                    print(f"       {label} (x{diff[row]}): {row}")
             failures += 1
             continue
         print(f"ok   {name} ({len(s_rows)} rows)")
