@@ -111,6 +111,22 @@ object TextQueries {
         "cast(conv(substr(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT) AS fp60")
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split assignment: the content hash
+    * buckets each doc into 80/10/10 — stable across clusters, engines
+    * and re-runs (never rand()); per-(source, split) counts verify the
+    * distribution. */
+  private def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        """CASE
+             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 < 8 THEN 'train'
+             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 8 THEN 'val'
+             ELSE 'test'
+           END AS split""")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "split")
+
   /** Vocabulary building: corpus-wide token frequencies, top 50 — the
     * first step of tokenizer training. Explode → one hash-shuffle count
     * with map-side partial aggregation. */
@@ -289,6 +305,19 @@ object TextQueries {
              CAST(concat('0x', substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS fp60
       FROM documents
       ORDER BY doc_id""")),
+    QueryDef("q_split_assign", splitAssign, Some("""
+      WITH assigned AS (
+        SELECT doc_id, source,
+               CASE
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents)
+      SELECT source, split, count(*) AS n
+      FROM assigned
+      GROUP BY source, split
+      ORDER BY source, split""")),
     QueryDef("q_vocab", vocab, Some("""
       SELECT t AS token, count(*) AS freq
       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
