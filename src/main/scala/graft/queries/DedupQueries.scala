@@ -290,7 +290,74 @@ object DedupQueries {
                 + 1e-9, 6) >= 0.4
     ORDER BY vec_a, vec_b"""
 
+  /** Dedup cluster formation: connected components over the near-dup
+    * pair graph (jaccard ≥ 0.5), by iterative min-label propagation —
+    * each doc's cluster id is the smallest doc_id reachable from it.
+    * The loop is driver-coordinated but every step is a distributed
+    * join+agg (the GraphX connected-components shape in pure DataFrame
+    * ops); iterations = graph diameter, which for near-dup clusters is
+    * tiny. Output: every clustered doc with its canonical id. */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
+    // undirected edge list (both directions) + self-loops so isolated
+    // members keep their own label
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSql = s"""
+    WITH RECURSIVE $shingleHashesSql,
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shing a JOIN shing b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE) + 1e-9, 6) >= 0.5),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.src <> e.dst),
+    labels AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id
+    FROM labels
+    ORDER BY doc_id"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
+      headline = false),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
