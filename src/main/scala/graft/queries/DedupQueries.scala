@@ -355,8 +355,55 @@ object DedupQueries {
     FROM labels
     ORDER BY doc_id"""
 
+  /** The dedup end-product: the corpus with non-canonical near-dup
+    * cluster members removed (keep the min-doc_id representative of each
+    * cluster), plus survivor accounting per source. */
+  private def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val dropList = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Tables(spark, dir, "documents")
+      .join(dropList, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  private val dedupCanonicalSql = s"""
+    WITH RECURSIVE $shingleHashesSql,
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shing a JOIN shing b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE) + 1e-9, 6) >= 0.5),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.src <> e.dst),
+    labels AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
+      headline = false),
+    QueryDef("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql),
       headline = false),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),

@@ -115,6 +115,20 @@ object WindowQueries {
       .orderBy("event_type")
   }
 
+  /** Unpivot (melt): per-type daily totals back to long form — the
+    * inverse of C3, via stack(). */
+  private def unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(round(sum("value"), 2))
+    wide.selectExpr("day",
+        """stack(3, 'click', click, 'purchase', purchase, 'view', view)
+           AS (event_type, total)""")
+      .filter(col("total").isNotNull)
+      .orderBy("day", "event_type")
+  }
+
   /** C3: long→wide pivot (pd.pivot on symbol → per-symbol columns). */
   private def pivotAvg(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
@@ -267,6 +281,17 @@ object WindowQueries {
              round(total / sum(total) OVER () + 1e-9, 6) AS share
       FROM per_type
       ORDER BY event_type""")),
+    QueryDef("q_unpivot", unpivot, Some("""
+      WITH wide AS (
+        SELECT CAST(ts AS DATE) AS day,
+               round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+               round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+               round(sum(value) FILTER (event_type = 'view'), 2) AS view
+        FROM events GROUP BY 1)
+      SELECT day, event_type, total
+      FROM wide
+      UNPIVOT (total FOR event_type IN (click, purchase, view))
+      ORDER BY day, event_type""")),
     QueryDef("q_pivot_avg", pivotAvg, Some("""
       SELECT user_id,
              round(avg(value) FILTER (event_type = 'click') + 1e-9, 4) AS click,
