@@ -89,6 +89,34 @@ class DedupSpec extends SparkSpec {
     assert(!naive.exists(r => r == org.apache.spark.sql.Row(2L, 202L)))
   }
 
+  test("min-label propagation merges a chain into one component") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chain 1-2, 2-3, plus isolated pair 7-9: two components expected
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 10) {
+      val via = edges.join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("node")).agg(min("label").as("nlabel"))
+      val next = labels.join(via, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    val out = labels.orderBy("node").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+    assert(iter <= 4) // diameter-bounded convergence
+  }
+
   test("simhash of identical token multisets is identical (hamming 0)") {
     import spark.implicits._
     val tok = Seq((0L, "x y z x"), (1L, "x y z x"), (2L, "p q r s t u v w"))
