@@ -208,16 +208,24 @@ object DedupQueries {
     * short simhashes collide wholesale — measured 22k false pairs at 16
     * bits vs 82 pairs / 22-of-25 planted near-dups at 48.) */
   private def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(spark, dir, "documents")
+    val tokStr = Tables(spark, dir, "documents")
       .selectExpr("doc_id", "explode(split(trim(text), '\\\\s+')) AS s")
-      .selectExpr("doc_id",
+    // Zipf's law: the vocabulary is orders of magnitude smaller than the
+    // token stream — hash each DISTINCT token once and broadcast-join the
+    // tiny vocab table back, instead of one md5 per token occurrence.
+    // Per-token ±1 contributions become count-weighted contributions.
+    val vocab = tokStr.select("s").distinct()
+      .selectExpr("s",
         s"cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) AS h")
+    val counts = tokStr.groupBy("doc_id", "s")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(vocab), "s")
     val bitSums = (0 until SIMBITS).map(b =>
-      expr(s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)")
+      expr(s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END)")
         .as(s"bs$b"))
     val simExpr = (0 until SIMBITS).map(b =>
       s"(CASE WHEN bs$b >= 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
-    val sigs = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sigs = counts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .selectExpr("doc_id", s"cast($simExpr AS BIGINT) AS simhash")
     // Pigeonhole banding: hamming ≤ 3 over 4 disjoint 12-bit bands forces
     // at least one band to match exactly, so candidates come from an
