@@ -185,7 +185,7 @@ object AnalyticsQueries {
         ON p.user_id = f.user_id AND p.ts >= f.first_view
       GROUP BY f.user_id)
     SELECT count(*) AS n_view_users,
-           sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM conv"""
 
   val all: Seq[QueryDef] = Seq(

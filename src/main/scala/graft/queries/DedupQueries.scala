@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -26,15 +27,36 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** Distinct word-3-gram shingle HASHES per doc: (doc_id, h). */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  /** Stop-shingle document-frequency cap. A shingle shared by k documents
+    * contributes O(k²) candidate pairs to the inverted-index self-join; on
+    * a real web corpus one piece of boilerplate ("click here to subscribe
+    * …") shared by millions of pages is a single-key quadratic blowup.
+    * Shingles with df > cap carry ~zero signal for NEAR-dup anyway (they
+    * are corpus-wide boilerplate, not document content), so both engines
+    * drop them BEFORE any join. Far above any df this testdata produces,
+    * so small-SF output is unchanged; at 100 TB it is the difference
+    * between linear and quadratic. */
+  private[graft] val StopShingleDf = 1000
+
+  /** Distinct word-3-gram shingle HASHES per doc — (doc_id, h) — with
+    * shingles of document frequency > cap removed (see [[StopShingleDf]]).
+    * The df computation is one shuffle on h with map-side partial counts;
+    * the same shuffle the candidate self-join needs, so it adds no new
+    * exchange shape at scale. */
+  private[graft] def shingleHashesOf(docs: DataFrame, cap: Int): DataFrame =
+    docs
       .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
       .selectExpr("doc_id",
         """explode(CASE WHEN size(t) >= 3
              THEN array_distinct(transform(sequence(0, size(t) - 3),
                     i -> cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) AS BIGINT)))
              ELSE array() END) AS h""")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= cap)
+      .drop("df")
+
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    shingleHashesOf(Tables(spark, dir, "documents"), StopShingleDf)
 
   /** One cached shingle table per (session, dir): jaccard + minhash each
     * reference it 3-4 times, and bench/verify call both — a per-call
@@ -45,9 +67,16 @@ object DedupQueries {
     * rewriting a directory in place. */
   private val shingleCacheMap =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def shingleHashesCached(spark: SparkSession, dir: String): DataFrame =
+  private def shingleHashesCached(spark: SparkSession, dir: String): DataFrame = {
+    // Evict entries whose session has been stopped: they can never be
+    // reused, and retaining them pins the dead session + its cached plans
+    // for the JVM lifetime (and unpersist on a stopped session throws).
+    shingleCacheMap.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) shingleCacheMap.remove(k)
+    }
     shingleCacheMap.getOrElseUpdate((spark, dir),
       shingleHashes(spark, dir).cache())
+  }
 
   /** Unpersist and forget every cached shingle table. */
   def clearShingleCache(): Unit = {
@@ -56,14 +85,18 @@ object DedupQueries {
     shingleCacheMap.clear()
   }
 
-  private val shingleHashesSql = """
-    shing AS (
+  private val shingleHashesSql = s"""
+    shing0 AS (
       SELECT DISTINCT doc_id,
              CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
             FROM documents),
            unnest(range(1, len(t) - 1)) AS u(i)
       WHERE i + 2 <= len(t)),
+    shing AS (
+      SELECT doc_id, h
+      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shing0)
+      WHERE df <= $StopShingleDf),
     sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id)"""
 
   /** Jaccard of shingle-hash sets for every candidate pair (co-occurring
@@ -305,6 +338,13 @@ object DedupQueries {
     * join+agg (the GraphX connected-components shape in pure DataFrame
     * ops); iterations = graph diameter, which for near-dup clusters is
     * tiny. Output: every clustered doc with its canonical id. */
+  /** Iteration budget: min-label propagation converges in (min-label
+    * eccentricity) steps — near-dup clusters are shallow, but silently
+    * returning non-converged ids would diverge from the oracle's exact
+    * transitive closure, so running out of budget is an ERROR, not a
+    * result. */
+  private[graft] val MaxClusterIters = 50
+
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
     // undirected edge list (both directions) + self-loops so isolated
@@ -314,26 +354,44 @@ object DedupQueries {
       .cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .cache()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("node"))
-        .agg(min("label").as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      iter += 1
+    try {
+      while (changed > 0 && iter < MaxClusterIters) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("node", "dst2"),
+            col("dst") === col("dst2"))
+          .groupBy(col("src").as("node"))
+          .agg(min("label").as("nlabel"))
+        val stepped = labels.join(viaNeighbors, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label"))
+        // localCheckpoint every few iterations cuts the join-on-join
+        // lineage (else plan depth, task binary size and recovery cost
+        // grow linearly with iterations); cache in between is enough
+        // because each iteration only reads the previous one.
+        val next =
+          if ((iter + 1) % 5 == 0) stepped.localCheckpoint()
+          else stepped.cache()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist() // superseded generation: next is materialized
+        labels = next
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"dedupClusters did not converge after $MaxClusterIters iterations " +
+            s"($changed labels still changing) — raise MaxClusterIters; " +
+            "returning partial cluster ids would silently diverge from the " +
+            "exact transitive closure")
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    } finally {
+      edges.unpersist()
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   private val dedupClustersSql = s"""
@@ -402,7 +460,7 @@ object DedupQueries {
       SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       FROM reach GROUP BY src),
     drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     GROUP BY source

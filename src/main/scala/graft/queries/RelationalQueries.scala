@@ -26,7 +26,8 @@ object RelationalQueries {
     val li = Tables(spark, dir, "lineitem")
     li.filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
       .select(
-        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+        col("l_quantity"),
         Num.r(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
           .as("revenue"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -140,7 +141,8 @@ object RelationalQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        round(col("value"), 2).as("value"), col("src_priority"))
+        round(col("value"), 2).as("value"),
+        col("src_priority").cast("bigint").as("src_priority"))
       .orderBy("event_id")
   }
 
@@ -283,7 +285,7 @@ object RelationalQueries {
       FROM (SELECT user_id FROM second_half EXCEPT SELECT user_id FROM first_half)
       ORDER BY cohort, user_id""")),
     QueryDef("q_scan_filter", scanFilter, Some("""
-      SELECT l_orderkey, l_linenumber, l_quantity,
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
              round(l_extendedprice * (1.0 - l_discount) + 1e-9, 2) AS revenue
       FROM lineitem
       WHERE l_returnflag = 'R' AND l_quantity >= 30
@@ -347,7 +349,7 @@ object RelationalQueries {
         FROM events WHERE event_id % 2 = 0),
       unioned AS (SELECT * FROM history UNION ALL SELECT * FROM updates)
       SELECT event_id, user_id, event_type,
-             round(value, 2) AS value, src_priority
+             round(value, 2) AS value, CAST(src_priority AS BIGINT) AS src_priority
       FROM unioned
       QUALIFY row_number() OVER (PARTITION BY event_id
                                  ORDER BY src_priority DESC) = 1

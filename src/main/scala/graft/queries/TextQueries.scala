@@ -266,7 +266,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_profile", profile, Some("""
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
              count(DISTINCT lang) AS ndv_lang,
              count(DISTINCT source) AS ndv_source,
              min(n_chars) AS min_chars,

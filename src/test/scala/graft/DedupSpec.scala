@@ -117,6 +117,48 @@ class DedupSpec extends SparkSpec {
     assert(iter <= 4) // diameter-bounded convergence
   }
 
+  test("stop-shingle df cap bounds candidate pairs on boilerplate corpora") {
+    import graft.queries.DedupQueries
+    // 40 docs that all share ONE boilerplate 3-gram ("subscribe to
+    // newsletter") and are otherwise unique: the degenerate corpus where
+    // a single hot shingle yields k² candidate pairs.
+    val rows = (0L until 40L).map(i =>
+      (i, s"subscribe to newsletter t${i}a t${i}b t${i}c t${i}d t${i}e"))
+    val d = docs(rows)
+    def candidatePairs(cap: Int): Long = {
+      val sh = DedupQueries.shingleHashesOf(d, cap)
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    assert(candidatePairs(cap = 1000000) == 40L * 39 / 2) // quadratic blowup
+    assert(candidatePairs(cap = 10) == 0L) // hot shingle dropped pre-join
+    // docs sharing real content (not just boilerplate) still pair up
+    val d2 = docs(rows :+ (100L, s"subscribe to newsletter t0a t0b t0c t0d t0e"))
+    val sh2 = DedupQueries.shingleHashesOf(d2, 10)
+    val survivors = sh2.as("a").join(sh2.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+    assert(survivors.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 100L)))
+  }
+
+  test("dedupClusters does not accumulate cached RDDs across iterations") {
+    import graft.queries.{DedupQueries, Registry}
+    val q = Registry.all.find(_.name == "q_dedup_clusters").get
+    DedupQueries.clearShingleCache()
+    System.gc() // let ContextCleaner drop unreferenced RDDs from prior tests
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = q.fn(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // retained by design: the shingle cache + the final labels generation
+    // (+ possibly one localCheckpoint RDD pending GC) — NOT one per iteration
+    assert(after - before <= 3,
+      s"cached RDDs grew by ${after - before} — loop is leaking generations")
+    DedupQueries.clearShingleCache()
+  }
+
   test("simhash of identical token multisets is identical (hamming 0)") {
     import spark.implicits._
     val tok = Seq((0L, "x y z x"), (1L, "x y z x"), (2L, "p q r s t u v w"))

@@ -9,11 +9,24 @@ as views. Compares schema (column names), row count, and value hash with
 columns sorted by name and rows sorted by all columns (stringified,
 floats rounded to 9 significant digits).
 """
-import json, sys, hashlib
+import json, sys, hashlib, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# Types that hash identically across Spark-parquet and DuckDB in the
+# driver's normalizer. Anything else (HUGEINT from an uncast integer
+# sum(), INTEGER, DECIMAL, ...) stringifies the same under Python here
+# but NOT under the driver — so local green would lie. Round 1 lost
+# q_profile/q_funnel/q_dedup_canonical to exactly this.
+PORTABLE = re.compile(
+    r"^(BIGINT|DOUBLE|VARCHAR|DATE|BOOLEAN|TIMESTAMP(_NS)?( WITH TIME ZONE)?)$")
+
+
+def type_violations(label, cols, types):
+    return [f"{label}.{c}: {t}" for c, t in zip(cols, map(str, types))
+            if not PORTABLE.match(str(t))]
 
 
 def norm_rows(rows, cols):
@@ -49,6 +62,13 @@ def main():
             d_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        bad_types = (type_violations("spark", s_cols, spark_rel.types)
+                     + type_violations("duck", d_cols, duck_rel.types))
+        if bad_types:
+            print(f"FAIL {name}: non-portable result types "
+                  f"(driver hash WILL diverge): {', '.join(bad_types)}")
             failures += 1
             continue
         if sorted(s_cols) != sorted(d_cols):
