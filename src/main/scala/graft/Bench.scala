@@ -25,10 +25,23 @@ object Bench {
     // per-plan whole-stage-codegen compilation (the minhash/simhash plans
     // compile multi-thousand-line generated classes; that cost is one-time
     // per plan shape, not per data volume).
+    // Warmup dir is overridable and failures are COUNTED, not swallowed:
+    // a missing warmup dir would silently fold first-call classloading +
+    // codegen compilation into the measured times with no visible signal.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    var warmupFailures = 0
     headline.foreach { q =>
-      try q.fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try q.fn(spark, warmDir).count()
+      catch { case _: Throwable => warmupFailures += 1 }
     }
+    if (warmupFailures > 0)
+      System.err.println(s"[bench] WARNING: $warmupFailures/${headline.size} " +
+        s"warmup runs failed on $warmDir — measured times include cold-start " +
+        "costs for those queries")
+    // drop warmup-SF cached tables so they don't occupy storage memory
+    // (or appear as phantom residency) during the measured run
+    graft.queries.DedupQueries.clearShingleCache()
     val results = headline.map { q =>
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }

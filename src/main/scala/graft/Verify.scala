@@ -39,8 +39,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The IVF oracle reads the trained centroid model (a parquet written
+    // by trainIvfCentroids during the query run above); its path depends
+    // on the sf dir, so the static SQL carries a token resolved here.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = v.replace(graft.queries.SimilarityQueries.IvfCentroidsToken,
+          graft.queries.SimilarityQueries.ivfModelPath(sfDir))
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

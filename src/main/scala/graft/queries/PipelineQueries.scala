@@ -156,14 +156,18 @@ object PipelineQueries {
     val recent = ev
       .filter(col("ts") >= lit(maxTs) - expr("INTERVAL 24 HOURS") &&
         col("user_id").isin(selected: _*))
-    val latest = recent
-      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("value"))
-    val totals = recent.groupBy("user_id")
-      .agg(sum("value").as("total_value"), count(lit(1)).as("n_events"))
-    latest.join(totals, "user_id")
+    // latest-row-per-key AND totals in ONE groupBy (max_by on the
+    // (ts, event_id) sort key ≡ the row_number()=1 pick): one scan of
+    // events, one shuffle — not a window pass plus an agg pass joined.
+    val fused = recent.groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        sum("value").as("total_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("last.event_id").as("event_id"),
+        col("last.value").as("value"), col("total_value"), col("n_events"))
+    fused
       .select(col("user_id"), col("event_id"),
         round(col("value"), 2).as("latest_value"),
         Num.r(col("total_value"), 2).as("total_value"),

@@ -199,21 +199,24 @@ object RelationalQueries {
           .as("range_amp"))
       .orderBy("doc_id")
 
-  /** Set operations beyond union: cohort membership via INTERSECT /
-    * EXCEPT over two halves of the month. Distinct-key inputs, so the
-    * set ops shuffle only user ids. */
-  private def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-    val first = ev.filter(dayofmonth(col("ts")) <= 15)
-      .select("user_id").distinct()
-    val second = ev.filter(dayofmonth(col("ts")) > 15)
-      .select("user_id").distinct()
-    first.intersect(second).withColumn("cohort", lit("both"))
-      .unionByName(first.except(second).withColumn("cohort", lit("first_only")))
-      .unionByName(second.except(first).withColumn("cohort", lit("second_only")))
-      .select("cohort", "user_id")
+  /** Set operations beyond union: cohort membership with INTERSECT /
+    * EXCEPT semantics over two halves of the month — computed as ONE
+    * scan + ONE shuffle (per-user half-membership flags in a single
+    * groupBy) instead of three intersect/except passes that each re-scan
+    * events. The oracle cross-checks against literal INTERSECT/EXCEPT,
+    * proving the rewrite is the same operator. */
+  private def setOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max(when(dayofmonth(col("ts")) <= 15, 1).otherwise(0)).as("in_first"),
+        max(when(dayofmonth(col("ts")) > 15, 1).otherwise(0)).as("in_second"))
+      .select(
+        when(col("in_first") === 1 && col("in_second") === 1, "both")
+          .when(col("in_first") === 1, "first_only")
+          .otherwise("second_only").as("cohort"),
+        col("user_id"))
       .orderBy("cohort", "user_id")
-  }
 
   /** Outer-join family: per-customer order rollup keeping order-less
     * customers (left outer + null-safe aggregates). */

@@ -164,21 +164,86 @@ object SimilarityQueries {
   }
 
   private val NCENTROIDS = 16
-  private val NPROBE = 2
+  private val NPROBE = 3
+  private val LloydIters = 3
 
-  /** IVF ANN: coarse quantization against a fixed centroid set (the
-    * first NCENTROIDS vectors — a deterministic stand-in for k-means
-    * training, which belongs offline), inverted lists per centroid,
-    * queries probe their NPROBE nearest lists and rank exactly within.
-    * Plan shape at scale: one narrow pass assigns centroids (broadcast
-    * 16 vectors), lists are a hash shuffle on centroid_id, the probe is
-    * an equi-join on centroid_id — same join skeleton as the LSH route. */
-  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Placeholder the oracle SQL carries for the trained-centroid parquet;
+    * [[graft.Verify]] substitutes the concrete [[ivfModelPath]] when it
+    * dumps oracle_sql.json (the path depends on the sf dir, which static
+    * SQL can't know). */
+  val IvfCentroidsToken = "__IVF_CENTROIDS__"
+
+  /** Where the trained IVF model for a given lake dir is persisted.
+    * Versioned so a training-code change can't silently reuse a stale
+    * model ("v2" = spherical k-means, first-K init, 3 Lloyd iterations). */
+  def ivfModelPath(dir: String): String =
+    s"/root/repo/target/ivf/v2/${new java.io.File(dir).getName}/centroids.parquet"
+
+  /** Offline IVF training: spherical k-means (Lloyd) over the embeddings
+    * — init = first NCENTROIDS vectors, LloydIters iterations, cosine
+    * metric, centroids renormalized to unit length each step — persisted
+    * to parquet so the probe query AND the DuckDB oracle read the SAME
+    * trained bits (training happens once, in one engine; no cross-engine
+    * float reproduction needed). Idempotent: returns immediately if the
+    * model exists.
+    *
+    * Scale shape: each iteration is one broadcast join (K vectors) + one
+    * shuffle keyed (c_id, dim) for the mean — the classic distributed
+    * Lloyd step; only the K centroids themselves ever come to the driver
+    * (16×64 doubles — a model, not data). Components are rounded
+    * (epsilon-nudged, 6 dp) so training is bit-stable across runs and
+    * partitionings. Clusters that lose every member drop out (K may
+    * shrink); NPROBE probing tolerates that. */
+  def trainIvfCentroids(spark: SparkSession, dir: String): Unit = {
+    val path = ivfModelPath(dir)
+    if (graft.sources.Connectors.pathExists(spark, path)) return
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids = broadcast(e.filter(col("vec_id") < NCENTROIDS)
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    var cents: Seq[(Long, Seq[Double])] =
+      e.filter(col("vec_id") < NCENTROIDS)
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().toSeq
+    for (_ <- 1 to LloydIters) {
+      val centDf = broadcast(cents.toDF("c_id", "cv"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("c_id"))
+      val assigned = e.join(centDf)
+        .select(col("vec_id"), col("v"), col("c_id"),
+          Num.r(expr(dotSpark.format("v", "cv")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      cents = assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg("x").as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), expr("transform(pm, s -> s.m)").as("cv0"))
+        .select(col("c_id"), col("cv0"),
+          expr("sqrt(aggregate(cv0, 0D, (a, y) -> a + y * y))").as("nrm"))
+        .select(col("c_id"),
+          expr("transform(cv0, x -> round(x / nrm + 1e-9, 6))").as("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    cents.toDF("c_id", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** IVF ANN: coarse quantization against the k-means centroids trained
+    * by [[trainIvfCentroids]] (read back from the persisted model table),
+    * inverted lists per centroid, queries probe their NPROBE nearest
+    * lists and rank exactly within.
+    * Plan shape at scale: one narrow pass assigns centroids (broadcast
+    * K vectors), lists are a hash shuffle on centroid_id, the probe is
+    * an equi-join on centroid_id — same join skeleton as the LSH route. */
+  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    trainIvfCentroids(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
+      .select(col("c_id"), col("cv")))
     val scoredC = e.join(centroids)
       .select(col("vec_id"), col("v"), col("c_id"),
         Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
@@ -208,7 +273,8 @@ object SimilarityQueries {
 
   private def annIvfSql = s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    centroids AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+    centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
+                  FROM read_parquet('$IvfCentroidsToken/*.parquet')),
     scored_c AS (
       SELECT e.vec_id, e.v, c.c_id,
              round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim

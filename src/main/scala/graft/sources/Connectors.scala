@@ -106,6 +106,76 @@ object Connectors {
     (fresh, nextCursor)
   }
 
+  /** A10/A11: JDBC scan (the reference's whole DW is a SQL database —
+    * data_warehouse.py:67-68 reads the last 40 days, dashboard.py:39 the
+    * last 24 h). Declared as a plain jdbc relation so Catalyst pushes
+    * filters and column pruning INTO the database (`PushedFilters` /
+    * pruned SELECT list in the scan) — the 40-day predicate never ships
+    * unneeded rows.
+    *
+    * Scale: a bare JDBC read is ONE partition (one connection). For large
+    * tables pass `partitionColumn`/`lowerBound`/`upperBound`/
+    * `numPartitions` in `options` so executors read disjoint slices in
+    * parallel; keep numPartitions ≤ what the database tolerates. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .load()
+
+  /** A14: full-replace JDBC write (`to_sql(if_exists="replace")`,
+    * data_warehouse.py:78). Overwrite drops/recreates (or truncates, if
+    * `options("truncate") = "true"` — cheaper, keeps indexes) the target.
+    * Writes go one connection per partition — repartition small final
+    * tables down so a 1000-partition DataFrame doesn't open 1000
+    * connections. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .mode(mode)
+      .save()
+
+  /** True iff `table` is readable over JDBC (the dashboard's
+    * information_schema probe, dashboard.py:29-34, expressed engine-
+    * agnostically: resolving the relation's schema costs one metadata
+    * round-trip and no rows). */
+  def jdbcTableExists(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): Boolean =
+    scala.util.Try(readJdbc(spark, url, table, options).schema).isSuccess
+
+  /** A15: JDBC insert-if-absent (`ON CONFLICT (keys) DO NOTHING`,
+    * yfinance_to_postgres.py:28-56). Spark's JDBC sink has no native
+    * upsert, so: anti-join the batch against the target's key columns
+    * (key-only SELECT — column pruning reaches the database), then append
+    * the survivors. Existing rows always win across batches; within a
+    * batch dropDuplicates keeps an arbitrary survivor, as in the
+    * reference's row-at-a-time loop. NOT atomic vs concurrent writers —
+    * matches the reference's semantics, which relies on the UNIQUE
+    * constraint only. */
+  def upsertJdbc(batch: DataFrame, keys: Seq[String], url: String,
+      table: String, options: Map[String, String] = Map.empty): Unit = {
+    val spark = batch.sparkSession
+    val fresh =
+      if (jdbcTableExists(spark, url, table, options)) {
+        val existing = readJdbc(spark, url, table, options)
+          .select(keys.map(col): _*)
+        batch.join(existing, keys, "left_anti")
+      } else batch
+    writeJdbc(fresh.dropDuplicates(keys), url, table, mode = "append",
+      options = options)
+  }
+
+  /** A18: catalog table-existence probe (dashboard.py:29-34). Covers
+    * temp views, global temp views and catalog tables. */
+  def tableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
   /** True on any Hadoop-visible filesystem (local, HDFS, s3a) — a plain
     * java.io.File check silently fails for every non-local URI. */
   private[graft] def pathExists(spark: SparkSession, path: String): Boolean = {

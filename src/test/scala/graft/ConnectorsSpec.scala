@@ -112,6 +112,71 @@ class ConnectorsSpec extends SparkSpec {
     assert(feats(1) == Multimodal.MediaFeature(2L, 0L, -1, 0L))
   }
 
+  // Embedded Derby stands in for the reference's SQL warehouse (no
+  // network in this environment); same Spark JDBC code path as Postgres.
+  private def derby(name: String): (String, Map[String, String]) = (
+    s"jdbc:derby:${tmp()}/$name;create=true",
+    Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "createTableColumnTypes" -> "sym VARCHAR(32)"))
+
+  test("jdbc: overwrite write + read round-trip, existence probe") {
+    import spark.implicits._
+    val (url, opts) = derby("rt")
+    assert(!Connectors.jdbcTableExists(spark, url, "quotes", opts))
+    val df = Seq(("PETR4", 10.5, 100L), ("VALE3", 61.2, 50L))
+      .toDF("sym", "price", "volume")
+    Connectors.writeJdbc(df, url, "quotes", options = opts)
+    assert(Connectors.jdbcTableExists(spark, url, "quotes", opts))
+    val back = Connectors.readJdbc(spark, url, "quotes", opts)
+      .orderBy("sym").as[(String, Double, Long)].collect()
+    assert(back.toSeq == Seq(("PETR4", 10.5, 100L), ("VALE3", 61.2, 50L)))
+    // full-replace semantics (to_sql if_exists="replace")
+    Connectors.writeJdbc(Seq(("ITUB4", 30.0, 9L)).toDF("sym", "price", "volume"),
+      url, "quotes", options = opts)
+    assert(Connectors.readJdbc(spark, url, "quotes", opts).count() == 1)
+  }
+
+  test("jdbc: filter and column pruning are pushed into the database") {
+    import spark.implicits._
+    val (url, opts) = derby("push")
+    Connectors.writeJdbc(
+      (1 to 50).map(i => (s"S$i", i * 1.0, i.toLong)).toDF("sym", "price", "volume"),
+      url, "quotes", options = opts)
+    val q = Connectors.readJdbc(spark, url, "quotes", opts)
+      .filter(col("price") >= 40.0)
+      .select("sym", "price")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(price,40.0)"), plan)
+    assert(plan.contains("ReadSchema") || !plan.contains("volume"),
+      s"volume must be pruned from the database SELECT:\n$plan")
+    assert(q.count() == 11)
+  }
+
+  test("jdbc: upsert keeps existing rows, appends only absent keys") {
+    import spark.implicits._
+    val (url, opts) = derby("ups")
+    // first batch lands whole (table doesn't exist yet)
+    Connectors.upsertJdbc(
+      Seq(("PETR4", 1L, 10.0), ("VALE3", 1L, 60.0)).toDF("sym", "seq", "price"),
+      Seq("sym", "seq"), url, "quotes", opts)
+    // conflicting (PETR4,1) must NOT overwrite; (PETR4,2) is new
+    Connectors.upsertJdbc(
+      Seq(("PETR4", 1L, 99.9), ("PETR4", 2L, 11.0)).toDF("sym", "seq", "price"),
+      Seq("sym", "seq"), url, "quotes", opts)
+    val rows = Connectors.readJdbc(spark, url, "quotes", opts)
+      .orderBy("sym", "seq").as[(String, Long, Double)].collect()
+    assert(rows.toSeq == Seq(
+      ("PETR4", 1L, 10.0), ("PETR4", 2L, 11.0), ("VALE3", 1L, 60.0)))
+  }
+
+  test("tableExists: catalog probe sees registered views, not ghosts") {
+    import spark.implicits._
+    Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("probe_t")
+    assert(Connectors.tableExists(spark, "probe_t"))
+    assert(!Connectors.tableExists(spark, "no_such_table_anywhere"))
+  }
+
   test("partitioned parquet roundtrip preserves values and prunes") {
     import spark.implicits._
     val dir = tmp() + "/pq"
