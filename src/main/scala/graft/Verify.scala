@@ -20,6 +20,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureConf(spark)
     new java.io.File(outDir).mkdirs()
+    // Setup, not query work: q_ann_ivf is a pure read that fails fast
+    // without the trained centroid model, so train (idempotent) first.
+    try graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] IVF training failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -40,20 +39,30 @@ object DedupQueries {
 
   /** Distinct word-3-gram shingle HASHES per doc — (doc_id, h) — with
     * shingles of document frequency > cap removed (see [[StopShingleDf]]).
-    * The df computation is one shuffle on h with map-side partial counts;
-    * the same shuffle the candidate self-join needs, so it adds no new
-    * exchange shape at scale. */
-  private[graft] def shingleHashesOf(docs: DataFrame, cap: Int): DataFrame =
-    docs
+    * The df pass is a `groupBy(h).count` — hash aggregation WITH map-side
+    * partial combine, so the hot shingle the cap exists to defuse arrives
+    * at the reducer as one partial count per map task, never as its full
+    * (doc_id, h) row set on one task (a window-over-h here would be
+    * exactly that single-key straggler). The surviving over-cap key set
+    * is tiny by construction — a handful of corpus-wide boilerplate
+    * shingles — so removal is a broadcast anti-join: no shuffle, no sort,
+    * no skew. The shingle stream is computed twice (once for df, once for
+    * the join input); at scale a second narrow scan+hash pass is far
+    * cheaper than sorting the full stream, and callers cache the result
+    * via [[shingleHashesCached]] anyway. */
+  private[graft] def shingleHashesOf(docs: DataFrame, cap: Int): DataFrame = {
+    val sh = docs
       .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
       .selectExpr("doc_id",
         """explode(CASE WHEN size(t) >= 3
              THEN array_distinct(transform(sequence(0, size(t) - 3),
                     i -> cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) AS BIGINT)))
              ELSE array() END) AS h""")
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= cap)
-      .drop("df")
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+  }
 
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
     shingleHashesOf(Tables(spark, dir, "documents"), StopShingleDf)
@@ -345,8 +354,15 @@ object DedupQueries {
     * result. */
   private[graft] val MaxClusterIters = 50
 
-  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(ngramJaccard(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over an undirected pair graph: every node's
+    * cluster id becomes the smallest doc_id reachable from it. Factored
+    * out of [[dedupClusters]] so tests can drive it with constructed edge
+    * lists (e.g. a long chain that forces the checkpoint branch). */
+  private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
     // undirected edge list (both directions) + self-loops so isolated
     // members keep their own label
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -388,7 +404,6 @@ object DedupQueries {
             "returning partial cluster ids would silently diverge from the " +
             "exact transitive closure")
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy("doc_id")
     } finally {
       edges.unpersist()
     }

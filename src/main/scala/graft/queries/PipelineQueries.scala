@@ -152,10 +152,15 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val selected = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)
     val ev = Tables(spark, dir, "events")
-    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    // ONE job: the anchor max(ts) is a broadcast 1-row aggregate joined
+    // into the plan (not a driver .collect() that splits the query into
+    // two jobs); the membership filter still pushes into the scan.
+    val anchor = ev.agg(max("ts").as("max_ts"))
     val recent = ev
-      .filter(col("ts") >= lit(maxTs) - expr("INTERVAL 24 HOURS") &&
-        col("user_id").isin(selected: _*))
+      .filter(col("user_id").isin(selected: _*))
+      .join(broadcast(anchor))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .drop("max_ts")
     // latest-row-per-key AND totals in ONE groupBy (max_by on the
     // (ts, event_id) sort key ≡ the row_number()=1 pick): one scan of
     // events, one shuffle — not a window pass plus an agg pass joined.

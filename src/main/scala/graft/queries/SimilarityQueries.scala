@@ -175,28 +175,50 @@ object SimilarityQueries {
 
   /** Where the trained IVF model for a given lake dir is persisted.
     * Versioned so a training-code change can't silently reuse a stale
-    * model ("v2" = spherical k-means, first-K init, 3 Lloyd iterations). */
-  def ivfModelPath(dir: String): String =
-    s"/root/repo/target/ivf/v2/${new java.io.File(dir).getName}/centroids.parquet"
+    * model ("v2" = spherical k-means, first-K init, 3 Lloyd iterations).
+    * Keyed on a hash of the ABSOLUTE dir (basename kept for readability):
+    * two lakes sharing a basename must not share a model. */
+  def ivfModelPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"/root/repo/target/ivf/v2/${new java.io.File(dir).getName}-$tag/centroids.parquet"
+  }
+
+  /** True iff a COMPLETE trained model exists for `dir` — the `_SUCCESS`
+    * marker, not the directory, is the witness (a killed mid-overwrite
+    * leaves the dir present but partial). */
+  def ivfModelTrained(spark: SparkSession, dir: String): Boolean =
+    graft.sources.Connectors.pathExists(spark,
+      s"${ivfModelPath(dir)}/_SUCCESS")
 
   /** Offline IVF training: spherical k-means (Lloyd) over the embeddings
     * — init = first NCENTROIDS vectors, LloydIters iterations, cosine
     * metric, centroids renormalized to unit length each step — persisted
     * to parquet so the probe query AND the DuckDB oracle read the SAME
     * trained bits (training happens once, in one engine; no cross-engine
-    * float reproduction needed). Idempotent: returns immediately if the
-    * model exists.
+    * float reproduction needed). Idempotent: returns immediately if a
+    * COMPLETE model (`_SUCCESS` marker) exists.
+    *
+    * This is the OFFLINE setup step — [[graft.Bench]] trains during
+    * warmup and [[graft.Verify]] as setup; the probe query itself never
+    * trains (it fails fast instead), so a measured/production query is a
+    * pure read.
     *
     * Scale shape: each iteration is one broadcast join (K vectors) + one
     * shuffle keyed (c_id, dim) for the mean — the classic distributed
     * Lloyd step; only the K centroids themselves ever come to the driver
     * (16×64 doubles — a model, not data). Components are rounded
-    * (epsilon-nudged, 6 dp) so training is bit-stable across runs and
-    * partitionings. Clusters that lose every member drop out (K may
-    * shrink); NPROBE probing tolerates that. */
+    * (epsilon-nudged, 6 dp), which keeps them stable across runs in
+    * practice; strictly, `avg` over doubles is accumulation-order
+    * dependent, so determinism is only guaranteed WITHIN a run — which
+    * suffices, because both engines read the same persisted bits and the
+    * model path is versioned by training code, not by float identity.
+    * Clusters that lose every member drop out (K may shrink); NPROBE
+    * probing tolerates that. */
   def trainIvfCentroids(spark: SparkSession, dir: String): Unit = {
     val path = ivfModelPath(dir)
-    if (graft.sources.Connectors.pathExists(spark, path)) return
+    if (ivfModelTrained(spark, dir)) return
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir, "embeddings")
@@ -236,10 +258,20 @@ object SimilarityQueries {
     * lists and rank exactly within.
     * Plan shape at scale: one narrow pass assigns centroids (broadcast
     * K vectors), lists are a hash shuffle on centroid_id, the probe is
-    * an equi-join on centroid_id — same join skeleton as the LSH route. */
+    * an equi-join on centroid_id — same join skeleton as the LSH route.
+    *
+    * FAILS FAST if the model is absent: training is a distributed
+    * multi-job side effect and must never hide inside a query (an
+    * unlucky first caller at 100 TB would pay a full k-means);
+    * [[trainIvfCentroids]] is the explicit setup step. */
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    trainIvfCentroids(spark, dir)
+    if (!ivfModelTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF centroid model missing for $dir (expected at " +
+          s"${ivfModelPath(dir)}) — run " +
+          "SimilarityQueries.trainIvfCentroids(spark, dir) first; " +
+          "Bench warmup and Verify setup do this automatically")
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))

@@ -141,13 +141,36 @@ object Connectors {
       .mode(mode)
       .save()
 
+  /** SQLStates that mean "that table does not exist" across the common
+    * dialects: Derby 42X05 / 42Y07 (schema), SQL-standard & MySQL-family
+    * 42S02, Postgres 42P01, legacy ODBC S0002. */
+  private val MissingTableSqlStates =
+    Set("42X05", "42Y07", "42S02", "42P01", "S0002")
+
+  private def isMissingTable(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists {
+      case s: java.sql.SQLException =>
+        MissingTableSqlStates.contains(Option(s.getSQLState).getOrElse(""))
+      case _ => false
+    }
+
   /** True iff `table` is readable over JDBC (the dashboard's
     * information_schema probe, dashboard.py:29-34, expressed engine-
     * agnostically: resolving the relation's schema costs one metadata
-    * round-trip and no rows). */
+    * round-trip and no rows).
+    *
+    * Only a table-NOT-FOUND SQLState counts as "absent": any other
+    * failure (auth, network, bad driver) RETHROWS. Folding those into
+    * `false` would make [[upsertJdbc]] silently skip its anti-join on a
+    * transient error and append the whole batch — duplicate keys landing
+    * without a sound, since Spark's JDBC writer creates no UNIQUE
+    * constraint to catch them. */
   def jdbcTableExists(spark: SparkSession, url: String, table: String,
       options: Map[String, String] = Map.empty): Boolean =
-    scala.util.Try(readJdbc(spark, url, table, options).schema).isSuccess
+    try { readJdbc(spark, url, table, options).schema; true }
+    catch {
+      case e: Throwable if isMissingTable(e) => false
+    }
 
   /** A15: JDBC insert-if-absent (`ON CONFLICT (keys) DO NOTHING`,
     * yfinance_to_postgres.py:28-56). Spark's JDBC sink has no native

@@ -170,6 +170,18 @@ class ConnectorsSpec extends SparkSpec {
       ("PETR4", 1L, 10.0), ("PETR4", 2L, 11.0), ("VALE3", 1L, 60.0)))
   }
 
+  test("jdbcTableExists: infrastructure failures rethrow, not 'absent'") {
+    // A nonexistent Derby database WITHOUT create=true fails with XJ004
+    // ("database not found") — an infrastructure error, not a missing
+    // table. Returning false here would make upsertJdbc skip its
+    // anti-join on any transient failure and append duplicate keys.
+    val badUrl = s"jdbc:derby:${tmp()}/no_such_db"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    intercept[Throwable] {
+      Connectors.jdbcTableExists(spark, badUrl, "quotes", opts)
+    }
+  }
+
   test("tableExists: catalog probe sees registered views, not ghosts") {
     import spark.implicits._
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("probe_t")

@@ -159,6 +159,31 @@ class DedupSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("long-chain cluster loop: checkpoint branch taken, exact labels, bounded caching") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // A pure chain 0-1-2-…-12 (diameter 12): min-label 0 travels one hop
+    // per iteration, so convergence needs ≥ 12 iterations — the
+    // localCheckpoint-every-5-iters branch fires at iters 5 and 10 (the
+    // short-diameter corpora in other tests never reach it). Plus an
+    // isolated pair to prove labels don't bleed across components.
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val pairs = (chain :+ (100L, 101L)).toDF("doc_a", "doc_b")
+    DedupQueries.clearShingleCache()
+    System.gc() // let ContextCleaner drop unreferenced RDDs from prior tests
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = DedupQueries.clusterLabels(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(out == ((0L to 12L).map((_, 0L)) ++ Seq((100L, 100L), (101L, 100L))))
+    // ≥ 13 iterations ran, yet the superseded generations were released:
+    // only the final labels generation (+ at most a pending-GC checkpoint
+    // RDD and the cached edge list's replacement window) may remain.
+    assert(after - before <= 3,
+      s"cached RDDs grew by ${after - before} over a 13-iteration loop — " +
+        "checkpoint/unpersist path is leaking generations")
+  }
+
   test("simhash of identical token multisets is identical (hamming 0)") {
     import spark.implicits._
     val tok = Seq((0L, "x y z x"), (1L, "x y z x"), (2L, "p q r s t u v w"))

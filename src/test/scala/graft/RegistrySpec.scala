@@ -8,6 +8,13 @@ import graft.queries.Registry
 class RegistrySpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // q_ann_ivf fails fast without its trained model (training is an
+    // explicit setup step, never part of a query) — mirror Bench/Verify.
+    graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
+  }
+
   test("query names are unique and non-empty") {
     val names = Registry.all.map(_.name)
     assert(names.nonEmpty && names.distinct.size == names.size)
