@@ -106,15 +106,24 @@ object SimilarityQueries {
     * Vectors never travel through the bucket explode or the candidate
     * distinct — only (vec_id, tbl, bucket) triples shuffle; the 64-dim
     * arrays are re-joined just for the final scoring of surviving pairs. */
-  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables(spark, dir, "embeddings")
+  private def embeddingsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** (vec_id, tbl, bucket) triples — the narrow LSH bucket assignment
+    * pass shared by [[annLsh]] and the recall diagnostics. */
+  private def lshBucketsOf(e: DataFrame): DataFrame = {
     val tblCols = (0 until TABLES).map { t =>
       s"named_struct('tbl', $t, 'bucket', ${bucketSpark(t, "v")})"
     }.mkString(", ")
-    val buckets = e.selectExpr("vec_id", s"explode(array($tblCols)) AS tb")
+    e.selectExpr("vec_id", s"explode(array($tblCols)) AS tb")
       .selectExpr("vec_id", "tb.tbl AS tbl", "tb.bucket AS bucket")
+  }
+
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddingsOf(spark, dir)
+    val buckets = lshBucketsOf(e)
     val q = buckets.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
@@ -264,6 +273,23 @@ object SimilarityQueries {
     * multi-job side effect and must never hide inside a query (an
     * unlucky first caller at 100 TB would pay a full k-means);
     * [[trainIvfCentroids]] is the explicit setup step. */
+  /** Every vector scored against the trained centroids and ranked per
+    * vector: (vec_id, v, c_id, c_sim, crank). crank 1 is the vector's
+    * list assignment; crank ≤ NPROBE are a query's probed lists. Shared
+    * by [[annIvf]] and the recall diagnostics. */
+  private def centroidRanked(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddingsOf(spark, dir)
+    val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
+      .select(col("c_id"), col("cv")))
+    val scoredC = e.join(centroids)
+      .select(col("vec_id"), col("v"), col("c_id"),
+        Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("c_id"))
+    scoredC.withColumn("crank", row_number().over(wAssign))
+  }
+
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (!ivfModelTrained(spark, dir))
@@ -272,18 +298,9 @@ object SimilarityQueries {
           s"${ivfModelPath(dir)}) — run " +
           "SimilarityQueries.trainIvfCentroids(spark, dir) first; " +
           "Bench warmup and Verify setup do this automatically")
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
-      .select(col("c_id"), col("cv")))
-    val scoredC = e.join(centroids)
-      .select(col("vec_id"), col("v"), col("c_id"),
-        Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c_sim").desc, col("c_id"))
     // rank ONCE; assignment (rank 1) and query probes (rank ≤ NPROBE) are
     // filters over the same ranked pass, not two independent scoring scans
-    val ranked = scoredC.withColumn("crank", row_number().over(wAssign))
+    val ranked = centroidRanked(spark, dir)
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("c_id"))
     val probes = ranked
@@ -333,6 +350,61 @@ object SimilarityQueries {
     FROM scored
     QUALIFY rank <= $TOPK
     ORDER BY query_id, rank"""
+
+  /** One approximate route's quality/cost vs brute force: recall@1 and
+    * recall@10 over the NQUERIES query vectors, and the mean fraction of
+    * the corpus each query visits (scored candidates / (N−1)). */
+  final case class AnnRouteStats(route: String, recallAt1: Double,
+    recallAt10: Double, visitedFraction: Double)
+
+  /** Offline diagnostic (NOT a registry query): measures both ANN routes
+    * against [[annBrute]] ground truth on `dir`. Trains the IVF model if
+    * absent — this is setup tooling, the same tier as training itself. */
+  def annRecallStats(spark: SparkSession, dir: String): Seq[AnnRouteStats] = {
+    trainIvfCentroids(spark, dir)
+    val n = Tables(spark, dir, "embeddings").count()
+    val brute = annBrute(spark, dir)
+      .select("query_id", "neighbor_id", "rank").cache()
+    def recallVs(res: DataFrame, k: Int): Double = {
+      val truth = brute.filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      truth.join(res.filter(col("rank") <= k)
+          .select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count().toDouble / truth.count()
+    }
+    // LSH cost: distinct candidates per query over the bucket equi-join
+    val buckets = lshBucketsOf(embeddingsOf(spark, dir)).cache()
+    val qb = buckets.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val lshVisited = broadcast(qb)
+      .join(buckets, col("qtbl") === col("tbl") &&
+        col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+      .groupBy("query_id").count()
+      .agg(avg(col("count") / (n - 1.0))).first().getDouble(0)
+    // IVF cost: sizes of each query's NPROBE probed lists (lists are
+    // disjoint — crank 1 partitions the corpus); −1 for the query itself,
+    // which always sits in one of its own probed lists
+    val ranked = centroidRanked(spark, dir).cache()
+    val listSizes = ranked.filter(col("crank") === 1)
+      .groupBy("c_id").agg(count(lit(1)).as("sz"))
+    val ivfVisited = ranked
+      .filter(col("vec_id") < NQUERIES && col("crank") <= NPROBE)
+      .select(col("vec_id").as("query_id"), col("c_id"))
+      .join(listSizes, "c_id")
+      .groupBy("query_id").agg(sum("sz").as("visited"))
+      .agg(avg((col("visited") - 1.0) / (n - 1.0))).first().getDouble(0)
+    val lshRes = annLsh(spark, dir).cache()
+    val ivfRes = annIvf(spark, dir).cache()
+    val out = Seq(
+      AnnRouteStats("lsh", recallVs(lshRes, 1), recallVs(lshRes, TOPK),
+        lshVisited),
+      AnnRouteStats("ivf", recallVs(ivfRes, 1), recallVs(ivfRes, TOPK),
+        ivfVisited))
+    Seq(brute, buckets, ranked, lshRes, ivfRes).foreach(_.unpersist())
+    out
+  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),

@@ -182,6 +182,98 @@ class ConnectorsSpec extends SparkSpec {
     }
   }
 
+  // A16/A17: canned payloads stand in for the HTTP/library transports
+  // (zero egress here); the injectable Fetcher seam is the contract.
+  private val cannedBrapi = Map(
+    "https://brapi.dev/api/quote/PETR4" ->
+      """{"results":[{"symbol":"PETR4","shortName":"PETROBRAS PN",
+         "regularMarketPrice":38.52,"regularMarketChange":0.45,
+         "regularMarketVolume":52134800,
+         "regularMarketTime":"2026-08-11 20:07:00"}]}""",
+    "https://brapi.dev/api/quote/VALE3" ->
+      """{"results":[{"symbol":"VALE3","shortName":"VALE ON",
+         "regularMarketPrice":61.03,"regularMarketChange":-0.12,
+         "regularMarketVolume":31002100,
+         "regularMarketTime":"2026-08-11 20:07:00"}]}""",
+    "https://brapi.dev/api/quote/BAD" -> """{"error":"not found"}""")
+
+  private val cannedYf = Map(
+    "PETR4.SA" ->
+      """{"symbol":"PETR4.SA","bars":[
+         {"timestamp":"2026-08-11 10:00:00","open":38.00,"high":38.30,
+          "low":37.90,"close":38.10,"volume":1000},
+         {"timestamp":"2026-08-11 17:00:00","open":38.10,"high":38.60,
+          "low":38.05,"close":38.52,"volume":2000}]}""",
+    "VALE3.SA" ->
+      """{"symbol":"VALE3.SA","bars":[
+         {"timestamp":"2026-08-11 17:00:00","open":61.20,"high":61.40,
+          "low":60.90,"close":61.03,"volume":900}]}""",
+    "^BVSP" -> """{"symbol":"^BVSP","bars":[]}""")
+
+  test("A16 brapi fetch: canned JSON → declared-schema rows, bad payload visible") {
+    import graft.sources.ExternalFetch
+    val df = ExternalFetch.fetchBrapiQuotes(spark,
+      Seq("PETR4", "VALE3", "BAD"), cannedBrapi)
+    val rows = df.orderBy("ticker").collect()
+    assert(rows.length == 3)
+    val petr = rows.find(_.getString(0) == "PETR4").get
+    assert(petr.getAs[Boolean]("fetch_ok"))
+    assert(petr.getAs[String]("symbol") == "PETR4")
+    assert(petr.getAs[Double]("regular_price") == 38.52)
+    assert(petr.getAs[Long]("volume") == 52134800L)
+    assert(petr.getAs[java.sql.Timestamp]("quote_ts") ==
+      java.sql.Timestamp.valueOf("2026-08-11 20:07:00"))
+    val bad = rows.find(_.getString(0) == "BAD").get
+    assert(!bad.getAs[Boolean]("fetch_ok")) // malformed: flagged, not dropped
+    assert(bad.isNullAt(bad.fieldIndex("symbol")))
+  }
+
+  test("A17 yfinance fetch: last bar wins, empty history skipped, upsert keyed (symbol, timestamp)") {
+    import spark.implicits._
+    import graft.sources.ExternalFetch
+    val df = ExternalFetch.fetchYfinanceQuotes(spark,
+      Seq("PETR4.SA", "VALE3.SA", "^BVSP"), cannedYf)
+    val rows = df.orderBy("symbol").collect()
+    assert(rows.length == 2) // ^BVSP's empty history yields no row
+    val petr = rows.find(_.getString(0) == "PETR4.SA").get
+    assert(petr.getAs[Double]("close") == 38.52) // iloc[-1]: LAST bar
+    assert(petr.getAs[Long]("volume") == 2000L)
+    // the reference's ON CONFLICT (symbol, timestamp) DO NOTHING:
+    val target = tmp() + "/yf"
+    Connectors.upsertParquet(df, Seq("symbol", "timestamp"), target)
+    Connectors.upsertParquet(
+      ExternalFetch.fetchYfinanceQuotes(spark, Seq("PETR4.SA"),
+        Map("PETR4.SA" ->
+          """{"symbol":"PETR4.SA","bars":[
+             {"timestamp":"2026-08-11 17:00:00","open":0.0,"high":0.0,
+              "low":0.0,"close":99.9,"volume":1}]}""")),
+      Seq("symbol", "timestamp"), target)
+    val back = spark.read.parquet(target)
+    assert(back.count() == 2) // conflicting key rejected, nothing new landed
+    assert(back.filter(col("symbol") === "PETR4.SA")
+      .select("close").as[Double].collect().toSeq == Seq(38.52))
+  }
+
+  test("A16+A17 end-to-end: fetched quotes through the latest-per-key enrich core") {
+    import graft.operators.B3Pipeline
+    import graft.sources.ExternalFetch
+    val brapi = ExternalFetch.fetchBrapiQuotes(spark,
+      Seq("PETR4", "VALE3"), cannedBrapi)
+      .select("symbol", "regular_price")
+    val yf = ExternalFetch.fetchYfinanceQuotes(spark,
+      Seq("PETR4.SA", "VALE3.SA"), cannedYf)
+      .withColumn("symbol", B3Pipeline.normalizeSymbol(col("symbol")))
+    val enriched = brapi.join(yf, Seq("symbol"))
+      .select(col("symbol"), col("regular_price"), col("open"), col("close"),
+        round(B3Pipeline.changeDay(col("open"), col("close")), 2)
+          .as("change_day"))
+      .orderBy("symbol").collect()
+    assert(enriched.length == 2)
+    val petr = enriched(0)
+    assert(petr.getAs[String]("symbol") == "PETR4")
+    assert(petr.getAs[Double]("change_day") == 0.42) // 38.52 - 38.10
+  }
+
   test("tableExists: catalog probe sees registered views, not ghosts") {
     import spark.implicits._
     Seq((1, "x")).toDF("id", "s").createOrReplaceTempView("probe_t")
