@@ -159,6 +159,24 @@ class DedupSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("stop-shingle df cap plan: no window over h, broadcast anti-join") {
+    import graft.queries.DedupQueries
+    val d = docs((0L until 20L).map(i =>
+      (i, s"subscribe to newsletter u${i}a u${i}b u${i}c u${i}d u${i}e")))
+    val sh = DedupQueries.shingleHashesOf(d, 10)
+    sh.count() // force execution so AQE's FINAL plan is inspectable
+    val plan = sh.queryExecution.executedPlan.toString
+    // the df cap must be a partial-aggregating groupBy + broadcast
+    // anti-join — a Window over h would funnel every hot shingle's rows
+    // into one task, the exact straggler the cap exists to prevent
+    assert(!plan.contains("Window"), s"window straggler in plan:\n$plan")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"anti-join not broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"df pass must be a partial-aggregating groupBy:\n$plan")
+  }
+
   test("long-chain cluster loop: checkpoint branch taken, exact labels, bounded caching") {
     import spark.implicits._
     import graft.queries.DedupQueries
