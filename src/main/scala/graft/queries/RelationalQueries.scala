@@ -252,6 +252,23 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bucket")
 
+  /** Salted heavy-hitter aggregation, oracle-proven: the whole events
+    * table collapses onto 5 event_type keys — the degenerate skew where a
+    * plain groupBy leaves all but 5 reducers idle and the hottest key
+    * lands on ONE task. [[graft.operators.Skew.saltedSumCount]] spreads
+    * each key over 16 salt buckets (partial sums/counts per (key, salt)),
+    * then re-aggregates the 5×16 partials — identical result, bounded
+    * per-task fan-in at any scale. The oracle is the PLAIN aggregation:
+    * the gate proves salting is an execution detail, not a semantics
+    * change. */
+  private def skewSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSumCount(
+      Tables(spark, dir, "events"), "event_type", "value", "event_id", 16)
+      .select(col("event_type"),
+        Num.r(col("total"), 2).as("total_value"),
+        col("n").as("n_events"))
+      .orderBy("event_type")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_join_outer", joinOuter, Some("""
       SELECT c_custkey, c_mktsegment,
@@ -389,5 +406,10 @@ object RelationalQueries {
              greatest(n_chars, 300) - least(n_chars, 300) AS range_amp
       FROM documents
       ORDER BY doc_id""")),
+    QueryDef("q_skew_salted", skewSalted, Some("""
+      SELECT event_type,
+             round(sum(value) + 1e-9, 2) AS total_value,
+             count(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }

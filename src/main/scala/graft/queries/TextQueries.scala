@@ -263,7 +263,115 @@ object TextQueries {
         Num.r(avg("n_chars"), 4).as("avg_chars"))
   }
 
+  /** Flagship LLM-training-data pipeline, end-to-end in ONE plan:
+    * quality scoring → language filter (keep 'en') → exact dedup
+    * (canonical = min doc_id per content fingerprint) → deterministic
+    * 80/10/10 split assignment → per-(split, source) corpus accounting.
+    * Every stage is the engine's own operator re-used verbatim, so the
+    * oracle gate proves the COMPOSITION, not just the pieces.
+    *
+    * Scale shape: one narrow pass computes tokens/quality/lang/fp per doc
+    * (all codegen'd built-ins, no UDFs), one shuffle on fp for the dedup
+    * (`min_by` groupBy — map-side partial, no window, no join-back), one
+    * shuffle for the final small aggregate. A 100 TB corpus flows through
+    * exactly two exchanges. */
+  private def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langMarkers.map { case (l, ms) =>
+      s"size(filter($toks, t -> t IN ${sqlSet(ms)})) AS s_$l"
+    }
+    val base = Tables(spark, dir, "documents").selectExpr(Seq(
+      "doc_id", "source",
+      s"cast(size($toks) AS BIGINT) AS n_tokens",
+      s"""round(size(filter($toks, t -> t IN ${sqlSet(stopwords)}))
+          / cast(size($toks) AS DOUBLE) + 1e-9, 4) AS stopword_ratio""",
+      """round((length(text) - length(regexp_replace(text, '[.,!?;:]', '')))
+          / cast(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio""",
+      "md5(lower(trim(text))) AS fp") ++ scoreCols: _*)
+    val best = langMarkers.map(_._1)
+      .foldLeft(lit(0))((acc, l) => greatest(acc, col(s"s_$l")))
+    val pred = langMarkers.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) =>
+        when(col(s"s_$l") === col("best") && col("best") > 0, lit(l))
+          .otherwise(acc)
+    }
+    val scored = base.withColumn("best", best)
+      .withColumn("pred_lang", pred)
+      .withColumn("quality_score",
+        Num.r(when(col("n_tokens") >= 20, lit(0.5)).otherwise(lit(0.0)) +
+          when(col("stopword_ratio") > 0.01, lit(0.3)).otherwise(lit(0.0)) +
+          when(col("punct_ratio") < 0.1, lit(0.2)).otherwise(lit(0.0)), 2))
+    val filtered = scored
+      .filter(col("quality_score") >= 0.8 && col("pred_lang") === "en")
+    val kept = filtered.groupBy("fp")
+      .agg(min_by(
+        struct(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_score")), col("doc_id")).as("r"))
+      .select("r.*")
+    kept.selectExpr("*",
+        """CASE
+             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 < 8 THEN 'train'
+             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 8 THEN 'val'
+             ELSE 'test'
+           END AS split""")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        Num.r(avg("quality_score"), 4).as("avg_quality"))
+      .orderBy("split", "source")
+  }
+
+  private def pipelineE2eSql: String = {
+    val scores = langMarkers.map { case (l, ms) =>
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ${sqlSet(ms)})) AS s_$l"
+    }.mkString(",\n               ")
+    val best = s"greatest(${langMarkers.map(m => "s_" + m._1).mkString(", ")}, 0)"
+    val pred = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""
+      WITH base AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t IN ${sqlSet(stopwords)}))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) + 1e-9, 4) AS stopword_ratio,
+               round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio,
+               md5(lower(trim(text))) AS fp,
+               $scores
+        FROM documents),
+      withbest AS (SELECT *, $best AS best FROM base),
+      scored AS (
+        SELECT *, $pred AS pred_lang,
+               round((CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END) + 1e-9, 2)
+                 AS quality_score
+        FROM withbest),
+      filtered AS (
+        SELECT * FROM scored
+        WHERE quality_score >= 0.8 AND pred_lang = 'en'),
+      kept AS (
+        SELECT * FROM filtered
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      assigned AS (
+        SELECT *,
+               CASE
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM kept)
+      SELECT split, source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(avg(quality_score) + 1e-9, 4) AS avg_quality
+      FROM assigned
+      GROUP BY split, source
+      ORDER BY split, source"""
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("q_profile", profile, Some("""
       SELECT count(*) AS n_rows,
              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
