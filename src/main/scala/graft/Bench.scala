@@ -36,11 +36,13 @@ object Bench {
     // fail fast and the measured run times only the probe query.
     var warmupFailures = 0
     Seq(warmDir, sfDir).foreach { d =>
-      try graft.queries.SimilarityQueries.trainIvfCentroids(spark, d)
-      catch { case e: Throwable =>
+      try {
+        graft.queries.SimilarityQueries.trainIvfCentroids(spark, d)
+        graft.queries.SimilarityQueries.trainPqCodebooks(spark, d)
+      } catch { case e: Throwable =>
         warmupFailures += 1
-        System.err.println(s"[bench] WARNING: IVF training failed on $d: " +
-          e.getMessage)
+        System.err.println(s"[bench] WARNING: ANN model training failed on " +
+          s"$d: ${e.getMessage}")
       }
     }
     headline.foreach { q =>

@@ -20,11 +20,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureConf(spark)
     new java.io.File(outDir).mkdirs()
-    // Setup, not query work: q_ann_ivf is a pure read that fails fast
-    // without the trained centroid model, so train (idempotent) first.
-    try graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] IVF training failed: ${e.getMessage}")
+    // Setup, not query work: q_ann_ivf / q_ann_pq are pure reads that
+    // fail fast without their trained models, so train (idempotent) first.
+    try {
+      graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
+      graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] ANN model training failed: ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -50,8 +52,11 @@ object Verify {
     // on the sf dir, so the static SQL carries a token resolved here.
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        val sql = v.replace(graft.queries.SimilarityQueries.IvfCentroidsToken,
-          graft.queries.SimilarityQueries.ivfModelPath(sfDir))
+        val sql = v
+          .replace(graft.queries.SimilarityQueries.IvfCentroidsToken,
+            graft.queries.SimilarityQueries.ivfModelPath(sfDir))
+          .replace(graft.queries.SimilarityQueries.PqCodebooksToken,
+            graft.queries.SimilarityQueries.pqModelPath(sfDir))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -351,6 +351,192 @@ object SimilarityQueries {
     QUALIFY rank <= $TOPK
     ORDER BY query_id, rank"""
 
+  // ---------------------------------------------------------------- PQ
+  private val PQ_M = 8 // subspaces
+  private val PQ_SUBDIM = DIM / PQ_M // dims per subspace
+  private val PQ_K = 16 // codes per subspace
+  private val PQ_RERANK = 50 // exact-rerank candidate budget per query
+
+  /** Placeholder the PQ oracle SQL carries for the trained-codebook
+    * parquet; [[graft.Verify]] substitutes [[pqModelPath]]. */
+  val PqCodebooksToken = "__PQ_CODEBOOKS__"
+
+  /** Trained-PQ-codebook location, same keying discipline as
+    * [[ivfModelPath]] ("v1" = L2 k-means per subspace, first-K init,
+    * 3 Lloyd iterations). */
+  def pqModelPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"/root/repo/target/pq/v1/${new java.io.File(dir).getName}-$tag/codebooks.parquet"
+  }
+
+  def pqModelTrained(spark: SparkSession, dir: String): Boolean =
+    graft.sources.Connectors.pathExists(spark,
+      s"${pqModelPath(dir)}/_SUCCESS")
+
+  /** Long-form subvector view: (vec_id, m, subv) — each 64-dim vector
+    * split into PQ_M contiguous PQ_SUBDIM-dim slices. */
+  private def subvectorsOf(e: DataFrame): DataFrame =
+    e.selectExpr("vec_id",
+        s"""explode(transform(sequence(0, ${PQ_M - 1}),
+             m -> named_struct('m', m, 'subv', slice(v, m * $PQ_SUBDIM + 1, $PQ_SUBDIM)))) AS s""")
+      .selectExpr("vec_id", "s.m AS m", "s.subv AS subv")
+
+  /** L2 nearest-code distance surrogate: argmin ‖x−c‖² ≡
+    * argmin (‖c‖² − 2·x·c) — both dot products are the proven
+    * bit-identical left fold, so assignment agrees across engines. */
+  private val pqDistExpr =
+    "dot_product(cv, cv) - 2 * dot_product(subv, cv)"
+
+  /** Offline product-quantization training: independent L2 k-means per
+    * subspace (first-PQ_K init, LloydIters iterations, 6-dp rounded
+    * centers — same discipline as [[trainIvfCentroids]]), ALL subspaces
+    * trained in one DataFrame program per iteration (the subspace id is
+    * just another key in the shuffle, not a loop). Codebooks persist to
+    * parquet; both engines read the same trained bits. PQ is the
+    * COMPRESSION tier of the standard 100 TB ANN stack: 64 doubles
+    * (512 B) become PQ_M 4-bit codes (4 B) — the corpus scan that ADC
+    * scoring pays is 128× smaller than the raw vectors. */
+  def trainPqCodebooks(spark: SparkSession, dir: String): Unit = {
+    if (pqModelTrained(spark, dir)) return
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sub = subvectorsOf(embeddingsOf(spark, dir))
+    var cents: Seq[(Int, Int, Seq[Double])] =
+      sub.filter(col("vec_id") < PQ_K)
+        .select(col("m"), col("vec_id").cast("int").as("code"), col("subv"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+    for (_ <- 1 to LloydIters) {
+      val cdf = broadcast(cents.toDF("m", "code", "cv"))
+      val wAssign = Window.partitionBy("vec_id", "m")
+        .orderBy(col("d"), col("code"))
+      val assigned = sub.join(cdf, "m")
+        .select(col("vec_id"), col("m"), col("subv"), col("code"),
+          Num.r(expr(pqDistExpr), 6).as("d"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      cents = assigned
+        .select(col("m"), col("code"), posexplode(col("subv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos").agg(avg("x").as("mu"))
+        .groupBy("m", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("m"), col("code"),
+          expr("transform(pm, s -> round(s.mu + 1e-9, 6))").as("cv"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+    }
+    cents.toDF("m", "code", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(pqModelPath(dir))
+  }
+
+  /** PQ ANN with asymmetric distance computation (ADC) + exact re-rank:
+    * every vector is encoded as its nearest code per subspace; a query
+    * builds a tiny lookup table (PQ_M × PQ_K exact sub-dot-products,
+    * broadcast) and each vector's approximate cosine is the sum of its
+    * codes' LUT entries; the PQ_RERANK best approximate candidates are
+    * re-scored exactly. Fails fast without the trained codebooks, like
+    * [[annIvf]].
+    *
+    * Scale shape: encode = broadcast join against PQ_M·PQ_K centers +
+    * one (vec_id, m) window over exactly PQ_K rows each; ADC = broadcast
+    * LUT join + partial-aggregating groupBy on (query_id, vec_id); the
+    * exact re-rank touches PQ_RERANK vectors per query. ADC is O(N)
+    * per query BY DESIGN — PQ is the compression tier; composing it
+    * under the IVF coarse quantizer (probe lists only) is the standard
+    * sublinear stack, and both tiers live in this file. */
+  private def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (!pqModelTrained(spark, dir))
+      throw new IllegalStateException(
+        s"PQ codebooks missing for $dir (expected at ${pqModelPath(dir)}) " +
+          "— run SimilarityQueries.trainPqCodebooks(spark, dir) first; " +
+          "Bench warmup and Verify setup do this automatically")
+    val e = embeddingsOf(spark, dir)
+    val sub = subvectorsOf(e)
+    val cb = broadcast(spark.read.parquet(pqModelPath(dir))
+      .select(col("m"), col("code"), col("cv")))
+    val wAssign = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d"), col("code"))
+    val codes = sub.join(cb, "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        Num.r(expr(pqDistExpr), 6).as("d"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "code")
+    val lut = sub.filter(col("vec_id") < NQUERIES)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb, "m")
+      .select(col("query_id"), col("m"), col("code"),
+        Num.r(expr("dot_product(subv, cv)"), 6).as("p"))
+    val adc = codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(Num.r(sum("p"), 6).as("adc"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = adc.withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= PQ_RERANK)
+      .select("query_id", "vec_id")
+    val scored = cand
+      .join(broadcast(e.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .selectExpr("query_id", "neighbor_id", "cosine", "cast(rank AS BIGINT) AS rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private def annPqSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, m,
+             list_slice(v, m * $PQ_SUBDIM + 1, m * $PQ_SUBDIM + $PQ_SUBDIM) AS subv
+      FROM e, unnest(range(0, $PQ_M)) AS u(m)),
+    cb AS (SELECT m, code, cv::DOUBLE[] AS cv
+           FROM read_parquet('$PqCodebooksToken/*.parquet')),
+    dists AS (
+      SELECT s.vec_id, s.m, c.code,
+             round(list_dot_product(c.cv, c.cv)
+                   - 2 * list_dot_product(s.subv, c.cv) + 1e-9, 6) AS d
+      FROM sub s JOIN cb c ON s.m = c.m),
+    codes AS (
+      SELECT vec_id, m, code FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, code) = 1),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.code,
+             round(list_dot_product(s.subv, c.cv) + 1e-9, 6) AS p
+      FROM sub s JOIN cb c ON s.m = c.m
+      WHERE s.vec_id < $NQUERIES),
+    adc AS (
+      SELECT l.query_id, k.vec_id, round(sum(p) + 1e-9, 6) AS adc
+      FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+      WHERE l.query_id <> k.vec_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, vec_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, vec_id) <= $PQ_RERANK),
+    scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, x.v) + 1e-9, 6) AS cosine
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e x ON x.vec_id = c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= $TOPK
+    ORDER BY query_id, rank"""
+
   /** One approximate route's quality/cost vs brute force: recall@1 and
     * recall@10 over the NQUERIES query vectors, and the mean fraction of
     * the corpus each query visits (scored candidates / (N−1)). */
@@ -362,6 +548,7 @@ object SimilarityQueries {
     * absent — this is setup tooling, the same tier as training itself. */
   def annRecallStats(spark: SparkSession, dir: String): Seq[AnnRouteStats] = {
     trainIvfCentroids(spark, dir)
+    trainPqCodebooks(spark, dir)
     val n = Tables(spark, dir, "embeddings").count()
     val brute = annBrute(spark, dir)
       .select("query_id", "neighbor_id", "rank").cache()
@@ -397,12 +584,18 @@ object SimilarityQueries {
       .agg(avg((col("visited") - 1.0) / (n - 1.0))).first().getDouble(0)
     val lshRes = annLsh(spark, dir).cache()
     val ivfRes = annIvf(spark, dir).cache()
+    val pqRes = annPq(spark, dir).cache()
     val out = Seq(
       AnnRouteStats("lsh", recallVs(lshRes, 1), recallVs(lshRes, TOPK),
         lshVisited),
       AnnRouteStats("ivf", recallVs(ivfRes, 1), recallVs(ivfRes, TOPK),
-        ivfVisited))
-    Seq(brute, buckets, ranked, lshRes, ivfRes).foreach(_.unpersist())
+        ivfVisited),
+      // PQ's ADC pass touches every CODE (by design — compression tier);
+      // "visited" here reports the exact-rerank fraction, the share of
+      // raw vectors actually read
+      AnnRouteStats("pq", recallVs(pqRes, 1), recallVs(pqRes, TOPK),
+        PQ_RERANK.toDouble / (n - 1.0)))
+    Seq(brute, buckets, ranked, lshRes, ivfRes, pqRes).foreach(_.unpersist())
     out
   }
 
@@ -410,5 +603,6 @@ object SimilarityQueries {
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("q_ann_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("q_ann_pq", annPq, Some(annPqSql)),
   )
 }

@@ -42,6 +42,20 @@ object StreamingPipeline {
     src.withWatermark(tsCol, lateness)
       .dropDuplicates(key, tsCol)
 
+  /** Streaming exact dedup of a DOCUMENT stream by content fingerprint —
+    * the north-star ingest shape: an arriving corpus is deduped online
+    * against everything seen inside the lateness horizon, so re-crawled /
+    * re-published boilerplate never reaches the lake. First occurrence
+    * wins (same batch semantics as the batch q_dedup_exact canonical =
+    * first seen). State is one 60-bit fingerprint per distinct content in
+    * the watermark window — O(distinct recent docs), never O(history). */
+  def dedupByContent(src: DataFrame, textCol: String, tsCol: String,
+      lateness: String): DataFrame =
+    src.withColumn("fp",
+        expr(s"cast(conv(substr(md5(lower(trim($textCol))), 1, 15), 16, 10) AS BIGINT)"))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicates("fp")
+
   /** The enrichment projection of data_processing.py:69-83 applied on a
     * stream: symbol normalize + guarded change_day. Stateless → appends. */
   def enrich(src: DataFrame): DataFrame =

@@ -10,9 +10,11 @@ class RegistrySpec extends SparkSpec {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    // q_ann_ivf fails fast without its trained model (training is an
-    // explicit setup step, never part of a query) — mirror Bench/Verify.
+    // q_ann_ivf / q_ann_pq fail fast without their trained models
+    // (training is an explicit setup step, never part of a query) —
+    // mirror Bench/Verify.
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
+    graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
   }
 
   test("query names are unique and non-empty") {

@@ -29,6 +29,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1) == ("B", 3.0))
   }
 
+  test("dedupByContent: streaming corpus dedup by fingerprint, first doc wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, ts(10), "the quick brown fox"),
+      (2L, ts(11), "The Quick Brown FOX  "), // same content after normalize
+      (3L, ts(12), "completely different document"))
+    val out = StreamingPipeline.dedupByContent(
+      mem.toDF.toDF("doc_id", "t", "text"), "text", "t", "1 hour")
+    StreamingPipeline.drainAvailableNow(out, "deduped_docs")
+    val rows = spark.sql("SELECT doc_id FROM deduped_docs ORDER BY doc_id")
+      .as[Long].collect()
+    assert(rows.toSeq == Seq(1L, 3L)) // doc 2 deduped against doc 1's fp
+  }
+
   test("enrich: symbol normalize + falsy-zero change_day on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
