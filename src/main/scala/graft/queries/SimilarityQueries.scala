@@ -430,6 +430,38 @@ object SimilarityQueries {
       .write.mode("overwrite").parquet(pqModelPath(dir))
   }
 
+  /** PQ encode: each vector's nearest code per subspace —
+    * (vec_id, m, code). Broadcast join against the PQ_M·PQ_K codebook,
+    * then a (vec_id, m) window over exactly PQ_K rows. */
+  private def pqCodesOf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = subvectorsOf(embeddingsOf(spark, dir))
+    val cb = broadcast(spark.read.parquet(pqModelPath(dir))
+      .select(col("m"), col("code"), col("cv")))
+    val wAssign = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d"), col("code"))
+    sub.join(cb, "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        Num.r(expr(pqDistExpr), 6).as("d"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "code")
+  }
+
+  /** Per-query ADC lookup table: exact sub-dot-product of every query
+    * subvector against every code center — (query_id, m, code, p);
+    * NQUERIES·PQ_M·PQ_K rows, always broadcastable. */
+  private def pqLutOf(spark: SparkSession, dir: String): DataFrame = {
+    val sub = subvectorsOf(embeddingsOf(spark, dir))
+    val cb = broadcast(spark.read.parquet(pqModelPath(dir))
+      .select(col("m"), col("code"), col("cv")))
+    sub.filter(col("vec_id") < NQUERIES)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cb, "m")
+      .select(col("query_id"), col("m"), col("code"),
+        Num.r(expr("dot_product(subv, cv)"), 6).as("p"))
+  }
+
   /** PQ ANN with asymmetric distance computation (ADC) + exact re-rank:
     * every vector is encoded as its nearest code per subspace; a query
     * builds a tiny lookup table (PQ_M × PQ_K exact sub-dot-products,
@@ -453,22 +485,8 @@ object SimilarityQueries {
           "— run SimilarityQueries.trainPqCodebooks(spark, dir) first; " +
           "Bench warmup and Verify setup do this automatically")
     val e = embeddingsOf(spark, dir)
-    val sub = subvectorsOf(e)
-    val cb = broadcast(spark.read.parquet(pqModelPath(dir))
-      .select(col("m"), col("code"), col("cv")))
-    val wAssign = Window.partitionBy("vec_id", "m")
-      .orderBy(col("d"), col("code"))
-    val codes = sub.join(cb, "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        Num.r(expr(pqDistExpr), 6).as("d"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("vec_id", "m", "code")
-    val lut = sub.filter(col("vec_id") < NQUERIES)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(cb, "m")
-      .select(col("query_id"), col("m"), col("code"),
-        Num.r(expr("dot_product(subv, cv)"), 6).as("p"))
+    val codes = pqCodesOf(spark, dir)
+    val lut = pqLutOf(spark, dir)
     val adc = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id")
@@ -537,6 +555,124 @@ object SimilarityQueries {
     QUALIFY rank <= $TOPK
     ORDER BY query_id, rank"""
 
+  /** IVF-PQ — the full sublinear compressed stack, composed from the two
+    * trained models: the IVF coarse quantizer restricts each query to its
+    * NPROBE inverted lists (~NPROBE/K of the corpus), ADC scores ONLY
+    * those lists' members from their 4-byte PQ codes, and the PQ_RERANK
+    * best approximate candidates are re-scored exactly. This is the
+    * layout a 100 TB vector corpus actually ships: raw vectors are read
+    * for the re-rank tier alone; everything else touches centroids
+    * (broadcast), codes (128× compressed), and a per-query LUT
+    * (broadcast). Fails fast unless BOTH models are trained. */
+  private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (!ivfModelTrained(spark, dir) || !pqModelTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF and/or PQ model missing for $dir — run trainIvfCentroids " +
+          "and trainPqCodebooks first; Bench warmup and Verify setup do " +
+          "this automatically")
+    val e = embeddingsOf(spark, dir)
+    val ranked = centroidRanked(spark, dir)
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val probes = ranked
+      .filter(col("vec_id") < NQUERIES && col("crank") <= NPROBE)
+      .select(col("vec_id").as("query_id"), col("c_id"))
+    // candidate pairs = members of the query's probed lists only
+    val pairs = broadcast(probes)
+      .join(assigned, Seq("c_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val adc = pairs
+      .join(pqCodesOf(spark, dir), "vec_id")
+      .join(broadcast(pqLutOf(spark, dir)), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(Num.r(sum("p"), 6).as("adc"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = adc.withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= PQ_RERANK)
+      .select("query_id", "vec_id")
+    val scored = cand
+      .join(broadcast(e.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))), "query_id")
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .selectExpr("query_id", "neighbor_id", "cosine", "cast(rank AS BIGINT) AS rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private def annIvfPqSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
+                  FROM read_parquet('$IvfCentroidsToken/*.parquet')),
+    scored_c AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim
+      FROM e CROSS JOIN centroids c),
+    assigned AS (
+      SELECT vec_id, c_id
+      FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c_id
+      FROM scored_c WHERE vec_id < $NQUERIES
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) <= $NPROBE),
+    pairs AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON p.c_id = a.c_id
+      WHERE p.query_id <> a.vec_id),
+    sub AS (
+      SELECT vec_id, m,
+             list_slice(v, m * $PQ_SUBDIM + 1, m * $PQ_SUBDIM + $PQ_SUBDIM) AS subv
+      FROM e, unnest(range(0, $PQ_M)) AS u(m)),
+    cb AS (SELECT m, code, cv::DOUBLE[] AS cv
+           FROM read_parquet('$PqCodebooksToken/*.parquet')),
+    dists AS (
+      SELECT s.vec_id, s.m, c.code,
+             round(list_dot_product(c.cv, c.cv)
+                   - 2 * list_dot_product(s.subv, c.cv) + 1e-9, 6) AS d
+      FROM sub s JOIN cb c ON s.m = c.m),
+    codes AS (
+      SELECT vec_id, m, code FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, code) = 1),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.code,
+             round(list_dot_product(s.subv, c.cv) + 1e-9, 6) AS p
+      FROM sub s JOIN cb c ON s.m = c.m
+      WHERE s.vec_id < $NQUERIES),
+    adc AS (
+      SELECT pr.query_id, pr.vec_id, round(sum(l.p) + 1e-9, 6) AS adc
+      FROM pairs pr
+      JOIN codes k ON k.vec_id = pr.vec_id
+      JOIN lut l ON l.query_id = pr.query_id AND l.m = k.m AND l.code = k.code
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, vec_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc DESC, vec_id) <= $PQ_RERANK),
+    scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, x.v) + 1e-9, 6) AS cosine
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e x ON x.vec_id = c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= $TOPK
+    ORDER BY query_id, rank"""
+
   /** One approximate route's quality/cost vs brute force: recall@1 and
     * recall@10 over the NQUERIES query vectors, and the mean fraction of
     * the corpus each query visits (scored candidates / (N−1)). */
@@ -585,6 +721,7 @@ object SimilarityQueries {
     val lshRes = annLsh(spark, dir).cache()
     val ivfRes = annIvf(spark, dir).cache()
     val pqRes = annPq(spark, dir).cache()
+    val ivfpqRes = annIvfPq(spark, dir).cache()
     val out = Seq(
       AnnRouteStats("lsh", recallVs(lshRes, 1), recallVs(lshRes, TOPK),
         lshVisited),
@@ -594,8 +731,11 @@ object SimilarityQueries {
       // "visited" here reports the exact-rerank fraction, the share of
       // raw vectors actually read
       AnnRouteStats("pq", recallVs(pqRes, 1), recallVs(pqRes, TOPK),
+        PQ_RERANK.toDouble / (n - 1.0)),
+      AnnRouteStats("ivfpq", recallVs(ivfpqRes, 1), recallVs(ivfpqRes, TOPK),
         PQ_RERANK.toDouble / (n - 1.0)))
-    Seq(brute, buckets, ranked, lshRes, ivfRes, pqRes).foreach(_.unpersist())
+    Seq(brute, buckets, ranked, lshRes, ivfRes, pqRes, ivfpqRes)
+      .foreach(_.unpersist())
     out
   }
 
@@ -604,5 +744,6 @@ object SimilarityQueries {
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("q_ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("q_ann_pq", annPq, Some(annPqSql)),
+    QueryDef("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
   )
 }
