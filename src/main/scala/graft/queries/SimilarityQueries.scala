@@ -273,21 +273,38 @@ object SimilarityQueries {
     * multi-job side effect and must never hide inside a query (an
     * unlucky first caller at 100 TB would pay a full k-means);
     * [[trainIvfCentroids]] is the explicit setup step. */
-  /** Every vector scored against the trained centroids and ranked per
-    * vector: (vec_id, v, c_id, c_sim, crank). crank 1 is the vector's
-    * list assignment; crank ≤ NPROBE are a query's probed lists. Shared
-    * by [[annIvf]] and the recall diagnostics. */
-  private def centroidRanked(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Every vector scored against the trained centroids:
+    * (vec_id, v, c_id, c_sim) — one narrow broadcast-join pass. */
+  private def centroidScored(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsOf(spark, dir)
     val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
       .select(col("c_id"), col("cv")))
-    val scoredC = e.join(centroids)
+    e.join(centroids)
       .select(col("vec_id"), col("v"), col("c_id"),
         Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
-    val wAssign = Window.partitionBy("vec_id")
+  }
+
+  /** List assignment (argmax c_sim, ties to the smaller c_id) as a
+    * `max_by` groupBy: hash aggregation WITH map-side partial combine —
+    * each vector's K scored rows collapse to one before the exchange —
+    * where a row_number window would shuffle and SORT all N·K rows. */
+  private def centroidAssigned(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id")
+      .agg(max_by(struct(col("v"), col("c_id")),
+        struct(col("c_sim"), col("c_id") * -1)).as("r"))
+      .select(col("vec_id"), col("r.v").as("v"), col("r.c_id").as("c_id"))
+
+  /** A query's NPROBE nearest lists — the top-k window runs AFTER the
+    * vec_id < NQUERIES filter (pushed to the scan), so it sorts
+    * NQUERIES·K rows, not N·K: (query_id, qv, c_id). */
+  private def centroidProbes(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("c_id"))
-    scoredC.withColumn("crank", row_number().over(wAssign))
+    scored.filter(col("vec_id") < NQUERIES)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= NPROBE)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
   }
 
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -298,14 +315,9 @@ object SimilarityQueries {
           s"${ivfModelPath(dir)}) — run " +
           "SimilarityQueries.trainIvfCentroids(spark, dir) first; " +
           "Bench warmup and Verify setup do this automatically")
-    // rank ONCE; assignment (rank 1) and query probes (rank ≤ NPROBE) are
-    // filters over the same ranked pass, not two independent scoring scans
-    val ranked = centroidRanked(spark, dir)
-    val assigned = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"))
-    val probes = ranked
-      .filter(col("vec_id") < NQUERIES && col("crank") <= NPROBE)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
+    val scoredC = centroidScored(spark, dir)
+    val assigned = centroidAssigned(scoredC)
+    val probes = centroidProbes(scoredC)
     val scored = broadcast(probes)
       .join(assigned, Seq("c_id"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -434,17 +446,17 @@ object SimilarityQueries {
     * (vec_id, m, code). Broadcast join against the PQ_M·PQ_K codebook,
     * then a (vec_id, m) window over exactly PQ_K rows. */
   private def pqCodesOf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sub = subvectorsOf(embeddingsOf(spark, dir))
     val cb = broadcast(spark.read.parquet(pqModelPath(dir))
       .select(col("m"), col("code"), col("cv")))
-    val wAssign = Window.partitionBy("vec_id", "m")
-      .orderBy(col("d"), col("code"))
     sub.join(cb, "m")
       .select(col("vec_id"), col("m"), col("code"),
         Num.r(expr(pqDistExpr), 6).as("d"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id", "m")
+      // argmin(d, ties to smaller code) via min_by: map-side partial
+      // combine collapses each (vec, m)'s PQ_K rows before the exchange —
+      // a row_number window here would sort N·PQ_M·PQ_K rows instead
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
       .select("vec_id", "m", "code")
   }
 
@@ -572,12 +584,9 @@ object SimilarityQueries {
           "and trainPqCodebooks first; Bench warmup and Verify setup do " +
           "this automatically")
     val e = embeddingsOf(spark, dir)
-    val ranked = centroidRanked(spark, dir)
-    val assigned = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("c_id"))
-    val probes = ranked
-      .filter(col("vec_id") < NQUERIES && col("crank") <= NPROBE)
-      .select(col("vec_id").as("query_id"), col("c_id"))
+    val scoredC = centroidScored(spark, dir)
+    val assigned = centroidAssigned(scoredC).select("vec_id", "c_id")
+    val probes = centroidProbes(scoredC).select("query_id", "c_id")
     // candidate pairs = members of the query's probed lists only
     val pairs = broadcast(probes)
       .join(assigned, Seq("c_id"))
@@ -709,12 +718,11 @@ object SimilarityQueries {
     // IVF cost: sizes of each query's NPROBE probed lists (lists are
     // disjoint — crank 1 partitions the corpus); −1 for the query itself,
     // which always sits in one of its own probed lists
-    val ranked = centroidRanked(spark, dir).cache()
-    val listSizes = ranked.filter(col("crank") === 1)
+    val ranked = centroidScored(spark, dir).cache()
+    val listSizes = centroidAssigned(ranked)
       .groupBy("c_id").agg(count(lit(1)).as("sz"))
-    val ivfVisited = ranked
-      .filter(col("vec_id") < NQUERIES && col("crank") <= NPROBE)
-      .select(col("vec_id").as("query_id"), col("c_id"))
+    val ivfVisited = centroidProbes(ranked)
+      .select("query_id", "c_id")
       .join(listSizes, "c_id")
       .groupBy("query_id").agg(sum("sz").as("visited"))
       .agg(avg((col("visited") - 1.0) / (n - 1.0))).first().getDouble(0)
