@@ -22,18 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object B3Pipeline {
 
-  /** Keep the newest row per composite key; priority column breaks ties the
-    * way pandas concat order + keep='last' does (new batch wins). */
-  def dedupKeepLast(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  /** Keep the newest row per composite key — the row MAXIMIZING
+    * `newestBy` (lexicographic), ties impossible by construction when the
+    * last element is a unique id; pandas concat order + keep='last'
+    * semantics (new batch wins).
+    *
+    * Implemented as a `max_by` groupBy, NOT a row_number window: hash
+    * aggregation gets map-side partial combine — each key's rows collapse
+    * to one per map task before the exchange, and nothing is sorted —
+    * where the window shuffles and sorts every input row. The ordering
+    * tuple rides inside a struct so a null sort field can't make max_by
+    * drop the key (a bare null ordering value would). */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String],
+      newestBy: Seq[Column]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), struct(newestBy: _*)).as("__r"))
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col("__r").getField(c).as(c)): _*)
   }
 
   /** Latest whole row per key by event time (max_by semantics). */
   def latestPerKey(df: DataFrame, key: String, ts: Column, tieBreak: Column): DataFrame =
-    dedupKeepLast(df, Seq(key), Seq(ts.desc, tieBreak.desc))
+    dedupKeepLast(df, Seq(key), Seq(ts, tieBreak))
 
   /** pandas `.SA` suffix strip for the yfinance → brapi symbol join. */
   def normalizeSymbol(c: Column): Column = regexp_replace(c, "\\.SA$", "")

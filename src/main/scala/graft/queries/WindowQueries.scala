@@ -39,7 +39,7 @@ object WindowQueries {
   private def dedupKeepLast(spark: SparkSession, dir: String): DataFrame =
     graft.operators.B3Pipeline.dedupKeepLast(
         Tables(spark, dir, "events"), Seq("user_id", "event_type"),
-        Seq(col("ts").desc, col("event_id").desc))
+        Seq(col("ts"), col("event_id")))
       .select("user_id", "event_type", "event_id", "ts", "value")
       .orderBy("user_id", "event_type")
 

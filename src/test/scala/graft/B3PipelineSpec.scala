@@ -21,7 +21,7 @@ class B3PipelineSpec extends SparkSpec {
       ("A", 2, 12.0, 1L)
     ).toDF("sym", "t", "close", "prio")
     val out = B3Pipeline.dedupKeepLast(df, Seq("sym", "t"),
-      Seq(col("prio").desc))
+      Seq(col("prio")))
       .orderBy("t").select("close").as[Double].collect()
     assert(out.toSeq == Seq(11.0, 12.0))
   }

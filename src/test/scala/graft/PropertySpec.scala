@@ -25,9 +25,9 @@ class PropertySpec extends SparkSpec {
     randomFrames(42L, 8).foreach { rows =>
       val df = rows.toDF("sym", "t", "seq", "close", "volume")
       val once = B3Pipeline.dedupKeepLast(df, Seq("sym", "t"),
-        Seq(col("seq").desc))
+        Seq(col("seq")))
       val twice = B3Pipeline.dedupKeepLast(once, Seq("sym", "t"),
-        Seq(col("seq").desc))
+        Seq(col("seq")))
       assert(once.count() == twice.count())
       assert(once.groupBy("sym", "t").count().filter(col("count") > 1).isEmpty)
       // survivor is the max-seq row of its group
@@ -88,7 +88,7 @@ class PropertySpec extends SparkSpec {
         .withColumn("prio", lit(2))
       val merged = B3Pipeline.dedupKeepLast(
         history.unionByName(updates), Seq("sym", "t", "seq"),
-        Seq(col("prio").desc))
+        Seq(col("prio")))
       // every (sym,t,seq) present in updates must surface with prio=2
       val lost = merged.join(updates.select("sym", "t", "seq"),
         Seq("sym", "t", "seq"), "left_semi").filter(col("prio") =!= 2).count()
