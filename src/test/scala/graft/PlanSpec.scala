@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Physical-plan shape assertions for the scale-critical operators: the
+  * properties the 100 TB design depends on must be pinned by tests, not
+  * only documented — a regression to a sort-everything plan should fail
+  * CI, not a benchmark review. */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = Registry.byName(name).fn(spark, sf)
+    df.count() // force execution so AQE's FINAL plan is inspectable
+    df.queryExecution.executedPlan.toString
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
+    graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
+  }
+
+  test("keep-last family plans have no Window: max_by hash aggregation") {
+    Seq("q_dedup_keeplast", "q_latest_per_key").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("Window"),
+        s"$q regressed to a window plan:\n$plan")
+      assert(plan.contains("max_by") || plan.contains("HashAggregate"),
+        s"$q must aggregate with max_by:\n$plan")
+    }
+  }
+
+  test("ANN top-k windows carry a group limit (per-partition heap, not full sort)") {
+    // Spark rewrites rank()<=k / row_number()<=k filters into
+    // WindowGroupLimit: each map task keeps a k-row heap per key instead
+    // of sorting every scored candidate. The ANN re-rank windows must
+    // keep that shape — it is what bounds the top-k cost at corpus scale.
+    Seq("q_ann_lsh", "q_ann_ivf", "q_ann_pq").foreach { q =>
+      val plan = finalPlan(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q top-k window lost its group limit:\n$plan")
+    }
+  }
+
+  test("IVF/PQ assignment plans aggregate, not sort") {
+    // the centroid/code assignment passes must be max_by/min_by groupBys;
+    // the only Window allowed is the query-side top-k (group-limited)
+    Seq("q_ann_ivf", "q_ann_pq", "q_ann_ivfpq").foreach { q =>
+      val plan = finalPlan(q)
+      assert(plan.contains("max_by") || plan.contains("min_by"),
+        s"$q assignment must use max_by/min_by:\n$plan")
+    }
+  }
+}
