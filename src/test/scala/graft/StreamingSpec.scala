@@ -45,6 +45,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 3L)) // doc 2 deduped against doc 1's fp
   }
 
+  test("streaming training-data ingest: content dedup → quality gate → idempotent upsert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft_ingest").toString + "/docs"
+    def ingest(batch: Seq[(Long, Timestamp, String)], name: String): Unit = {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      mem.addData(batch: _*)
+      val deduped = StreamingPipeline.dedupByContent(
+        mem.toDF.toDF("doc_id", "t", "text"), "text", "t", "1 hour")
+      // quality gate: the short-doc filter of the batch pipeline, online
+      val gated = deduped.filter(
+        expr("size(split(trim(text), '\\\\s+')) >= 4"))
+      val q = StreamingPipeline.upsertSink(gated, Seq("fp"), target)
+        .queryName(name).start()
+      q.awaitTermination()
+    }
+    val goodA = "alpha beta gamma delta epsilon"
+    val goodB = "one two three four five six"
+    ingest(Seq(
+      (1L, ts(10), goodA),
+      (2L, ts(11), goodA),      // in-stream near-time duplicate → dropped
+      (3L, ts(12), "too short"),// fails the quality gate
+      (4L, ts(13), goodB)), "ingest_a")
+    // a later RE-DELIVERY (new stream, overlapping content) must be
+    // suppressed by the sink's key, not re-ingested
+    ingest(Seq(
+      (5L, ts(20), goodA),
+      (6L, ts(21), "fresh content never seen before")), "ingest_b")
+    val rows = spark.read.parquet(target)
+      .select("doc_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 4L, 6L)) // 2 deduped, 3 gated, 5 upsert-suppressed
+  }
+
   test("enrich: symbol normalize + falsy-zero change_day on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
