@@ -69,7 +69,11 @@ object ExternalFetch {
       fetch: Fetcher,
       baseUrl: String = "https://brapi.dev/api/quote"): DataFrame = {
     import spark.implicits._
-    val payloads = tickers.map(t => (t, fetch(s"$baseUrl/$t")))
+    // per-ticker fault tolerance, as the reference's try/except-per-ticker
+    // loop: one failing fetch must not sink the batch — the ticker's row
+    // survives with fetch_ok = false (null payload parses to null quote)
+    val payloads = tickers.map(t =>
+      (t, scala.util.Try(fetch(s"$baseUrl/$t")).getOrElse(null)))
     payloads.toDF("ticker", "payload")
       .select(col("ticker"),
         from_json(col("payload"), brapiQuoteSchema).as("js"))
@@ -109,7 +113,10 @@ object ExternalFetch {
   def fetchYfinanceQuotes(spark: SparkSession, tickers: Seq[String],
       fetch: Fetcher, urlFor: String => String = t => t): DataFrame = {
     import spark.implicits._
-    val payloads = tickers.map(t => fetch(urlFor(t)))
+    // failing tickers are skipped (the reference's except-and-continue):
+    // a null payload parses to a null bars array and emits no row
+    val payloads = tickers.map(t =>
+      scala.util.Try(fetch(urlFor(t))).getOrElse(null))
     payloads.toDF("payload")
       .select(from_json(col("payload"), yfinanceHistorySchema).as("js"))
       .select(col("js.symbol").as("symbol"),

@@ -212,10 +212,14 @@ class ConnectorsSpec extends SparkSpec {
 
   test("A16 brapi fetch: canned JSON → declared-schema rows, bad payload visible") {
     import graft.sources.ExternalFetch
+    // "DOWN" is absent from the canned map → the fetcher THROWS for it;
+    // the reference's per-ticker try/except means the batch still lands
     val df = ExternalFetch.fetchBrapiQuotes(spark,
-      Seq("PETR4", "VALE3", "BAD"), cannedBrapi)
+      Seq("PETR4", "VALE3", "BAD", "DOWN"), cannedBrapi)
     val rows = df.orderBy("ticker").collect()
-    assert(rows.length == 3)
+    assert(rows.length == 4)
+    val down = rows.find(_.getString(0) == "DOWN").get
+    assert(!down.getAs[Boolean]("fetch_ok")) // fetch failure flagged, not fatal
     val petr = rows.find(_.getString(0) == "PETR4").get
     assert(petr.getAs[Boolean]("fetch_ok"))
     assert(petr.getAs[String]("symbol") == "PETR4")
@@ -232,9 +236,10 @@ class ConnectorsSpec extends SparkSpec {
     import spark.implicits._
     import graft.sources.ExternalFetch
     val df = ExternalFetch.fetchYfinanceQuotes(spark,
-      Seq("PETR4.SA", "VALE3.SA", "^BVSP"), cannedYf)
+      Seq("PETR4.SA", "VALE3.SA", "^BVSP", "DOWN"), cannedYf)
     val rows = df.orderBy("symbol").collect()
-    assert(rows.length == 2) // ^BVSP's empty history yields no row
+    // ^BVSP's empty history and DOWN's failed fetch yield no rows
+    assert(rows.length == 2)
     val petr = rows.find(_.getString(0) == "PETR4.SA").get
     assert(petr.getAs[Double]("close") == 38.52) // iloc[-1]: LAST bar
     assert(petr.getAs[Long]("volume") == 2000L)
