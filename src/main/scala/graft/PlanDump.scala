@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.Registry
+
+/** Prints the final (post-AQE) physical plan of the named queries —
+  * regenerates the excerpts in PLANS.md.
+  * Usage: `sbt "runMain graft.PlanDump q_pipeline_e2e q_skew_salted"` */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_scan_filter", "q_join_snowflake", "q_b3_metrics")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.ensureConf(spark)
+    graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
+    graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
+    names.foreach { n =>
+      val df = Registry.byName(n).fn(spark, sfDir)
+      df.count() // force execution → AQE final plan
+      println(s"===== $n =====")
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

@@ -27,12 +27,15 @@ object B3Pipeline {
     * last element is a unique id; pandas concat order + keep='last'
     * semantics (new batch wins).
     *
-    * Implemented as a `max_by` groupBy, NOT a row_number window: hash
-    * aggregation gets map-side partial combine — each key's rows collapse
-    * to one per map task before the exchange, and nothing is sorted —
-    * where the window shuffles and sorts every input row. The ordering
-    * tuple rides inside a struct so a null sort field can't make max_by
-    * drop the key (a bare null ordering value would). */
+    * Implemented as a `max_by` groupBy, NOT a row_number window. The win
+    * is SHUFFLE VOLUME: the partial aggregate collapses each key's rows
+    * to one per map task before the exchange, so the network moves one
+    * row per (key, partition) where the window ships every input row and
+    * then sorts it. (Spark plans struct-valued max_by as a SortAggregate
+    * — a LOCAL per-partition sort by grouping key remains; the global
+    * shuffle-then-sort of the full input does not.) The ordering tuple
+    * rides inside a struct so a null sort field can't make max_by drop
+    * the key (a bare null ordering value would). */
   def dedupKeepLast(df: DataFrame, keys: Seq[String],
       newestBy: Seq[Column]): DataFrame = {
     val others = df.columns.filterNot(keys.contains)

@@ -285,9 +285,11 @@ object SimilarityQueries {
   }
 
   /** List assignment (argmax c_sim, ties to the smaller c_id) as a
-    * `max_by` groupBy: hash aggregation WITH map-side partial combine —
-    * each vector's K scored rows collapse to one before the exchange —
-    * where a row_number window would shuffle and SORT all N·K rows. */
+    * `max_by` groupBy: the partial aggregate collapses each vector's K
+    * scored rows to one BEFORE the exchange, so the shuffle moves N rows
+    * — a row_number window would ship and sort all N·K. (The
+    * struct-valued max_by plans as a sort-aggregate, so a local
+    * per-partition sort remains; the full-input shuffle-sort does not.) */
   private def centroidAssigned(scored: DataFrame): DataFrame =
     scored.groupBy("vec_id")
       .agg(max_by(struct(col("v"), col("c_id")),
@@ -453,9 +455,10 @@ object SimilarityQueries {
       .select(col("vec_id"), col("m"), col("code"),
         Num.r(expr(pqDistExpr), 6).as("d"))
       .groupBy("vec_id", "m")
-      // argmin(d, ties to smaller code) via min_by: map-side partial
-      // combine collapses each (vec, m)'s PQ_K rows before the exchange —
-      // a row_number window here would sort N·PQ_M·PQ_K rows instead
+      // argmin(d, ties to smaller code) via min_by: the partial aggregate
+      // collapses each (vec, m)'s PQ_K rows before the exchange, so the
+      // shuffle moves N·PQ_M rows — a row_number window would ship and
+      // sort all N·PQ_M·PQ_K
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
       .select("vec_id", "m", "code")
   }
