@@ -481,7 +481,95 @@ object DedupQueries {
     GROUP BY source
     ORDER BY source"""
 
+  /** Incremental dedup — the shape a GROWING 100 TB corpus actually
+    * runs: a new batch (sources src10+) is deduped AGAINST the existing
+    * lake (src0-9), never the lake against itself. Tier 1: exact content
+    * fingerprints, one anti-join on fp (the existing side is a key-only
+    * projection — at scale that's a bloom-filter-sized column, not the
+    * corpus). Tier 2: near-dup — batch survivors' shingles join only the
+    * EXISTING side's shingles (df-capped per side), so candidate volume
+    * is batch×lake bucket co-occupancy, never lake×lake. Output: per
+    * batch source, what survived. */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)"))
+      .withColumn("fp", expr("md5(lower(trim(text)))"))
+    val existing = docs.filter(col("src_num") < 10)
+    val batch = docs.filter(col("src_num") >= 10)
+    val exactSurv = batch.join(existing.select("fp"), Seq("fp"), "left_anti")
+    val shB = shingleHashesOf(exactSurv.select("doc_id", "text"), StopShingleDf)
+    val shE = shingleHashesOf(existing.select("doc_id", "text"), StopShingleDf)
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      .withColumnRenamed("doc_id", "doc_b")
+    val sizesE = shE.groupBy("doc_id").agg(count(lit(1)).as("ne"))
+      .withColumnRenamed("doc_id", "doc_e")
+    val common = shB.as("b").join(shE.as("e"), col("b.h") === col("e.h"))
+      .groupBy(col("b.doc_id").as("doc_b"), col("e.doc_id").as("doc_e"))
+      .agg(count(lit(1)).as("c"))
+    val nearDrop = common
+      .join(sizesB, "doc_b")
+      .join(sizesE, "doc_e")
+      .filter(Num.r(col("c") / (col("nb") + col("ne") - col("c")), 6) >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exactSurv.join(nearDrop, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  private val dedupIncrementalSql = s"""
+    WITH docs AS (
+      SELECT *, CAST(substr(source, 4) AS INT) AS src_num,
+             md5(lower(trim(text))) AS fp
+      FROM documents),
+    existing AS (SELECT * FROM docs WHERE src_num < 10),
+    batch AS (SELECT * FROM docs WHERE src_num >= 10),
+    exact_surv AS (
+      SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM existing)),
+    shb0 AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM exact_surv),
+           unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE i + 2 <= len(t)),
+    shb AS (
+      SELECT doc_id, h
+      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shb0)
+      WHERE df <= $StopShingleDf),
+    she0 AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM existing),
+           unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE i + 2 <= len(t)),
+    she AS (
+      SELECT doc_id, h
+      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM she0)
+      WHERE df <= $StopShingleDf),
+    sizes_b AS (SELECT doc_id AS doc_b, count(*) AS nb FROM shb GROUP BY 1),
+    sizes_e AS (SELECT doc_id AS doc_e, count(*) AS ne FROM she GROUP BY 1),
+    common AS (
+      SELECT b.doc_id AS doc_b, e.doc_id AS doc_e, count(*) AS c
+      FROM shb b JOIN she e ON b.h = e.h
+      GROUP BY 1, 2),
+    near_drop AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM common
+      JOIN sizes_b USING (doc_b)
+      JOIN sizes_e USING (doc_e)
+      WHERE round(c / CAST(nb + ne - c AS DOUBLE) + 1e-9, 6) >= 0.5)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM exact_surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+    GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_incremental", dedupIncremental,
+      Some(dedupIncrementalSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       headline = false),
     QueryDef("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql),
