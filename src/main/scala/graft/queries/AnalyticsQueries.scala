@@ -188,7 +188,49 @@ object AnalyticsQueries {
            CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM conv"""
 
+  /** SCD2 historization — the dual of the reference's latest-per-key
+    * upsert (data_warehouse.py:62-78 keeps only the newest row per
+    * symbol; a warehouse that keeps HISTORY keeps type-2 rows instead).
+    * Each user's event stream is read as observations of a mutable
+    * attribute (event_type); output is one row per attribute CHANGE with
+    * a [valid_from, valid_to) interval, the open-ended row flagged
+    * is_current. Plan: one shuffle on user_id, then two in-partition
+    * window passes (lag change-detect, lead interval-close) — no
+    * self-join, no global sort before the output ORDER BY, so the shape
+    * survives a 100 TB event table (state per task = one partition's
+    * rows, and AQE splits skewed users' post-filter remainder is tiny). */
+  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  private val scd2Sql = s"""
+    WITH obs AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM $E),
+    changes AS (
+      SELECT * FROM obs
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, event_id"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_scd2", scd2, Some(scd2Sql)),
     QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),

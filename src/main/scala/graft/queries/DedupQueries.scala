@@ -567,7 +567,79 @@ object DedupQueries {
     GROUP BY source
     ORDER BY source"""
 
+  /** Benchmark decontamination — the training-data stage that near-dup
+    * does NOT cover: before training, every document sharing n-grams with
+    * a held-out evaluation suite must be found, whatever its overall
+    * similarity (a 10k-word page quoting one benchmark question is 0.001
+    * Jaccard but still leaks the answer). Sources src18-19 stand in for
+    * the benchmark suite; the corpus is everything else. Scale shape: a
+    * benchmark suite is FIXED-SIZE while the corpus grows, so its
+    * distinct shingle-hash set is explicitly `broadcast` — the corpus
+    * side streams map-side through the hash join, never shuffles on h,
+    * and output is bounded by the corpus shingle count (the broadcast
+    * side is distinct, so each corpus shingle matches at most once). */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)"))
+    val bench = docs.filter(col("src_num") >= 18)
+    val corpus = docs.filter(col("src_num") < 18)
+    val benchH = shingleHashesOf(bench.select("doc_id", "text"), StopShingleDf)
+      .select("h").distinct()
+    val corpusSh = shingleHashesOf(corpus.select("doc_id", "text"), StopShingleDf)
+    val hits = corpusSh.join(broadcast(benchH), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val sizes = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    hits.join(sizes, "doc_id")
+      .filter(col("n_hits") >= 3)
+      .join(corpus.select("doc_id", "source"), "doc_id")
+      .withColumn("contamination",
+        Num.r(col("n_hits") / col("n_shingles"), 6))
+      .select("doc_id", "source", "n_hits", "n_shingles", "contamination")
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql = s"""
+    WITH docs AS (
+      SELECT *, CAST(substr(source, 4) AS INT) AS src_num FROM documents),
+    bench AS (SELECT * FROM docs WHERE src_num >= 18),
+    corpus AS (SELECT * FROM docs WHERE src_num < 18),
+    bh0 AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM bench),
+           unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE i + 2 <= len(t)),
+    bh AS (
+      SELECT DISTINCT h
+      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM bh0)
+      WHERE df <= $StopShingleDf),
+    ch0 AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM corpus),
+           unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE i + 2 <= len(t)),
+    ch AS (
+      SELECT doc_id, h
+      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM ch0)
+      WHERE df <= $StopShingleDf),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM ch WHERE h IN (SELECT h FROM bh)
+      GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ch GROUP BY doc_id)
+    SELECT doc_id, c.source, n_hits, n_shingles,
+           round(n_hits / CAST(n_shingles AS DOUBLE) + 1e-9, 6) AS contamination
+    FROM hits
+    JOIN sizes USING (doc_id)
+    JOIN corpus c USING (doc_id)
+    WHERE n_hits >= 3
+    ORDER BY doc_id"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_dedup_incremental", dedupIncremental,
       Some(dedupIncrementalSql)),
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
