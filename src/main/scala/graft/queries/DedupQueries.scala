@@ -50,25 +50,37 @@ object DedupQueries {
     * the join input); at scale a second narrow scan+hash pass is far
     * cheaper than sorting the full stream, and callers cache the result
     * via [[shingleHashesCached]] anyway. */
-  private[graft] def shingleHashesOf(docs: DataFrame, cap: Int): DataFrame = {
+  private[graft] def shingleHashesOf(docs: DataFrame, cap: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = "doc_id" +: keep
     val sh = docs
-      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
-      .selectExpr("doc_id",
+      .selectExpr(keepCols :+ "split(trim(text), '\\\\s+') AS t": _*)
+      .selectExpr(keepCols :+
         """explode(CASE WHEN size(t) >= 3
              THEN array_distinct(transform(sequence(0, size(t) - 3),
                     i -> cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) AS BIGINT)))
-             ELSE array() END) AS h""")
+             ELSE array() END) AS h""": _*)
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .select("h")
     sh.join(broadcast(hot), Seq("h"), "left_anti")
   }
 
+  /** The lake-wide shingle artifact: (doc_id, src_num, h), df-capped
+    * CORPUS-WIDE (boilerplate is a property of the lake, not of one
+    * source's slice). Carrying src_num lets the incremental and
+    * decontamination stages slice it by side with a narrow filter
+    * instead of recomputing shingles per subset; jaccard/minhash read
+    * only (doc_id, h) and Catalyst prunes the extra column. */
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    shingleHashesOf(Tables(spark, dir, "documents"), StopShingleDf)
+    shingleHashesOf(
+      Tables(spark, dir, "documents")
+        .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)")),
+      StopShingleDf, keep = Seq("src_num"))
 
-  /** One cached shingle table per (session, dir): jaccard + minhash each
-    * reference it 3-4 times, and bench/verify call both — a per-call
+  /** One cached shingle table per (session, dir): jaccard, minhash,
+    * incremental dedup and decontamination all slice it (jaccard/minhash
+    * reference it 3-4 times each), and bench/verify run all — a per-call
     * .cache() would leak a new cached lineage every invocation, while
     * this map bounds storage to #dirs entries reused across calls.
     * ASSUMES lake dirs are immutable (true for the testdata zones and the
@@ -487,7 +499,8 @@ object DedupQueries {
     * fingerprints, one anti-join on fp (the existing side is a key-only
     * projection — at scale that's a bloom-filter-sized column, not the
     * corpus). Tier 2: near-dup — batch survivors' shingles join only the
-    * EXISTING side's shingles (df-capped per side), so candidate volume
+    * EXISTING side's shingles (both sliced from the shared corpus-wide
+    * df-capped shingle artifact), so candidate volume
     * is batch×lake bucket co-occupancy, never lake×lake. Output: per
     * batch source, what survived. */
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
@@ -497,8 +510,13 @@ object DedupQueries {
     val existing = docs.filter(col("src_num") < 10)
     val batch = docs.filter(col("src_num") >= 10)
     val exactSurv = batch.join(existing.select("fp"), Seq("fp"), "left_anti")
-    val shB = shingleHashesOf(exactSurv.select("doc_id", "text"), StopShingleDf)
-    val shE = shingleHashesOf(existing.select("doc_id", "text"), StopShingleDf)
+    // Slice the shared lake-wide shingle artifact (df cap corpus-wide)
+    // instead of re-shingling each side: at scale the artifact is
+    // computed once per lake and reused by every dedup stage.
+    val sh = shingleHashesCached(spark, dir)
+    val shE = sh.filter(col("src_num") < 10).select("doc_id", "h")
+    val shB = sh.filter(col("src_num") >= 10).select("doc_id", "h")
+      .join(exactSurv.select("doc_id"), Seq("doc_id"), "left_semi")
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
       .withColumnRenamed("doc_id", "doc_b")
     val sizesE = shE.groupBy("doc_id").agg(count(lit(1)).as("ne"))
@@ -526,28 +544,22 @@ object DedupQueries {
     batch AS (SELECT * FROM docs WHERE src_num >= 10),
     exact_surv AS (
       SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM existing)),
-    shb0 AS (
-      SELECT DISTINCT doc_id,
+    sh0 AS (
+      SELECT DISTINCT doc_id, src_num,
              CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-            FROM exact_surv),
+      FROM (SELECT doc_id, src_num, string_split_regex(trim(text), '\\s+') AS t
+            FROM docs),
            unnest(range(1, len(t) - 1)) AS u(i)
       WHERE i + 2 <= len(t)),
+    sh AS (
+      SELECT doc_id, src_num, h
+      FROM (SELECT doc_id, src_num, h,
+                   count(*) OVER (PARTITION BY h) AS df FROM sh0)
+      WHERE df <= $StopShingleDf),
     shb AS (
-      SELECT doc_id, h
-      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM shb0)
-      WHERE df <= $StopShingleDf),
-    she0 AS (
-      SELECT DISTINCT doc_id,
-             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-            FROM existing),
-           unnest(range(1, len(t) - 1)) AS u(i)
-      WHERE i + 2 <= len(t)),
-    she AS (
-      SELECT doc_id, h
-      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM she0)
-      WHERE df <= $StopShingleDf),
+      SELECT doc_id, h FROM sh
+      WHERE src_num >= 10 AND doc_id IN (SELECT doc_id FROM exact_surv)),
+    she AS (SELECT doc_id, h FROM sh WHERE src_num < 10),
     sizes_b AS (SELECT doc_id AS doc_b, count(*) AS nb FROM shb GROUP BY 1),
     sizes_e AS (SELECT doc_id AS doc_e, count(*) AS ne FROM she GROUP BY 1),
     common AS (
@@ -581,11 +593,12 @@ object DedupQueries {
   private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)"))
-    val bench = docs.filter(col("src_num") >= 18)
     val corpus = docs.filter(col("src_num") < 18)
-    val benchH = shingleHashesOf(bench.select("doc_id", "text"), StopShingleDf)
-      .select("h").distinct()
-    val corpusSh = shingleHashesOf(corpus.select("doc_id", "text"), StopShingleDf)
+    // Both sides slice the shared lake-wide shingle artifact (df cap
+    // corpus-wide) — no per-side re-shingling.
+    val sh = shingleHashesCached(spark, dir)
+    val benchH = sh.filter(col("src_num") >= 18).select("h").distinct()
+    val corpusSh = sh.filter(col("src_num") < 18).select("doc_id", "h")
     val hits = corpusSh.join(broadcast(benchH), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     val sizes = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -601,30 +614,21 @@ object DedupQueries {
   private val decontaminateSql = s"""
     WITH docs AS (
       SELECT *, CAST(substr(source, 4) AS INT) AS src_num FROM documents),
-    bench AS (SELECT * FROM docs WHERE src_num >= 18),
     corpus AS (SELECT * FROM docs WHERE src_num < 18),
-    bh0 AS (
-      SELECT DISTINCT doc_id,
+    sh0 AS (
+      SELECT DISTINCT doc_id, src_num,
              CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-            FROM bench),
+      FROM (SELECT doc_id, src_num, string_split_regex(trim(text), '\\s+') AS t
+            FROM docs),
            unnest(range(1, len(t) - 1)) AS u(i)
       WHERE i + 2 <= len(t)),
-    bh AS (
-      SELECT DISTINCT h
-      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM bh0)
+    sh AS (
+      SELECT doc_id, src_num, h
+      FROM (SELECT doc_id, src_num, h,
+                   count(*) OVER (PARTITION BY h) AS df FROM sh0)
       WHERE df <= $StopShingleDf),
-    ch0 AS (
-      SELECT DISTINCT doc_id,
-             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-            FROM corpus),
-           unnest(range(1, len(t) - 1)) AS u(i)
-      WHERE i + 2 <= len(t)),
-    ch AS (
-      SELECT doc_id, h
-      FROM (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM ch0)
-      WHERE df <= $StopShingleDf),
+    bh AS (SELECT DISTINCT h FROM sh WHERE src_num >= 18),
+    ch AS (SELECT doc_id, h FROM sh WHERE src_num < 18),
     hits AS (
       SELECT doc_id, count(*) AS n_hits
       FROM ch WHERE h IN (SELECT h FROM bh)
