@@ -9,6 +9,15 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Outp
 case class KeyedValue(key: String, ts: java.sql.Timestamp, seq: Long,
     value: Double)
 
+/** One observation of a key's mutable attribute — streaming SCD2 input. */
+case class AttrObs(key: String, ts: java.sql.Timestamp, seq: Long,
+    attr: String)
+
+/** One type-2 dimension row: [valid_from, valid_to) — valid_to None means
+  * the interval was still open (is_current) when emitted. */
+case class Scd2Row(key: String, attr: String,
+    valid_from: java.sql.Timestamp, valid_to: Option[java.sql.Timestamp])
+
 /** Structured-Streaming re-expression of the reference's streaming
   * semantics (SURVEY.md §2.H). The reference's Kafka consumers are
   * modeled as any streaming DataFrame (MemoryStream in tests, Kafka or
@@ -119,6 +128,57 @@ object StreamingPipeline {
             // and grows O(all keys ever seen)
             state.setTimeoutTimestamp(newest.ts.getTime, lateness)
             Iterator.single(newest)
+          }
+      }
+  }
+
+  /** Streaming SCD2 — the online form of the batch q_scd2 historization:
+    * CDC-style attribute observations arrive per key; a CLOSED type-2 row
+    * [valid_from, valid_to) is emitted the moment a key's attribute
+    * CHANGES, and the still-open row is emitted (valid_to = None,
+    * is_current) when the key goes idle past the watermark and its state
+    * times out. State is one (attr, valid_from, latest_ts) triple per
+    * active key — O(active keys), never O(history) — exactly the
+    * incremental version of the batch query's lag/lead window pair.
+    * Within an invocation rows are processed in (ts, seq) order;
+    * observations at or before the state's latest timestamp are dropped
+    * (late data cannot rewrite already-emitted intervals). */
+  def scd2State(src: Dataset[AttrObs], lateness: String): Dataset[Scd2Row] = {
+    import src.sparkSession.implicits._
+    // state = (current attr, interval open ts, newest observation ts)
+    src.withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[
+        (String, java.sql.Timestamp, java.sql.Timestamp), Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val (attr, from, _) = state.get
+            state.remove()
+            Iterator.single(Scd2Row(key, attr, from, None))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.seq))
+            val closed = Seq.newBuilder[Scd2Row]
+            var cur = state.getOption
+            sorted.foreach { o =>
+              cur match {
+                case None => cur = Some((o.attr, o.ts, o.ts))
+                case Some((attr, from, latest)) =>
+                  if (o.ts.getTime > latest.getTime) {
+                    if (o.attr != attr) {
+                      closed += Scd2Row(key, attr, from, Some(o.ts))
+                      cur = Some((o.attr, o.ts, o.ts))
+                    } else cur = Some((attr, from, o.ts))
+                  } // else: late observation, interval already advanced
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // expire the key (emitting its open row) once the watermark
+              // passes its newest event by the lateness horizon
+              state.setTimeoutTimestamp(c._3.getTime, lateness)
+            }
+            closed.result().iterator
           }
       }
   }

@@ -143,6 +143,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("A", 3.0), ("B", 9.0))) // newest-by-ts won
   }
 
+  test("scd2State: closed rows on change, late drop, open rows on timeout") {
+    import spark.implicits._
+    import graft.streaming.AttrObs
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrObs]
+    // one batch per addData call; watermark advances between batches
+    mem.addData(AttrObs("A", ts(100), 1L, "X"), AttrObs("B", ts(100), 2L, "P"))
+    mem.addData(AttrObs("A", ts(200), 3L, "Y"))  // change → closes [X, 100, 200)
+    mem.addData(AttrObs("A", ts(150), 4L, "X"))  // late (< 200): must be dropped
+    mem.addData(AttrObs("Z", ts(1000), 5L, "Q")) // pushes watermark past A/B timeouts
+    val out = StreamingPipeline.scd2State(mem.toDS(), "10 seconds")
+    StreamingPipeline.drainAvailableNow(out.toDF, "scd2_t")
+    val rows = spark.sql(
+      "SELECT key, attr, valid_from, valid_to FROM scd2_t ORDER BY key, valid_from")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2).getTime / 1000,
+        Option(r.getTimestamp(3)).map(_.getTime / 1000)))
+    assert(rows.toSeq == Seq(
+      ("A", "X", 100L, Some(200L)), // closed by the change to Y
+      ("A", "Y", 200L, None),       // open row emitted at timeout
+      ("B", "P", 100L, None)))      // B never changed: one open row
+    // the late ts=150 re-observation of X produced NO extra interval
+    assert(rows.count(_._1 == "A") == 2)
+  }
+
   test("E2E §3.2: stream → dedup → enrich → upsert → batch metrics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
