@@ -82,13 +82,15 @@ object DotProduct {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
 }
 
-/** SparkSessionExtensions installer — enable engine functions cluster-wide
-  * with `spark.sql.extensions=graft.functions.GraftExtensions`. */
+/** SparkSessionExtensions installer — enable the engine's functions and
+  * optimizer rules cluster-wide with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.TopOneToMaxBy)
   }
 }
