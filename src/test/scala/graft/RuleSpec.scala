@@ -102,6 +102,31 @@ class RuleSpec extends SparkSpec {
     }
   }
 
+  test("property: rewrite ≡ window plan on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421L)
+    (1 to 6).foreach { _ =>
+      // globally-unique seq → total order per key → both plans deterministic
+      val seqs = rnd.shuffle((0L until 200L).toList)
+      val rows = seqs.zipWithIndex.map { case (s, i) =>
+        (s"K${rnd.nextInt(7)}", s, rnd.nextDouble(), i) }
+      val desc = rnd.nextBoolean()
+      def build() = {
+        val order = if (desc) col("seq").desc else col("seq").asc
+        rows.toDF("sym", "seq", "px", "tag")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("sym").orderBy(order)))
+          .filter(col("rn") === 1)
+      }
+      val plain = build().collect().toSet
+      withRule {
+        val opt = build()
+        assert(!hasWindow(opt))
+        assert(opt.collect().toSet == plain)
+      }
+    }
+  }
+
   test("does NOT fire on a nullable order key (null-ranking divergence)") {
     import spark.implicits._
     withRule {
