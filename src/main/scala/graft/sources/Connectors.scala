@@ -223,4 +223,51 @@ object Connectors {
       } else batch
     fresh.dropDuplicates(keys).write.mode("append").parquet(targetPath)
   }
+
+  /** Lake maintenance: rewrite a parquet directory so files approach
+    * `targetFileBytes` instead of the per-micro-batch slivers an
+    * append-heavy sink accumulates — the small-files problem is the
+    * classic silent killer of 100 TB scan throughput (every file is an
+    * open + footer read + a scheduler task floor). Unpartitioned data is
+    * repartitioned to ceil(bytes/target); partitioned data is
+    * repartitioned ON the partition columns so each partition value's
+    * rows land in one task → one file per value. The rewrite goes to a
+    * sibling tmp dir, then two renames swap it in — briefly non-atomic
+    * (a reader between the renames sees a missing dir); a table format
+    * with a transactional manifest is the production answer, this is the
+    * dependency-free equivalent. Returns (files before, files after). */
+  def compactParquet(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val it = fs.listFiles(root, true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result()
+    }
+    val before = dataFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val df = spark.read.parquet(path)
+    val out =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(
+        math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val writer = out.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (!fs.rename(p, old)) sys.error(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back; original data untouched
+      sys.error(s"compact: cannot swap in $tmp, original restored")
+    }
+    fs.delete(old, true)
+    (before.size, dataFiles(p).size)
+  }
 }

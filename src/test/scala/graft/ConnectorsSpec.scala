@@ -286,6 +286,40 @@ class ConnectorsSpec extends SparkSpec {
     assert(!Connectors.tableExists(spark, "no_such_table_anywhere"))
   }
 
+  test("compactParquet: small files merge, data identical, rereadable") {
+    import spark.implicits._
+    val dir = tmp() + "/lake"
+    val df = (0 until 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(40).write.parquet(dir)
+    val (before, after) = Connectors.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(before == 40)
+    assert(after == 1) // 40 slivers, one target-size file
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.as[(Long, String)].collect().toSet ==
+      df.as[(Long, String)].collect().toSet)
+  }
+
+  test("compactParquet: partitioned lake → one file per partition value, pruning kept") {
+    import spark.implicits._
+    val dir = tmp() + "/plake"
+    val df = (0 until 300).map(i => (i.toLong, s"d${i % 3}", i * 1.0))
+      .toDF("id", "day", "v")
+    Connectors.writePartitionedParquet(df.repartition(30), dir, Seq("day"))
+    val (before, after) = Connectors.compactParquet(spark, dir,
+      partitionCols = Seq("day"))
+    assert(before > 3, s"precondition: want many slivers, got $before")
+    assert(after == 3) // one file per partition value
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    // partition pruning still applies after the rewrite
+    val pruned = back.filter(col("day") === "d1")
+    assert(pruned.count() == 100)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(day"))
+  }
+
   test("partitioned parquet roundtrip preserves values and prunes") {
     import spark.implicits._
     val dir = tmp() + "/pq"
