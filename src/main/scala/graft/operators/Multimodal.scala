@@ -98,6 +98,83 @@ object Multimodal {
       }
   }
 
+  /** One media perceptual signature — 64-bit aHash-shaped. */
+  case class MediaSig(media_id: Long, phash: Long)
+
+  /** Perceptual hash of the decoded content, in the same per-partition
+    * batch shape as [[decodePartitioned]]. Real aHash: resize to an 8×8
+    * luma grid, set bit i when cell i ≥ the grid mean. The STUB stands
+    * the 64 equal payload slices in for the 8×8 grid (no image libs in
+    * this environment) — identical payloads hash identically and local
+    * byte edits flip only the slices they touch, so the signature has
+    * the aHash locality the dedup tier needs. Swap the slice means for
+    * decoded-pixel cell means and nothing downstream changes. */
+  def perceptualHashPartitioned(df: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[MediaSig] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray
+            else bytes.drop(12)
+          val n = payload.length
+          val sig = if (n == 0) 0L else {
+            // --- stubbed "decode to 8×8 grid" begins (codec call) ---
+            val cell = new Array[Double](64)
+            var i = 0
+            while (i < 64) {
+              val lo = i * n / 64
+              val hi = math.max(lo + 1, (i + 1) * n / 64)
+              var s = 0L
+              var j = lo
+              while (j < math.min(hi, n)) { s += (payload(j) & 0xff); j += 1 }
+              cell(i) = s.toDouble / math.max(1, math.min(hi, n) - lo)
+              i += 1
+            }
+            // --- stubbed decode ends ---
+            val mean = cell.sum / 64
+            var acc = 0L
+            var b = 0
+            while (b < 64) {
+              if (cell(b) >= mean) acc |= (1L << b)
+              b += 1
+            }
+            acc
+          }
+          MediaSig(id, sig)
+        }
+      }
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash Hamming distance —
+    * image dedup as a first-class corpus stage. Pigeonhole banding makes
+    * the candidate join EXACT: with 4 disjoint 16-bit bands, any pair
+    * within Hamming ≤ 3 agrees on at least one whole band, so the
+    * (band, value) equi-join misses nothing while signatures — 8 bytes a
+    * row, never the blobs — are all that shuffles. The verify filter is
+    * one codegen'd bit_count. `maxHamming` must stay < 4 for exactness. */
+  def mediaNearDups(sigs: Dataset[MediaSig], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"pigeonhole over 4 bands is exact only for hamming < 4, got $maxHamming")
+    val bandStructs = (0 until 4).map(b =>
+      s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
+      .mkString(", ")
+    val bands = sigs.toDF()
+      .selectExpr("media_id", "phash",
+        s"explode(array($bandStructs)) AS band")
+      .selectExpr("media_id", "phash", "band.b AS b", "band.v AS v")
+    bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.media_id") < col("c.media_id"))
+      .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
+        col("a.phash").as("pa"), col("c.phash").as("pb"))
+      .distinct()
+      .filter(expr(s"bit_count(pa ^ pb) <= $maxHamming"))
+      .select("id_a", "id_b")
+  }
+
   /** Frame sampling: emit every `stride`-th byte offset of the payload as
     * a "frame" row — the explode shape (row → many frames) of video
     * frame extraction, with deterministic content. */

@@ -286,6 +286,44 @@ class ConnectorsSpec extends SparkSpec {
     assert(!Connectors.tableExists(spark, "no_such_table_anywhere"))
   }
 
+  test("media perceptual-hash dedup: planted near-dup found, banding exact") {
+    import spark.implicits._
+    // 64 slices × 10 chars; 'z'(122) vs '!'(33) keeps every slice far
+    // from the global mean, so only deliberately-edited slices flip bits
+    def img(slices: Seq[Char]): String = slices.map(c => s"$c" * 10).mkString
+    val base = (0 until 64).map(i => if (i % 2 == 0) 'z' else '!')
+    val rows = Seq(
+      (0L, img(base)),
+      (1L, img(base.updated(0, '!'))), // one slice edited → hamming 1
+      (2L, img(base.map(c => if (c == 'z') '!' else 'z'))), // inverted → far
+      (3L, img(base))) // exact copy → hamming 0
+      .toDF("media_id", "payload")
+      .withColumn("w", lit(8)).withColumn("h", lit(8))
+    val sigs = Multimodal.perceptualHashPartitioned(
+      Multimodal.encodeFake(rows, "w", "h", "payload"))
+    val pairs = Multimodal.mediaNearDups(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+
+    // pigeonhole banding finds EXACTLY the naive all-pairs result
+    val rnd = new scala.util.Random(11)
+    val planted = Seq(
+      Multimodal.MediaSig(200L, 0L), Multimodal.MediaSig(201L, 0x5L),
+      Multimodal.MediaSig(202L, 0xF0F0L)) // hamming 8 from 200: excluded
+    val sigs2 = ((0L until 150L).map(i =>
+      Multimodal.MediaSig(i, rnd.nextLong())) ++ planted).toDS()
+    val banded = Multimodal.mediaNearDups(sigs2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = sigs2.toDF.as("a").join(sigs2.toDF.as("c"),
+        col("a.media_id") < col("c.media_id") &&
+          expr("bit_count(a.phash ^ c.phash) <= 3"))
+      .select(col("a.media_id"), col("c.media_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+    assert(banded.contains((200L, 201L)))
+    assert(!banded.contains((200L, 202L)))
+  }
+
   test("compactParquet: small files merge, data identical, rereadable") {
     import spark.implicits._
     val dir = tmp() + "/lake"
