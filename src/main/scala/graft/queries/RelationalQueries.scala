@@ -269,6 +269,35 @@ object RelationalQueries {
         col("n").as("n_events"))
       .orderBy("event_type")
 
+  /** Distinct-count sketch (fixed-threshold KMV / theta family): keep
+    * only rows whose portable 60-bit content hash is ≡ 0 (mod
+    * [[SketchMod]]) — a deterministic 1/[[SketchMod]] uniform sample of
+    * the DISTINCT key space — and scale the surviving distinct count back
+    * up. Unlike HLL the estimator is bit-reproducible on any engine, any
+    * partitioning, so the oracle can replay it exactly. Scale shape: the
+    * mod filter drops (SketchMod-1)/SketchMod of rows BEFORE the shuffle,
+    * and the remaining distinct runs with map-side partial aggregation —
+    * at 100 TB the wire carries ~1/[[SketchMod]] of the distinct keys,
+    * not the rows. The exact count here is the verification twin you
+    * would NOT run at scale. */
+  private val SketchMod = 8L
+
+  private def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val h =
+      "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    Tables(spark, dir, "events")
+      .selectExpr("event_type", "user_id", s"$h AS h")
+      .groupBy("event_type")
+      .agg(
+        (countDistinct(when(col("h") % SketchMod === 0, col("h"))) * SketchMod)
+          .cast("long").as("est_distinct"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .withColumn("err_pct",
+        Num.r(lit(100.0) * abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct"), 2))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_join_outer", joinOuter, Some("""
       SELECT c_custkey, c_mktsegment,
@@ -411,5 +440,18 @@ object RelationalQueries {
              round(sum(value) + 1e-9, 2) AS total_value,
              count(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("q_distinct_sketch", distinctSketch, Some("""
+      WITH h AS (
+        SELECT event_type, user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+      agg AS (
+        SELECT event_type,
+               CAST(count(DISTINCT CASE WHEN h % 8 = 0 THEN h END) * 8 AS BIGINT) AS est_distinct,
+               count(DISTINCT user_id) AS exact_distinct
+        FROM h GROUP BY event_type)
+      SELECT event_type, est_distinct, exact_distinct,
+             round(100.0 * abs(est_distinct - exact_distinct) / exact_distinct + 1e-9, 2) AS err_pct
+      FROM agg ORDER BY event_type""")),
   )
 }

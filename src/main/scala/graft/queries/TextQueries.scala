@@ -370,7 +370,58 @@ object TextQueries {
       ORDER BY split, source"""
   }
 
+  /** TF-IDF: top-3 highest-scoring terms per document. tf is a
+    * (doc_id, term) groupBy with map-side partial aggregation; the
+    * document-frequency table is vocabulary-sized, so it rides a
+    * broadcast join (vectors of counts never shuffle with the corpus);
+    * the corpus size joins in as a broadcast 1-row aggregate (no driver
+    * collect). The per-doc top-3 ranks by the ROUNDED score (both
+    * engines see identical ordering keys) and Spark executes the
+    * rank≤3 filter as a WindowGroupLimit — a per-partition heap, not a
+    * full per-doc sort. */
+  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val terms = docs
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .selectExpr("doc_id", "lower(tok) AS term")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        Num.rExp(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val tfidfSql = """
+    WITH terms AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n_docs / CAST(df.df AS DOUBLE)) + 1e-8, 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("q_profile", profile, Some("""
       SELECT count(*) AS n_rows,

@@ -213,6 +213,27 @@ object WindowQueries {
         element_at(split(col("event_type"), "_"), 1).as("display_name"))
       .orderBy("event_id")
 
+  /** Rolling z-score anomaly flags: each observation against its key's
+    * trailing 20-row mean/stddev; emit only the |z| ≥ 2.5 outliers. Same
+    * single-shuffle-plus-in-partition-sort shape as the SMA family — the
+    * two window aggregates and the z arithmetic all ride one window pass.
+    * The filter compares the ROUNDED z on both engines so an ulp of
+    * accumulation-order difference can't flip a row across the
+    * threshold. */
+  private def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = byUser.rowsBetween(-19, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        avg("value").over(w).as("mu"),
+        stddev_samp("value").over(w).as("sigma"))
+      .withColumn("z",
+        Num.r(when(col("sigma") > 0, (col("value") - col("mu")) / col("sigma")), 4))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        Num.r(col("mu"), 4).as("mu"), col("z"))
+      .orderBy("event_id")
+  }
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -349,6 +370,21 @@ object WindowQueries {
                          AND close IS NOT NULL AND close <> 0.0
                         THEN close - open ELSE 0.0 END, 2) AS change_day
       FROM lagged
+      ORDER BY event_id""")),
+    QueryDef("q_anomaly", anomaly, Some(s"""
+      WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma
+        FROM $E
+        WINDOW w AS ($wUser ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      z AS (
+        SELECT event_id, user_id, ts, value,
+               round(mu + 1e-9, 4) AS mu,
+               round(CASE WHEN sigma > 0 THEN (value - mu) / sigma END + 1e-9, 4) AS z
+        FROM s)
+      SELECT event_id, user_id, ts, value, mu, z
+      FROM z WHERE abs(z) >= 2.5
       ORDER BY event_id""")),
   )
 }
