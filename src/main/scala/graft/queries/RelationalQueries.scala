@@ -298,6 +298,53 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** CUBE over (event_type, month): all four grouping sets — (type, month),
+    * (type), (month), () — in ONE logical aggregation. Spark expands the
+    * cube as an `Expand` over the scan feeding a single hash aggregate
+    * with map-side partials, so the fact table is read once and shuffled
+    * once regardless of how many grouping sets the cube implies — the
+    * alternative (a UNION of 4 aggregations) would scan 4×. `grouping_id`
+    * disambiguates the null placeholders from genuine nulls. */
+  private def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .cube(col("event_type"), col("month"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Num.r(sum("value"), 2).as("total_value"))
+      .select(col("event_type"), col("month"), col("gid"), col("n"),
+        col("total_value"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("month").asc_nulls_first)
+
+  /** PII/identifier scrubbing report: redact email-shaped tokens and
+    * multi-digit runs from the free-text `props` payload, then aggregate
+    * per event_type — rows scanned once, redaction is pure per-row
+    * codegen'd regexp work (no UDF), and the only shuffle is the final
+    * 5-key aggregate. The regex subset used ([...]+ classes, {n,} bounds)
+    * behaves identically under Java regex (Spark) and RE2 (DuckDB); the
+    * dot is written `[.]` (not `\.`) because Spark's non-ANSI SQL string
+    * literals process backslash escapes and DuckDB's don't — a bracketed
+    * class reaches both regex engines as the same bytes. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val digitsRe = "[0-9]{2,}"
+
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .selectExpr(
+        "event_type",
+        s"size(regexp_extract_all(props, '$emailRe', 0)) AS n_emails",
+        s"size(regexp_extract_all(props, '$digitsRe', 0)) AS n_digit_runs",
+        s"regexp_replace(regexp_replace(props, '$emailRe', '<EMAIL>'), '$digitsRe', '<NUM>') AS scrubbed")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("n_emails").cast("long").as("total_emails"),
+        sum("n_digit_runs").cast("long").as("total_digit_runs"),
+        countDistinct("scrubbed").as("n_scrubbed_forms"),
+        min("scrubbed").as("sample_scrubbed"))
+      .orderBy("event_type")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_join_outer", joinOuter, Some("""
       SELECT c_custkey, c_mktsegment,
@@ -440,6 +487,34 @@ object RelationalQueries {
              round(sum(value) + 1e-9, 2) AS total_value,
              count(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("q_cube", cubePricing, Some(s"""
+      WITH e AS (
+        SELECT event_type, strftime(ts, '%Y-%m') AS month, value
+        FROM ${OracleSources.events})
+      SELECT event_type, month,
+             CAST(GROUPING(event_type, month) AS BIGINT) AS gid,
+             count(*) AS n,
+             round(sum(value) + 1e-9, 2) AS total_value
+      FROM e
+      GROUP BY CUBE (event_type, month)
+      ORDER BY gid, event_type NULLS FIRST, month NULLS FIRST""")),
+    QueryDef("q_pii_scrub", piiScrub, Some(s"""
+      WITH scrubbed AS (
+        SELECT event_type,
+               len(regexp_extract_all(props, '$emailRe')) AS n_emails,
+               len(regexp_extract_all(props, '$digitsRe')) AS n_digit_runs,
+               regexp_replace(regexp_replace(props, '$emailRe', '<EMAIL>', 'g'),
+                              '$digitsRe', '<NUM>', 'g') AS scrubbed
+        FROM events)
+      SELECT event_type,
+             count(*) AS n_events,
+             CAST(sum(n_emails) AS BIGINT) AS total_emails,
+             CAST(sum(n_digit_runs) AS BIGINT) AS total_digit_runs,
+             count(DISTINCT scrubbed) AS n_scrubbed_forms,
+             min(scrubbed) AS sample_scrubbed
+      FROM scrubbed
+      GROUP BY event_type
+      ORDER BY event_type""")),
     QueryDef("q_distinct_sketch", distinctSketch, Some("""
       WITH h AS (
         SELECT event_type, user_id,

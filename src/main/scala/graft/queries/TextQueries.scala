@@ -420,8 +420,111 @@ object TextQueries {
     FROM ranked WHERE rnk <= 3
     ORDER BY doc_id, rnk"""
 
+  /** Temperature-based mixture reweighting (the standard multilingual
+    * pre-training trick): per-language sampling rates ∝ n^(1/2) so
+    * low-resource languages are up-weighted relative to their natural
+    * share, targeting a 50%-of-corpus budget. Selection is DETERMINISTIC:
+    * a doc is kept iff its portable 60-bit hash mod 1e6 clears the
+    * language's integerized rate threshold — same docs chosen on any
+    * cluster, any partitioning, any engine. Scale shape: pass 1 is a
+    * map-side-partial count per lang (5 rows); rates are computed on that
+    * tiny table and BROADCAST back for pass 2's filter+count — the corpus
+    * is scanned twice but never shuffled by doc, and the wire carries
+    * only per-lang partials. sqrt (not pow) because IEEE 754 requires
+    * sqrt correctly rounded — identical bits on JVM and C libm. */
+  private def mixReweight(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("total"), sum(sqrt(col("n"))).as("sum_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        Num.r(least(lit(1.0),
+          lit(0.5) * col("total") * (sqrt(col("n")) / col("sum_w")) / col("n")), 6))
+      .withColumn("thr", round(col("rate") * 1e6).cast("long"))
+      .select("lang", "n", "rate", "thr")
+    docs
+      .selectExpr("lang",
+        "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000 AS hmod")
+      .join(broadcast(rates), "lang")
+      .groupBy("lang")
+      .agg(max("n").as("n_docs"),
+        max("rate").as("rate"),
+        sum(when(col("hmod") < col("thr"), 1L).otherwise(0L)).cast("long")
+          .as("n_selected"))
+      .orderBy("lang")
+  }
+
+  private val mixReweightSql = """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, sum(sqrt(n)) AS sum_w
+            FROM counts),
+    rates AS (
+      SELECT lang, n,
+             round(least(1.0, 0.5 * total * (sqrt(n) / sum_w) / n) + 1e-9, 6)
+               AS rate
+      FROM counts CROSS JOIN tot),
+    r2 AS (SELECT *, CAST(round(rate * 1e6) AS BIGINT) AS thr FROM rates),
+    sel AS (
+      SELECT d.lang,
+             CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < thr
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+      FROM documents d JOIN r2 USING (lang)
+      GROUP BY 1)
+    SELECT r2.lang, r2.n AS n_docs, r2.rate, sel.n_selected
+    FROM r2 JOIN sel USING (lang)
+    ORDER BY lang"""
+
+  /** Sequence packing (concat-and-chunk): per source, documents are laid
+    * end-to-end in doc_id order and cut into 2048-token training
+    * sequences; each doc is attributed to the sequence where it STARTS.
+    * Pure integer arithmetic end to end — bit-identical cross-engine with
+    * no float discipline needed. Scale shape: one shuffle on source, the
+    * running total is a single in-partition window pass (sources are
+    * independent so a 1000-executor cluster packs 1000 sources at once),
+    * and the per-sequence rollup re-aggregates with map-side partials.
+    * Skew guard at 100 TB: a giant source serializes its own cumsum —
+    * shard hot sources on a coarse doc_id prefix first if that bites. */
+  private def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val SeqLen = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(spark, dir, "documents")
+      .selectExpr("source", "doc_id", s"cast(size($toks) AS BIGINT) AS n_tokens")
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(SeqLen.toDouble)).cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        max("cum").as("cum_tokens"))
+      .orderBy("source", "seq_id")
+  }
+
+  private val packSequencesSql = """
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cums AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT source,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(cum) AS BIGINT) AS cum_tokens
+    FROM cums
+    GROUP BY 1, 2
+    ORDER BY source, seq_id"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
+    QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("q_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("q_profile", profile, Some("""
       SELECT count(*) AS n_rows,

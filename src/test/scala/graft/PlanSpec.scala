@@ -44,6 +44,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cube runs as ONE Expand+aggregate pass, not a union of aggregations") {
+    val plan = finalPlan("q_cube")
+    assert(plan.contains("Expand"),
+      s"q_cube must expand grouping sets over a single scan:\n$plan")
+    assert(!plan.contains("Union"),
+      s"q_cube regressed to a union-of-aggregations plan:\n$plan")
+  }
+
+  test("mixture reweighting broadcasts the rate table; the corpus never shuffles by doc") {
+    val plan = finalPlan("q_mix_reweight")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"q_mix_reweight must broadcast the 5-row rate table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_mix_reweight corpus side must not sort-merge:\n$plan")
+  }
+
   test("IVF/PQ assignment plans aggregate, not sort") {
     // the centroid/code assignment passes must be max_by/min_by groupBys;
     // the only Window allowed is the query-side top-k (group-limited)
