@@ -29,13 +29,19 @@ object Skew {
 
   /** Skewed fact ⋈ small dim without broadcast: salt the fact side,
     * replicate the dim side across all salt values, join on (key, salt).
-    * Each heavy key spreads over `buckets` tasks. */
+    * Each heavy key spreads over `buckets` tasks. `dimHint` ("shuffle_hash",
+    * "merge", …) pins the join strategy — pass it when the dim is small
+    * enough that Spark would otherwise broadcast it and silently erase the
+    * distribution the salt exists to demonstrate (in production the dim
+    * exceeds the broadcast threshold, which is the only reason to salt). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      saltFrom: String, buckets: Int): DataFrame = {
+      saltFrom: String, buckets: Int, dimHint: String = ""): DataFrame = {
     val salted = fact.withColumn("__salt",
       pmod(hash(col(saltFrom)), lit(buckets)))
-    val replicated = dim.withColumn("__salt",
+    val replicated0 = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
+    val replicated =
+      if (dimHint.isEmpty) replicated0 else replicated0.hint(dimHint)
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 }

@@ -298,6 +298,31 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** Salted JOIN, oracle-proven: enrich every event with its type's mean
+    * and keep the extreme deviations. The whole 100k-row (100 TB: N-row)
+    * fact collapses onto 5 join keys — the degenerate skew where a plain
+    * shuffle join sends each key's entire volume to ONE task.
+    * [[graft.operators.Skew.saltedJoin]] spreads each key over 16 salt
+    * buckets and replicates the 5-row stats dim 16×, so the fact shuffles
+    * over 80 well-spread keys with bounded per-task fan-in. The join is
+    * hinted shuffle_hash because at THIS dim size Spark would broadcast
+    * (also fine — but then nothing is demonstrated); the oracle is the
+    * PLAIN join: the gate proves salting changes execution, not results.
+    * Deviations compare ROUNDED values on both engines. */
+  private def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = events.groupBy("event_type")
+      .agg(Num.r(avg("value"), 4).as("type_avg"))
+    graft.operators.Skew
+      .saltedJoin(events, stats, "event_type", "event_id", 16, "shuffle_hash")
+      .withColumn("deviation", Num.r(col("value") - col("type_avg"), 4))
+      .filter(abs(col("deviation")) >= 45.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("type_avg"), col("deviation"))
+      .orderBy("event_id")
+  }
+
   /** CUBE over (event_type, month): all four grouping sets — (type, month),
     * (type), (month), () — in ONE logical aggregation. Spark expands the
     * cube as an `Expand` over the scan feeding a single hash aggregate
@@ -487,6 +512,18 @@ object RelationalQueries {
              round(sum(value) + 1e-9, 2) AS total_value,
              count(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type""")),
+    QueryDef("q_skew_join", skewJoin, Some("""
+      WITH stats AS (
+        SELECT event_type, round(avg(value) + 1e-9, 4) AS type_avg
+        FROM events GROUP BY event_type),
+      joined AS (
+        SELECT e.event_id, e.event_type, e.value, s.type_avg,
+               round(e.value - s.type_avg + 1e-9, 4) AS deviation
+        FROM events e JOIN stats s USING (event_type))
+      SELECT event_id, event_type, value, type_avg, deviation
+      FROM joined
+      WHERE abs(deviation) >= 45.0
+      ORDER BY event_id""")),
     QueryDef("q_cube", cubePricing, Some(s"""
       WITH e AS (
         SELECT event_type, strftime(ts, '%Y-%m') AS month, value

@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec {
       s"q_mix_reweight corpus side must not sort-merge:\n$plan")
   }
 
+  test("salted join actually shuffle-hash-joins on the widened key space") {
+    // if Spark broadcasts the replicated dim the salt demonstrates nothing
+    val plan = finalPlan("q_skew_join")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"q_skew_join must shuffle-hash join on (key, salt):\n$plan")
+  }
+
   test("IVF/PQ assignment plans aggregate, not sort") {
     // the centroid/code assignment passes must be max_by/min_by groupBys;
     // the only Window allowed is the query-side top-k (group-limited)
