@@ -123,6 +123,45 @@ object AnalyticsQueries {
         Num.r(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Winsorized robust statistics: per-group p05/p95 bounds (exact
+    * interpolated percentiles), values clipped to the ROUNDED bounds,
+    * raw vs winsorized mean side by side plus the clip count — the
+    * outlier-robust summary a feature pipeline reports before training.
+    * Scale shape: the bounds table is group-cardinality-sized (5 rows)
+    * and BROADCASTS back onto the fact for the clip pass; the fact is
+    * scanned twice, shuffled only by the 5-key partial-agg aggregations.
+    * Determinism: clipping and the clip-count compare raw data against
+    * the 4-dp ROUNDED bounds, so both engines clip identical row sets. */
+  private def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val bounds = events.groupBy("event_type").agg(
+      Num.r(expr("percentile(value, 0.05)"), 4).as("p05"),
+      Num.r(expr("percentile(value, 0.95)"), 4).as("p95"))
+    events.join(broadcast(bounds), "event_type")
+      .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(max("p05").as("p05"), max("p95").as("p95"),
+        Num.r(avg("value"), 4).as("raw_mean"),
+        Num.r(avg("clipped"), 4).as("wins_mean"),
+        sum(when(col("value") < col("p05") || col("value") > col("p95"), 1L)
+          .otherwise(0L)).cast("long").as("n_clipped"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeSql = """
+    WITH bounds AS (
+      SELECT event_type,
+             round(percentile_cont(0.05) WITHIN GROUP (ORDER BY value) + 1e-9, 4) AS p05,
+             round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value) + 1e-9, 4) AS p95
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, b.p05, b.p95,
+           round(avg(e.value) + 1e-9, 4) AS raw_mean,
+           round(avg(least(greatest(e.value, b.p05), b.p95)) + 1e-9, 4) AS wins_mean,
+           CAST(sum(CASE WHEN e.value < b.p05 OR e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95
+    ORDER BY e.event_type"""
+
   private val percentilesSql = """
     SELECT event_type,
            round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) + 1e-9, 4) AS p50,
@@ -235,6 +274,7 @@ object AnalyticsQueries {
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
+    QueryDef("q_winsorize", winsorize, Some(winsorizeSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),
   )

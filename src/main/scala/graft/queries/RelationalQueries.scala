@@ -274,12 +274,13 @@ object RelationalQueries {
     * [[SketchMod]]) — a deterministic 1/[[SketchMod]] uniform sample of
     * the DISTINCT key space — and scale the surviving distinct count back
     * up. Unlike HLL the estimator is bit-reproducible on any engine, any
-    * partitioning, so the oracle can replay it exactly. Scale shape: the
-    * mod filter drops (SketchMod-1)/SketchMod of rows BEFORE the shuffle,
-    * and the remaining distinct runs with map-side partial aggregation —
-    * at 100 TB the wire carries ~1/[[SketchMod]] of the distinct keys,
-    * not the rows. The exact count here is the verification twin you
-    * would NOT run at scale. */
+    * partitioning, so the oracle can replay it exactly. Scale shape:
+    * sketch-ONLY, the mod filter drops (SketchMod-1)/SketchMod of
+    * distinct keys before the shuffle (map-side pre-dedup, wire carries
+    * ~1/[[SketchMod]] of the key space). THIS demo plan also computes the
+    * exact count as a verification twin, so it still shuffles every
+    * (type, user_id) pair — the twin is exactly what you would NOT run
+    * at 100 TB; drop the `exact_distinct`/`err_pct` columns there. */
   private val SketchMod = 8L
 
   private def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
@@ -345,8 +346,12 @@ object RelationalQueries {
   /** PII/identifier scrubbing report: redact email-shaped tokens and
     * multi-digit runs from the free-text `props` payload, then aggregate
     * per event_type — rows scanned once, redaction is pure per-row
-    * codegen'd regexp work (no UDF), and the only shuffle is the final
-    * 5-key aggregate. The regex subset used ([...]+ classes, {n,} bounds)
+    * codegen'd regexp work (no UDF). Two shuffles: the exact
+    * `countDistinct(scrubbed)` dedups on (type, scrubbed) first — its
+    * volume is bounded by the DISTINCT scrubbed forms (scrubbing
+    * collapses cardinality, which is the point), with a map-side
+    * pre-dedup before the exchange — then the final 5-key aggregate.
+    * The regex subset used ([...]+ classes, {n,} bounds)
     * behaves identically under Java regex (Spark) and RE2 (DuckDB); the
     * dot is written `[.]` (not `\.`) because Spark's non-ANSI SQL string
     * literals process backslash escapes and DuckDB's don't — a bracketed

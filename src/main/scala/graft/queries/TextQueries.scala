@@ -521,10 +521,46 @@ object TextQueries {
     GROUP BY 1, 2
     ORDER BY source, seq_id"""
 
+  /** Exact-k stratified sampling: EXACTLY min(k, n) docs per language,
+    * chosen as the k lowest portable-hash values — "give me 50 eval docs
+    * per language, same 50 on every run, every cluster, every engine".
+    * Hash-ranked min-k beats rate-based sampling when the sample size
+    * must be exact, and stays deterministic where reservoir sampling
+    * isn't. Scale shape: Spark executes the row_number ≤ k filter as
+    * WindowGroupLimit — every map task keeps a k-row heap per language
+    * BEFORE the shuffle, so the exchange carries ≤ k·tasks rows per
+    * stratum, never the corpus (plan-asserted in PlanSpec). */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val K = 50
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .selectExpr("lang", "doc_id",
+        "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("lang"), col("doc_id"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  private val sampleStratifiedSql = """
+    WITH hashed AS (
+      SELECT lang, doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM documents),
+    ranked AS (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rnk
+      FROM hashed)
+    SELECT lang, doc_id, rnk
+    FROM ranked WHERE rnk <= 50
+    ORDER BY lang, rnk"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
     QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    QueryDef("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("q_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),
     QueryDef("q_profile", profile, Some("""
       SELECT count(*) AS n_rows,
