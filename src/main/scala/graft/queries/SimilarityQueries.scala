@@ -750,8 +750,73 @@ object SimilarityQueries {
     out
   }
 
+  /** kNN label propagation (weak supervision): each query vector takes
+    * the majority label of its TOPK exact nearest neighbors, tie-broken
+    * deterministically (most votes, then smallest label), and is scored
+    * against its own true label. This is the brute/correctness tier —
+    * at corpus scale the neighbor set comes from [[annIvf]]/[[annLsh]]
+    * instead and the vote is unchanged. The vote itself never shuffles
+    * vectors: after top-k, only (query_id, label) pairs aggregate, and
+    * the winner is a `max_by` over (votes, -label) — an aggregate, not a
+    * ranking window. */
+  private def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").cast("long").as("true_label"))
+    val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("true_label"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("label"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .groupBy("query_id", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("query_id", "true_label")
+      .agg(
+        max_by(col("label"), struct(col("votes"), -col("label")))
+          .as("pred_label"),
+        max("votes").cast("long").as("n_votes"))
+      .withColumn("correct", col("pred_label") === col("true_label"))
+      .orderBy("query_id")
+  }
+
+  private val knnClassifySql = s"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS true_label,
+             e.vec_id AS neighbor_id, CAST(e.label AS BIGINT) AS label,
+             round(list_dot_product(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
+      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+      WHERE q.vec_id < $NQUERIES),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored)
+      WHERE rnk <= $TOPK),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS votes
+      FROM topk GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT query_id, true_label, label AS pred_label,
+             CAST(votes AS BIGINT) AS n_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label ASC) AS r
+      FROM votes)
+    SELECT query_id, true_label, pred_label, n_votes,
+           (pred_label = true_label) AS correct
+    FROM pred WHERE r = 1
+    ORDER BY query_id"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
+    QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql)),
     QueryDef("q_ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("q_ann_pq", annPq, Some(annPqSql)),
