@@ -556,8 +556,44 @@ object TextQueries {
     FROM ranked WHERE rnk <= 50
     ORDER BY lang, rnk"""
 
+  /** Sliding-window chunking: 32-token chunks on a 24-token stride
+    * (8-token overlap) — the chunk table an embedding/RAG pipeline builds
+    * before encoding. Pure per-row work: the chunk starts come from
+    * `sequence`/`explode` inside the row (no join, no shuffle except the
+    * output sort), trailing partial chunks kept, all integer arithmetic
+    * so both engines emit identical rows. Spark's `sequence(0, stop, s)`
+    * and DuckDB's `generate_series(0, stop, s)` are both
+    * inclusive-of-stop, which this relies on. */
+  private def chunkSliding(spark: SparkSession, dir: String): DataFrame = {
+    val Size = 32
+    val Stride = 24
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"cast(size($toks) AS INT) AS n")
+      .selectExpr("doc_id", "n",
+        s"explode(sequence(0, greatest(n - 1, 0), $Stride)) AS start")
+      .selectExpr("doc_id",
+        "cast(start AS BIGINT) AS start",
+        s"cast(least($Size, n - start) AS BIGINT) AS chunk_len")
+      .orderBy("doc_id", "start")
+  }
+
+  private val chunkSlidingSql = """
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n
+      FROM documents),
+    starts AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 24)) AS start
+      FROM toks)
+    SELECT doc_id, CAST(start AS BIGINT) AS start,
+           CAST(least(32, n - start) AS BIGINT) AS chunk_len
+    FROM starts
+    ORDER BY doc_id, start"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("q_chunk_sliding", chunkSliding, Some(chunkSlidingSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
     QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
