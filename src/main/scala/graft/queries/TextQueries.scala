@@ -370,13 +370,15 @@ object TextQueries {
       ORDER BY split, source"""
   }
 
-  /** TF-IDF: top-3 highest-scoring terms per document. tf is a
-    * (doc_id, term) groupBy with map-side partial aggregation; the
-    * document-frequency table is vocabulary-sized, so it rides a
-    * broadcast join (vectors of counts never shuffle with the corpus);
-    * the corpus size joins in as a broadcast 1-row aggregate (no driver
-    * collect). The per-doc top-3 ranks by the ROUNDED score (both
-    * engines see identical ordering keys) and Spark executes the
+  /** TF-IDF: top-3 highest-scoring terms per document. The corpus is
+    * exploded ONCE: tf is a (doc_id, term) groupBy with map-side partial
+    * aggregation, and df derives from tf itself — tf rows are unique per
+    * (doc, term), so `tf.groupBy(term).count` IS the document frequency,
+    * with no second explode pass and no distinct. The vocabulary-sized
+    * df table rides a broadcast join (counts never shuffle with the
+    * corpus); the corpus size joins in as a broadcast 1-row aggregate
+    * (no driver collect). The per-doc top-3 ranks by the ROUNDED score
+    * (both engines see identical ordering keys) and Spark executes the
     * rank≤3 filter as a WindowGroupLimit — a per-partition heap, not a
     * full per-doc sort. */
   private def tfidf(spark: SparkSession, dir: String): DataFrame = {
@@ -385,8 +387,7 @@ object TextQueries {
       .selectExpr("doc_id", s"explode($toks) AS tok")
       .selectExpr("doc_id", "lower(tok) AS term")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
       .withColumn("score",
@@ -406,7 +407,7 @@ object TextQueries {
              lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf,
