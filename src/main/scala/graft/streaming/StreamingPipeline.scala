@@ -75,6 +75,19 @@ object StreamingPipeline {
           col("close").isNotNull && col("close") =!= 0.0,
           col("close") - col("open")).otherwise(0.0))
 
+  /** Stream-static dimension join: enrich each micro-batch against a
+    * static (or slowly-refreshed) dimension DataFrame. Spark re-binds the
+    * static side per micro-batch, so a dim refreshed in place (e.g. a
+    * parquet dir rewritten by a batch job) is picked up without
+    * restarting the query. Stateless — no watermark needed on the join
+    * itself; the dim should be broadcastable (it is a dimension) so each
+    * batch joins map-side without shuffling the stream. Left join keeps
+    * stream rows whose key has no dim row yet (late-arriving dims are a
+    * fact of life; drop or route them downstream). */
+  def enrichAgainstStatic(src: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    src.join(broadcast(dim), Seq(key), "left")
+
   /** Tumbling event-time aggregation with watermark — the per-minute
     * micro-batch rollup shape (H1) as a first-class streaming agg. */
   def windowedAgg(src: DataFrame, tsCol: String, key: String,

@@ -91,6 +91,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("PETR4", 2.0), ("VALE3", 0.0)))
   }
 
+  test("enrichAgainstStatic: stream-static left join keeps unmatched stream rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("A", "alpha"), ("B", "beta")).toDF("sym", "name")
+    val mem = MemoryStream[(String, Double)]
+    mem.addData(("A", 1.0), ("B", 2.0), ("Z", 3.0)) // Z has no dim row
+    val out = StreamingPipeline.enrichAgainstStatic(
+      mem.toDF.toDF("sym", "v"), dim, "sym")
+    StreamingPipeline.drainAvailableNow(out, "enrich_static_t")
+    val rows = spark.sql(
+      "SELECT sym, v, name FROM enrich_static_t ORDER BY sym")
+      .as[(String, Double, Option[String])].collect()
+    assert(rows.toSeq == Seq(
+      ("A", 1.0, Some("alpha")), ("B", 2.0, Some("beta")), ("Z", 3.0, None)))
+  }
+
   test("windowedAgg: tumbling event-time aggregation emits closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
