@@ -24,6 +24,41 @@ class ScaleSpec extends SparkSpec {
     assert(partials > 8) // hot key spread over most salt buckets
   }
 
+  test("writeZOrdered: every file covers a narrow slice of BOTH cluster columns") {
+    import graft.sources.Layout
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    events.repartition(8).write.mode("overwrite").parquet(s"$base/naive")
+    Layout.writeZOrdered(events, "event_id", "value", s"$base/clustered", 8)
+
+    // mean per-file (max-min) extent of a column, as a share of its
+    // global extent — the quantity parquet min/max pruning acts on
+    def meanExtent(path: String, c: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("ext"))
+        .agg(avg("ext")).head.getDouble(0)
+      val global = events
+        .agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+      stats / global
+    }
+    // naive (round-robin) files each span ~the whole value space
+    // (value is heavy-tailed, so a 125-row file rarely reaches the global
+    // max — its naive extent share sits lower than uniform event_id's)
+    assert(meanExtent(s"$base/naive", "event_id") > 0.8)
+    assert(meanExtent(s"$base/naive", "value") > 0.6)
+    // z-ordered files are narrow on BOTH dimensions at once: contiguous
+    // z ranges fix the high interleaved bits of both bucket ids
+    assert(meanExtent(s"$base/clustered", "event_id") < 0.55)
+    assert(meanExtent(s"$base/clustered", "value") < 0.8)
+    // and strictly better than naive on each
+    assert(meanExtent(s"$base/clustered", "event_id") <
+      meanExtent(s"$base/naive", "event_id") * 0.6)
+    assert(meanExtent(s"$base/clustered", "value") <
+      meanExtent(s"$base/naive", "value") * 0.85)
+  }
+
   test("saltedJoin: equals plain join on skewed fact x small dim") {
     import spark.implicits._
     val fact = ((1 to 5000).map(i => ("HOT", i.toLong)) ++
