@@ -123,6 +123,49 @@ object AnalyticsQueries {
         Num.r(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Daily OHLC resampling (the reference domain's core bar shape —
+    * include/tasks/data_processing.py computes open/close deltas):
+    * per (event_type, day) open/high/low/close/volume bars from the raw
+    * event stream in ONE hash aggregate — open/close are `min_by`/
+    * `max_by` on the (ts, event_id) struct (deterministic under equal
+    * timestamps), NOT a ranking window, so the whole resample is a
+    * single shuffle with map-side partials and no per-key sort of the
+    * full stream. */
+  private def ohlcDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_trades"),
+        Num.r(sum("value"), 2).as("volume"))
+      .orderBy("event_type", "day")
+
+  private val ohlcDailySql = s"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+      FROM $E),
+    ranked AS (
+      SELECT event_type, day, value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e)
+    SELECT event_type, day,
+           max(CASE WHEN rf = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rl = 1 THEN value END) AS close,
+           count(*) AS n_trades,
+           round(sum(value) + 1e-9, 2) AS volume
+    FROM ranked
+    GROUP BY event_type, day
+    ORDER BY event_type, day"""
+
   /** Winsorized robust statistics: per-group p05/p95 bounds (exact
     * interpolated percentiles), values clipped to the ROUNDED bounds,
     * raw vs winsorized mean side by side plus the clip count — the
@@ -275,6 +318,7 @@ object AnalyticsQueries {
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q_winsorize", winsorize, Some(winsorizeSql)),
+    QueryDef("q_ohlc_daily", ohlcDaily, Some(ohlcDailySql)),
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),
   )
