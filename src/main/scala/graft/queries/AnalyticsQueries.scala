@@ -166,6 +166,59 @@ object AnalyticsQueries {
     GROUP BY event_type, day
     ORDER BY event_type, day"""
 
+  /** Calendar gap-fill with carry-forward — the distributed form of the
+    * reference's pandas resample/ffill habit: build each key's full date
+    * spine (min..max day, generated per key from a 5-row bounds
+    * aggregate, NOT a driver loop), left-join the sparse daily totals,
+    * and forward-fill via `last(ignoreNulls)` over an unbounded-preceding
+    * row frame. Scale shape: the spine explode is per-key row generation
+    * (days, not events), the join is keyed on (type, day) — AQE
+    * broadcasts the tiny daily side — and the fill is one in-partition
+    * window pass per key. Gaps stay visible via `is_gap` + the nullable
+    * raw total. */
+  private def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(Num.r(sum("value"), 2).as("total"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("filled", last("total", ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("total").isNull)
+      .select("event_type", "day", "total", "filled", "is_gap")
+      .orderBy("event_type", "day")
+  }
+
+  private val gapFillSql = s"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value) + 1e-9, 2) AS total
+      FROM $E GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds)
+    SELECT s.event_type, s.day, d.total,
+           last_value(d.total IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled,
+           (d.total IS NULL) AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    ORDER BY s.event_type, s.day"""
+
   /** Winsorized robust statistics: per-group p05/p95 bounds (exact
     * interpolated percentiles), values clipped to the ROUNDED bounds,
     * raw vs winsorized mean side by side plus the clip count — the
@@ -319,6 +372,7 @@ object AnalyticsQueries {
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q_winsorize", winsorize, Some(winsorizeSql)),
     QueryDef("q_ohlc_daily", ohlcDaily, Some(ohlcDailySql)),
+    QueryDef("q_gap_fill", gapFill, Some(gapFillSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),
   )
