@@ -80,10 +80,16 @@ object Bench {
       "\"" + k + "\":" + r.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // failures are excluded from the total (a -1 sentinel summed in would
-    // make a broken run look FASTER) and listed explicitly
+    // make a broken run look FASTER) and listed explicitly; a query where
+    // only SOME reps failed still reports a median but is flagged in
+    // partial_failures — intermittent breakage must be visible in the
+    // summary, not buried in the per-rep arrays
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val partial = results.collect {
+      case (k, v, reps) if v >= 0 && reps.exists(_ < 0) => "\"" + k + "\""
+    }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failures":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failures":${failed.mkString("[", ",", "]")},"partial_failures":${partial.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

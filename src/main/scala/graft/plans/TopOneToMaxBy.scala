@@ -72,6 +72,13 @@ object TopOneToMaxBy extends Rule[LogicalPlan] {
       }
       val pickAlias = Alias(pick.toAggregateExpression(), "__top1_row")()
       val agg = Aggregate(partSpec, Seq(pickAlias), child)
+      // An UNGROUPED aggregate over empty input still emits one row
+      // (max_by = null) where the original Window+Filter emits none, so
+      // the global-top-1 case must drop the null sentinel row; grouped
+      // aggregates emit zero rows on empty input, no filter needed.
+      val aggOrFiltered =
+        if (partSpec.isEmpty) Filter(IsNotNull(pickAlias.toAttribute), agg)
+        else agg
       // Re-expose the original output attributes (same exprIds, so parent
       // operators' references stay valid): each child column extracted
       // from the picked row struct, and the rank column as literal 1.
@@ -80,6 +87,6 @@ object TopOneToMaxBy extends Rule[LogicalPlan] {
           attr.name)(exprId = attr.exprId)
       }
       val rn = Alias(Literal(1), alias.name)(exprId = alias.exprId)
-      Project(fields :+ rn, agg)
+      Project(fields :+ rn, aggOrFiltered)
   }
 }

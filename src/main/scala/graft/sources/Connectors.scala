@@ -143,14 +143,28 @@ object Connectors {
 
   /** SQLStates that mean "that table does not exist" across the common
     * dialects: Derby 42X05 / 42Y07 (schema), SQL-standard & MySQL-family
-    * 42S02, Postgres 42P01, legacy ODBC S0002. */
+    * 42S02, Postgres 42P01, legacy ODBC S0002. Dialects that DON'T give
+    * missing-table its own SQLState are matched below by vendor error
+    * code (Oracle ORA-00942 arrives as the generic 42000) or, for
+    * drivers that report a null SQLState (SQLite), by the driver's
+    * documented message. Supported dialect set: Derby, MySQL/MariaDB,
+    * Postgres, SQL Server (42S02), Oracle, SQLite; anything else that
+    * signals absence with a generic state still RETHROWS — by design,
+    * see [[jdbcTableExists]]. */
   private val MissingTableSqlStates =
     Set("42X05", "42Y07", "42S02", "42P01", "S0002")
 
   private def isMissingTable(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists {
       case s: java.sql.SQLException =>
-        MissingTableSqlStates.contains(Option(s.getSQLState).getOrElse(""))
+        MissingTableSqlStates.contains(Option(s.getSQLState).getOrElse("")) ||
+          // Oracle: ORA-00942 "table or view does not exist" under the
+          // catch-all SQLState 42000 — only the vendor code disambiguates
+          (s.getErrorCode == 942 &&
+            Option(s.getSQLState).forall(_ == "42000")) ||
+          // SQLite (xerial): null SQLState, generic code, fixed message
+          (s.getSQLState == null &&
+            Option(s.getMessage).exists(_.contains("no such table")))
       case _ => false
     }
 
@@ -241,6 +255,21 @@ object Connectors {
       partitionCols: Seq[String] = Nil): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery before starting a new rewrite: a previous run that
+    // died between the two renames leaves the data ONLY under
+    // __compact_old (rename it back); one that died after the swap but
+    // before cleanup leaves a stale __compact_old beside live data
+    // (delete it); a stale __compact_tmp from any failure is always
+    // safe to drop — the rewrite is recreated from the live dir.
+    val staleOld = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    val staleTmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    if (!fs.exists(p) && fs.exists(staleOld)) {
+      if (!fs.rename(staleOld, p))
+        sys.error(s"compact: cannot recover $staleOld back to $path")
+    } else if (fs.exists(p) && fs.exists(staleOld)) {
+      fs.delete(staleOld, true)
+    }
+    if (fs.exists(staleTmp)) fs.delete(staleTmp, true)
     def dataFiles(root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
       val it = fs.listFiles(root, true)
       val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
@@ -262,7 +291,10 @@ object Connectors {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    if (!fs.rename(p, old)) sys.error(s"compact: cannot move $path aside")
+    if (!fs.rename(p, old)) {
+      fs.delete(tmp, true) // don't leave a full second copy on disk
+      sys.error(s"compact: cannot move $path aside")
+    }
     if (!fs.rename(tmp, p)) {
       fs.rename(old, p) // roll back; original data untouched
       sys.error(s"compact: cannot swap in $tmp, original restored")

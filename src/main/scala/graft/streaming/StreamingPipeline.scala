@@ -56,14 +56,24 @@ object StreamingPipeline {
     * against everything seen inside the lateness horizon, so re-crawled /
     * re-published boilerplate never reaches the lake. First occurrence
     * wins (same batch semantics as the batch q_dedup_exact canonical =
-    * first seen). State is one 60-bit fingerprint per distinct content in
-    * the watermark window — O(distinct recent docs), never O(history). */
+    * first seen).
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the event-time column is part
+    * of the dedup keys, so keying on `fp` alone would retain every
+    * fingerprint EVER seen — unbounded state. The within-watermark
+    * variant expires each fingerprint once the watermark passes its
+    * event time + lateness, so state really is O(distinct recent docs),
+    * never O(history): a re-crawl inside the horizon is dropped, one
+    * far outside it is (deliberately) re-admitted and left to the batch
+    * dedup compaction — the bounded-state / exactness trade every
+    * streaming deduper at 100 TB/day has to make. */
   def dedupByContent(src: DataFrame, textCol: String, tsCol: String,
       lateness: String): DataFrame =
     src.withColumn("fp",
         expr(s"cast(conv(substr(md5(lower(trim($textCol))), 1, 15), 16, 10) AS BIGINT)"))
       .withWatermark(tsCol, lateness)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** The enrichment projection of data_processing.py:69-83 applied on a
     * stream: symbol normalize + guarded change_day. Stateless → appends. */

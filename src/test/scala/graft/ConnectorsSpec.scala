@@ -339,6 +339,36 @@ class ConnectorsSpec extends SparkSpec {
       df.as[(Long, String)].collect().toSet)
   }
 
+  test("compactParquet: recovers crash residue — old-only dir restored, stale tmp dropped") {
+    import spark.implicits._
+    val fsRoot = tmp()
+    val dir = fsRoot + "/rlake"
+    val df = (0 until 100).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(10).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash BETWEEN the two renames: data moved aside to
+    // __compact_old, nothing at the live path, plus a stale tmp rewrite
+    df.limit(1).write.parquet(dir + "__compact_tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+    val (before, after) = Connectors.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(before == 10 && after == 1)
+    assert(spark.read.parquet(dir).count() == 100,
+      "recovered the full dataset from __compact_old, not the stale tmp")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_tmp")))
+    // simulate a crash AFTER the swap but before cleanup: stale old
+    // beside live data must be deleted, live data wins
+    df.limit(2).write.parquet(dir + "__compact_old")
+    val (_, after2) = Connectors.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(after2 == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+  }
+
   test("compactParquet: partitioned lake → one file per partition value, pruning kept") {
     import spark.implicits._
     val dir = tmp() + "/plake"

@@ -127,6 +127,25 @@ class RuleSpec extends SparkSpec {
     }
   }
 
+  test("global top-1 (no partitionBy) of an EMPTY input returns zero rows") {
+    withRule {
+      def globalTop1(df: DataFrame) = df
+        .withColumn("rn", row_number().over(Window.orderBy(col("seq").desc)))
+        .filter(col("rn") === 1)
+      // empty after a selective filter — the ungrouped max_by returns one
+      // null row that the rewrite must drop, not surface as all-null
+      val empty = globalTop1(quotes.filter(col("px") > 1e9))
+      assert(!hasWindow(empty), "global rewrite should still fire")
+      assert(empty.collect().isEmpty,
+        "empty input must yield zero rows, not a phantom all-null row")
+      // and the non-empty global case keeps returning exactly the max row
+      val top = globalTop1(quotes)
+      assert(!hasWindow(top))
+      val rows = top.collect()
+      assert(rows.length == 1 && rows.head.getLong(1) == 30L)
+    }
+  }
+
   test("does NOT fire on a nullable order key (null-ranking divergence)") {
     import spark.implicits._
     withRule {

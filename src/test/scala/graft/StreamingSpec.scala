@@ -39,6 +39,11 @@ class StreamingSpec extends SparkSpec {
       (3L, ts(12), "completely different document"))
     val out = StreamingPipeline.dedupByContent(
       mem.toDF.toDF("doc_id", "t", "text"), "text", "t", "1 hour")
+    // state must be the EVICTABLE within-watermark dedup, not plain
+    // dropDuplicates (which on a non-event-time key never expires state)
+    assert(out.queryExecution.analyzed.toString
+      .contains("DeduplicateWithinWatermark"),
+      "dedupByContent must use dropDuplicatesWithinWatermark for bounded state")
     StreamingPipeline.drainAvailableNow(out, "deduped_docs")
     val rows = spark.sql("SELECT doc_id FROM deduped_docs ORDER BY doc_id")
       .as[Long].collect()
