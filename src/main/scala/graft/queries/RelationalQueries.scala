@@ -90,6 +90,28 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** Bloom-filtered semi join: lineitems of high-value orders, with the
+    * fact scan pre-pruned by a bloom sketch of the qualifying order keys
+    * (graft.operators.BloomJoin — codegen'd `bloom_probe` at the scan,
+    * exact semi join over the survivors removes false positives). Same
+    * result as a plain EXISTS; the sketch is what keeps the fact's
+    * non-joining majority off the exchange when the key SET outgrows the
+    * broadcast budget at 100 TB. */
+  private def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val hot = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000).select("o_orderkey")
+    graft.operators.BloomJoin
+      .semiJoin(li, "l_orderkey", hot, "o_orderkey",
+        expectedItems = 1L << 20, fpp = 0.03)
+      .groupBy("l_returnflag")
+      .agg(
+        round(Num.cents4Sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   /** C2 anti: customers with no orders at all (NOT EXISTS) — the reference's
     * insert-if-absent upsert shape (yfinance_to_postgres.py:28-56). */
   private def joinAnti(spark: SparkSession, dir: String): DataFrame = {
@@ -449,6 +471,15 @@ object RelationalQueries {
       WHERE EXISTS (SELECT 1 FROM orders
                     WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       ORDER BY c_custkey""")),
+    QueryDef("q_bloom_join", bloomJoin, Some(s"""
+      SELECT l_returnflag,
+             round(${Num.sqlCents4Sum("l_extendedprice * (1.0 - l_discount)")}, 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
     QueryDef("q_join_anti", joinAnti, Some("""
       SELECT c_custkey, c_name, c_acctbal
       FROM customer

@@ -138,6 +138,44 @@ object TextQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(50)
 
+  /** Unigram language-model scoring: each document's mean token
+    * log10-probability under the corpus's own top-K unigram LM — the
+    * classic cheap perplexity proxy for quality filtering (a low score
+    * means an unusual token mix: boilerplate, garbage, wrong language).
+    * Tokens outside the top-K vocabulary get a 0.5-count floor (OOV
+    * smoothing), which is also what makes the LM broadcastable at
+    * 100 TB: the model is capped at K rows no matter the corpus.
+    *
+    * Plan: one explode → token-count aggregate (map-side partial), a
+    * top-K rank over the ALREADY-AGGREGATED vocab (single-task sort of
+    * the distinct-token set, not the token stream), model broadcast
+    * back onto the token stream, then one per-doc aggregate. Float
+    * determinism: each token's logprob is rounded to 6 decimals and
+    * summed as scaled BIGINTs, so the doc score is independent of
+    * summation order across partitionings and engines. */
+  private val VocabK = 1000
+  private def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS token")
+    val freqs = toksDf.groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val top = freqs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= VocabK).drop("rnk")
+    val total = toksDf.agg(count(lit(1)).as("total"))
+    toksDf.join(broadcast(top), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", Num.rExp(
+        log10(coalesce(col("freq").cast("double"), lit(0.5)) / col("total")), 6))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
+          .as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance similarity over the distinct source labels — the
     * small-domain string-similarity shape (typo clustering). */
   private def editDistance(spark: SparkSession, dir: String): DataFrame = {
@@ -660,6 +698,27 @@ object TextQueries {
       GROUP BY t
       ORDER BY freq DESC, token
       LIMIT 50""")),
+    QueryDef("q_unigram_logprob", unigramLogprob, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents),
+      freqs AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+      topv AS (SELECT token, freq FROM (
+                 SELECT token, freq,
+                        row_number() OVER (ORDER BY freq DESC, token) AS rnk
+                 FROM freqs) WHERE rnk <= $VocabK),
+      tot AS (SELECT count(*) AS total FROM toks),
+      lp AS (SELECT t.doc_id,
+                    round(log10(coalesce(CAST(v.freq AS DOUBLE), 0.5) / total)
+                      + 1e-8, 6) AS lp
+             FROM toks t LEFT JOIN topv v USING (token) CROSS JOIN tot)
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) + 1e-9, 4) AS logprob
+      FROM lp
+      GROUP BY doc_id
+      ORDER BY doc_id""")),
     QueryDef("q_edit_distance", editDistance, Some("""
       WITH s AS (SELECT DISTINCT source FROM documents)
       SELECT a.source AS src_a, b.source AS src_b,

@@ -197,6 +197,26 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** Rolling EXACT quantiles (median / p90) over a sliding 20-event
+    * frame per user — the robust (outlier-immune) sibling of q_sma's
+    * rolling mean. `percentile` is exact interpolated (matches DuckDB's
+    * `quantile_cont` definition: index p·(n-1), linear interpolation),
+    * not `approx_percentile`, so the oracle hash-matches. Cost shape:
+    * a holistic aggregate can't stream the frame, so each row pays
+    * O(frame) — fine for a bounded ROWS frame; the partition key
+    * (user_id, high cardinality) keeps parallelism at n_users, and the
+    * ROWS bound keeps per-row state at 20 values regardless of history
+    * length. */
+  private def rollingQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val frame = "PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
+    Tables(spark, dir, "events").selectExpr(
+      "event_id", "user_id", "ts", "value",
+      s"round(percentile(value, 0.5) OVER ($frame) + 1e-9, 4) AS med_20",
+      s"round(percentile(value, 0.9) OVER ($frame) + 1e-9, 4) AS p90_20")
+      .orderBy("event_id")
+  }
+
   /** B13/B14/B20: presentation tier — UTC→America/Sao_Paulo conversion,
     * HH:mm axis labels, currency/percent rendering. (The oracle uses a
     * fixed -3h offset: São Paulo has no DST since 2019 and the events
@@ -343,6 +363,16 @@ object WindowQueries {
                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                AS n_1h
+      FROM $E
+      ORDER BY event_id""")),
+    QueryDef("q_rolling_quantile", rollingQuantile, Some(s"""
+      SELECT event_id, user_id, ts, value,
+             round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS med_20,
+             round(quantile_cont(value, 0.9) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS p90_20
       FROM $E
       ORDER BY event_id""")),
     QueryDef("q_cum_product", cumProduct, Some(s"""

@@ -40,6 +40,65 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(2.0, 6.0, 24.0))
   }
 
+  test("bloom_probe: no false negatives, null key → false, codegen'd") {
+    import spark.implicits._
+    val dimKeys = (0L until 2000L).filter(_ % 7 == 0)
+    val dim = dimKeys.toDF("k")
+    val bf = dim.stat.bloomFilter("k", 1000, 0.03)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    graft.functions.BloomProbe.register(spark)
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // filter over a LocalRelation away at plan time, hiding the probe
+    val probed = spark.range(0, 2000).toDF("k")
+      .withColumn("hit", call_function("bloom_probe",
+        lit(baos.toByteArray), col("k")))
+    val hits = probed.filter(col("hit")).select("k").as[Long].collect().toSet
+    // every true member MUST pass (false negatives would drop join rows)
+    assert(dimKeys.forall(hits.contains), "bloom false negative")
+    // the sketch must actually prune: ~3% fpp on the 1714 non-members
+    assert(hits.size < 600, s"no pruning happened: ${hits.size} hits")
+    // null key probes to false, not null — safe directly under WHERE
+    val nullProbe = Seq[Option[Long]](None).toDF("k")
+      .withColumn("hit", call_function("bloom_probe",
+        lit(baos.toByteArray), col("k")))
+      .select("hit").collect()
+    assert(nullProbe.head.getBoolean(0) == false)
+    // whole-stage codegen keeps the probe in the generated code path
+    val plan = probed.filter(col("hit")).queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe"), plan)
+  }
+
+  test("bloom_probe: string keys round-trip the same hash as the builder") {
+    import spark.implicits._
+    val dim = Seq("alpha", "beta", "gamma").toDF("s")
+    val bf = dim.stat.bloomFilter("s", 100, 0.01)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    graft.functions.BloomProbe.register(spark)
+    val hits = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      .toDF("s")
+      .filter(call_function("bloom_probe", lit(baos.toByteArray), col("s")))
+      .as[String].collect().toSet
+    assert(Set("alpha", "beta", "gamma").subsetOf(hits))
+  }
+
+  test("BloomJoin.semiJoin ≡ plain semi join, probe sits at the fact scan") {
+    import spark.implicits._
+    // range-backed fact so the probe survives as a physical Filter
+    val fact = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+    val dim = (0L until 5000L by 13).toDF("dk")
+    val pruned = graft.operators.BloomJoin
+      .semiJoin(fact, "k", dim, "dk", expectedItems = 1000)
+    val plain = fact.join(dim.select(col("dk").as("k")), Seq("k"), "left_semi")
+    assert(pruned.collect().toSet == plain.collect().toSet)
+    // the bloom filter must run BEFORE the exchange: in the physical plan
+    // the probe appears below the semi-join, directly over the scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe"), plan)
+  }
+
   test("GraftExtensions: a session built with the extension resolves dot_product") {
     // The production wiring is spark.sql.extensions=graft.functions.
     // GraftExtensions on a fresh cluster. Same-JVM equivalent: build a
