@@ -71,7 +71,14 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       }
       val ok = reps.filter(_ >= 0).sorted
-      val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      // true median: with an even number of surviving reps (a partial
+      // failure left 2 of 3), average the middle pair — ok(size/2) alone
+      // would take the upper value and pessimize exactly the queries
+      // already flagged in partial_failures
+      val median =
+        if (ok.isEmpty) -1.0
+        else if (ok.size % 2 == 1) ok(ok.size / 2)
+        else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
       (q.name, median, reps)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

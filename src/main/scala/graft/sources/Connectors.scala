@@ -255,19 +255,38 @@ object Connectors {
       partitionCols: Seq[String] = Nil): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The last file written into the rewrite before any rename: its
+    // presence under the live path proves the live dir is a COMPLETE
+    // compacted copy. Without it, "live dir exists" is not evidence —
+    // on object stores (S3A) rename is copy+delete, so a crash mid
+    // tmp→live swap leaves a PARTIAL live dir beside a complete
+    // __compact_old, and deleting the old copy on sight would destroy
+    // the only complete data. Spark readers ignore `_`-prefixed files.
+    val markerName = "_GRAFT_COMPACT_OK"
+    def hasMarker(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(dir, markerName))
     // Crash recovery before starting a new rewrite: a previous run that
     // died between the two renames leaves the data ONLY under
-    // __compact_old (rename it back); one that died after the swap but
-    // before cleanup leaves a stale __compact_old beside live data
-    // (delete it); a stale __compact_tmp from any failure is always
-    // safe to drop — the rewrite is recreated from the live dir.
+    // __compact_old (rename it back). If live and __compact_old BOTH
+    // exist, the marker decides which copy is real: marker present →
+    // live is the finished rewrite, drop the old copy; marker absent →
+    // live is a partial swap, drop it and restore __compact_old. A stale
+    // __compact_tmp from any failure is always safe to drop — the
+    // rewrite is recreated from the live dir. (The move-aside rename
+    // live→old itself still assumes per-file atomicity; a transactional
+    // table format is the answer where even that doesn't hold.)
     val staleOld = new org.apache.hadoop.fs.Path(path + "__compact_old")
     val staleTmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     if (!fs.exists(p) && fs.exists(staleOld)) {
       if (!fs.rename(staleOld, p))
         sys.error(s"compact: cannot recover $staleOld back to $path")
     } else if (fs.exists(p) && fs.exists(staleOld)) {
-      fs.delete(staleOld, true)
+      if (hasMarker(p)) fs.delete(staleOld, true)
+      else {
+        fs.delete(p, true)
+        if (!fs.rename(staleOld, p))
+          sys.error(s"compact: cannot recover $staleOld back to $path")
+      }
     }
     if (fs.exists(staleTmp)) fs.delete(staleTmp, true)
     def dataFiles(root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
@@ -290,6 +309,9 @@ object Connectors {
     val writer = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
+    // marker is the LAST file written before any rename: a tmp (or a
+    // live dir mid copy-rename) without it is by definition incomplete
+    fs.create(new org.apache.hadoop.fs.Path(tmp, markerName), true).close()
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     if (!fs.rename(p, old)) {
       fs.delete(tmp, true) // don't leave a full second copy on disk
@@ -299,6 +321,12 @@ object Connectors {
       fs.rename(old, p) // roll back; original data untouched
       sys.error(s"compact: cannot swap in $tmp, original restored")
     }
+    // drop the old copy only once the live dir provably carries the
+    // complete rewrite — on a copy+delete rename a "successful" return
+    // is not that proof, the marker is
+    if (!hasMarker(p))
+      sys.error(s"compact: swap finished but $markerName missing under " +
+        s"$path — old copy kept at $old")
     fs.delete(old, true)
     (before.size, dataFiles(p).size)
   }

@@ -369,6 +369,32 @@ class ConnectorsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
   }
 
+  test("compactParquet: partial live dir without marker loses to complete __compact_old") {
+    import spark.implicits._
+    val dir = tmp() + "/slake"
+    val df = (0 until 100).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(10).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid tmp→live rename on a copy+delete filesystem
+    // (S3A): the FULL original sits at __compact_old, the live path holds
+    // a PARTIAL copy of the rewrite — and, critically, no marker file.
+    // Recovery must treat the old copy as the source of truth; deleting
+    // it on "live dir exists" would destroy the only complete data.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+    df.limit(1).write.parquet(dir) // partial live, marker never copied
+    val (before, after) = Connectors.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(before == 10 && after == 1)
+    assert(spark.read.parquet(dir).count() == 100,
+      "recovered from __compact_old; the partial live copy was discarded")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_old")))
+    // a finished compaction leaves the completeness marker in the live dir
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(dir + "/_GRAFT_COMPACT_OK")))
+  }
+
   test("compactParquet: partitioned lake → one file per partition value, pruning kept") {
     import spark.implicits._
     val dir = tmp() + "/plake"
