@@ -323,6 +323,95 @@ object AnalyticsQueries {
            CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
     FROM conv"""
 
+  /** Interval/range self-join, bucketed: pairs of orders by the same
+    * customer placed within 7 days of each other. The naive plan is an
+    * inequality join (`abs(datediff) <= 7`), which Spark can only execute
+    * as a broadcast-nested-loop — quadratic per customer and a
+    * non-starter at 100 TB. The scale shape here is the standard
+    * bucketed range join: quantize time into W-day buckets, explode ONE
+    * side to its bucket ±1 (3 rows), then a plain hash equi-join on
+    * (customer, bucket) followed by the exact predicate. Any pair within
+    * W days differs by at most one bucket, so the equi-join superset is
+    * exact; each true pair matches exactly once (the probe side carries
+    * one bucket), so no dedup pass is needed. Shuffle volume is 3×|A|+|B|
+    * narrow rows instead of a per-key cross product. */
+  private def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 7
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("day"))
+    val a = ord.select(col("o_orderkey").as("key_a"), col("o_custkey"),
+      col("day").as("day_a"),
+      explode(array(floor(col("day") / W) - 1, floor(col("day") / W),
+        floor(col("day") / W) + 1)).as("bucket"))
+    val b = ord.select(col("o_orderkey").as("key_b"), col("o_custkey"),
+      col("day").as("day_b"), floor(col("day") / W).as("bucket"))
+    a.join(b, Seq("o_custkey", "bucket"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(col("day_b") - col("day_a")) <= W)
+      .select(col("o_custkey"), col("key_a"), col("key_b"),
+        (col("day_b") - col("day_a")).cast("long").as("day_diff"))
+      .orderBy("o_custkey", "key_a", "key_b")
+  }
+
+  /** The oracle states the SEMANTICS (plain inequality join) — the
+    * bucketing above is pure execution strategy and must not change the
+    * result. */
+  private val rangeJoinSql = """
+    SELECT a.o_custkey AS o_custkey, a.o_orderkey AS key_a,
+           b.o_orderkey AS key_b,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+             AS day_diff
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7
+    ORDER BY o_custkey, key_a, key_b"""
+
+  /** Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    * days. The classic trick — day − row_number() is constant within a
+    * consecutive run — turns streak detection into a groupBy, so the
+    * whole query is one shuffle on user_id, one in-partition window
+    * pass, and two aggregates; no self-join, nothing global. The
+    * per-user winner is a max_by (longest, ties → earliest start), an
+    * aggregate rather than a second ranking window. */
+  private def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = daily
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak_days"),
+        min("day").as("streak_start"), max("day").as("streak_end"))
+    runs.groupBy("user_id")
+      .agg(max_by(
+        struct(col("streak_days"), col("streak_start"), col("streak_end")),
+        struct(col("streak_days"),
+          -datediff(col("streak_start"), lit("1970-01-01")))).as("r"))
+      .select(col("user_id"), col("r.streak_days").as("streak_days"),
+        col("r.streak_start").as("streak_start"),
+        col("r.streak_end").as("streak_end"))
+      .orderBy("user_id")
+  }
+
+  private val streaksSql = """
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    runs AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS grp
+      FROM daily),
+    streaks AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_days,
+             min(day) AS streak_start, max(day) AS streak_end
+      FROM runs GROUP BY 1, 2)
+    SELECT user_id, streak_days, streak_start, streak_end
+    FROM streaks
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY streak_days DESC, streak_start) = 1
+    ORDER BY user_id"""
+
   /** SCD2 historization — the dual of the reference's latest-per-key
     * upsert (data_warehouse.py:62-78 keeps only the newest row per
     * symbol; a warehouse that keeps HISTORY keeps type-2 rows instead).
@@ -366,6 +455,8 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_scd2", scd2, Some(scd2Sql)),
+    QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("q_streaks", streaks, Some(streaksSql)),
     QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),

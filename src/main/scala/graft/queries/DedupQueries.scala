@@ -352,6 +352,68 @@ object DedupQueries {
                 + 1e-9, 6) >= 0.4
     ORDER BY vec_a, vec_b"""
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space with the trained IVF k-means coarse
+    * quantizer, then look for cosine near-duplicates ONLY within each
+    * cluster — a vector is dropped when a same-cluster neighbor with a
+    * smaller vec_id sits above the similarity threshold. Output is the
+    * drop list: (vec_id, dup_of = smallest such neighbor, c_id,
+    * max_cosine).
+    *
+    * Scale shape — this is the whole point vs [[embedNearDup]]'s brute
+    * cartesian: assignment is one broadcast join against K centroids
+    * (the model [[SimilarityQueries.trainIvfCentroids]] persisted; fails
+    * fast if absent, same discipline as q_ann_ivf); the pair search is an
+    * equi-join on c_id, so the quadratic term is Σ nᵢ² over cluster sizes
+    * instead of N², and vectors shuffle ONCE keyed on centroid id. The
+    * cost profile is tunable by K: at 100 TB you raise K so clusters stay
+    * executor-sized (SemDeDup itself runs K=50k on LAION), and skewed
+    * clusters are exactly the AQE skew-join / salting case. */
+  private def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    if (!SimilarityQueries.ivfModelTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF centroid model missing for $dir — run " +
+          "SimilarityQueries.trainIvfCentroids(spark, dir) first; " +
+          "Bench warmup and Verify setup do this automatically")
+    val assigned = SimilarityQueries.centroidAssigned(
+      SimilarityQueries.centroidScored(spark, dir))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("dup_of"),
+        col("a.c_id").as("c_id"),
+        Num.r(expr("dot_product(a.v, b.v)"), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .groupBy("vec_id", "c_id")
+      .agg(min("dup_of").as("dup_of"), max("cosine").as("max_cosine"))
+      .select("vec_id", "dup_of", "c_id", "max_cosine")
+      .orderBy("vec_id")
+  }
+
+  private def semDedupSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
+                  FROM read_parquet('${SimilarityQueries.IvfCentroidsToken}/*.parquet')),
+    scored_c AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim
+      FROM e CROSS JOIN centroids c),
+    assigned AS (
+      SELECT vec_id, v, c_id
+      FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) = 1),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS dup_of, a.c_id AS c_id,
+             round(list_dot_product(a.v, b.v) + 1e-9, 6) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.c_id = b.c_id AND a.vec_id < b.vec_id)
+    SELECT vec_id, min(dup_of) AS dup_of, c_id,
+           max(cosine) AS max_cosine
+    FROM pairs WHERE cosine >= 0.4
+    GROUP BY vec_id, c_id
+    ORDER BY vec_id"""
+
   /** Dedup cluster formation: connected components over the near-dup
     * pair graph (jaccard ≥ 0.5), by iterative min-label propagation —
     * each doc's cluster id is the smallest doc_id reachable from it.
@@ -655,5 +717,6 @@ object DedupQueries {
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql),
       headline = false),
+    QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
   )
 }

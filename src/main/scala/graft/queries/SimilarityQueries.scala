@@ -274,8 +274,10 @@ object SimilarityQueries {
     * unlucky first caller at 100 TB would pay a full k-means);
     * [[trainIvfCentroids]] is the explicit setup step. */
   /** Every vector scored against the trained centroids:
-    * (vec_id, v, c_id, c_sim) — one narrow broadcast-join pass. */
-  private def centroidScored(spark: SparkSession, dir: String): DataFrame = {
+    * (vec_id, v, c_id, c_sim) — one narrow broadcast-join pass.
+    * Shared with [[DedupQueries]]'s SemDeDup, which reuses the same
+    * trained coarse quantizer as its cluster assignment. */
+  private[queries] def centroidScored(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsOf(spark, dir)
     val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
       .select(col("c_id"), col("cv")))
@@ -290,7 +292,7 @@ object SimilarityQueries {
     * — a row_number window would ship and sort all N·K. (The
     * struct-valued max_by plans as a sort-aggregate, so a local
     * per-partition sort remains; the full-input shuffle-sort does not.) */
-  private def centroidAssigned(scored: DataFrame): DataFrame =
+  private[queries] def centroidAssigned(scored: DataFrame): DataFrame =
     scored.groupBy("vec_id")
       .agg(max_by(struct(col("v"), col("c_id")),
         struct(col("c_sim"), col("c_id") * -1)).as("r"))
