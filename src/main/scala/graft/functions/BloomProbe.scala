@@ -91,8 +91,22 @@ case class BloomProbe(filter: Expression, key: Expression)
 
 object BloomProbe {
   /** Runtime registration so `call_function("bloom_probe", lit(bytes),
-    * col(key))` and SQL text resolve. Idempotent. */
+    * col(key))` and SQL text resolve. Idempotent. Arity is validated in
+    * the builder so `bloom_probe(x)` fails analysis with Spark's own
+    * WRONG_NUM_ARGS condition instead of an IndexOutOfBoundsException. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_probe", exprs => BloomProbe(exprs(0), exprs(1)), "built-in")
+      "bloom_probe",
+      exprs => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map(
+              "functionName" -> "`bloom_probe`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        BloomProbe(exprs(0), exprs(1))
+      },
+      "built-in")
 }

@@ -54,4 +54,20 @@ object BloomJoin {
     val pruned = preFilter(fact, factKey, dim, dimKey, expectedItems, fpp)
     pruned.join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
+
+  /** [[semiJoin]] with the sketch sized from an exact dim count, so the
+    * target fpp holds at any scale factor instead of eroding once the
+    * qualifying-key count outgrows a hard-coded capacity. The count is
+    * one cheap aggregate over the (already filtered, pushed-down) dim
+    * scan — the same scan the sketch build reads next; a fixed 1024-key
+    * floor keeps degenerate tiny dims from rounding the sketch below
+    * its minimum useful size. */
+  def semiJoinAutoSized(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, fpp: Double = 0.03): DataFrame = {
+    val d = dim.cache()
+    try {
+      val n = math.max(d.count(), 1024L)
+      semiJoin(fact, factKey, d, dimKey, expectedItems = n, fpp = fpp)
+    } finally d.unpersist(blocking = false)
+  }
 }

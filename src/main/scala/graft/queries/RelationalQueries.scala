@@ -102,8 +102,7 @@ object RelationalQueries {
     val hot = Tables(spark, dir, "orders")
       .filter(col("o_totalprice") > 450000).select("o_orderkey")
     graft.operators.BloomJoin
-      .semiJoin(li, "l_orderkey", hot, "o_orderkey",
-        expectedItems = 1L << 20, fpp = 0.03)
+      .semiJoinAutoSized(li, "l_orderkey", hot, "o_orderkey", fpp = 0.03)
       .groupBy("l_returnflag")
       .agg(
         round(Num.cents4Sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

@@ -99,6 +99,25 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("bloom_probe"), plan)
   }
 
+  test("BloomJoin.semiJoinAutoSized ≡ plain semi join (sketch sized from dim)") {
+    import spark.implicits._
+    val fact = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+    val dim = (0L until 5000L by 13).toDF("dk")
+    val pruned = graft.operators.BloomJoin.semiJoinAutoSized(fact, "k", dim, "dk")
+    val plain = fact.join(dim.select(col("dk").as("k")), Seq("k"), "left_semi")
+    assert(pruned.collect().toSet == plain.collect().toSet)
+  }
+
+  test("bloom_probe: wrong arity fails analysis with WRONG_NUM_ARGS, not IOOBE") {
+    graft.functions.BloomProbe.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("bloom_probe(id)").collect()
+    }
+    assert(e.getMessage.contains("bloom_probe"), e.getMessage)
+    assert(e.getMessage.contains("2"), e.getMessage)
+  }
+
   test("GraftExtensions: a session built with the extension resolves dot_product") {
     // The production wiring is spark.sql.extensions=graft.functions.
     // GraftExtensions on a fresh cluster. Same-JVM equivalent: build a
