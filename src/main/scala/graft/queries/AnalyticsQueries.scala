@@ -65,6 +65,38 @@ object AnalyticsQueries {
     FROM carried WHERE side = 1
     ORDER BY event_id"""
 
+  /** As-of join via the engine's NATIVE operator (graft.plans.AsOfJoin:
+    * LogicalPlan + Strategy + per-partition streaming-merge exec) — same
+    * attribution semantics as [[asofJoin]] but each side shuffles at its
+    * own natural width instead of through the union's padded schema.
+    * The view side is pre-aggregated to one row per (user, ts) so the
+    * equal-timestamp tie is deterministic on both engines. Oracle is
+    * DuckDB's own ASOF LEFT JOIN. */
+  private def asofExec(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .agg(round(max("value"), 2).as("view_value"))
+    graft.plans.AsOfJoin
+      .backward(purchases, views, "user_id", "v_user", "ts", "view_ts",
+        Seq("view_ts", "view_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofExecSql = s"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase'),
+    v AS (
+      SELECT user_id AS v_user, ts AS view_ts, round(max(value), 2) AS view_value
+      FROM $E WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.v_user AND p.ts >= v.view_ts
+    ORDER BY p.event_id"""
+
   /** Sessionization: native session_window with a 30-minute gap; a
     * session ends 30 min after its last event. */
   private def sessionize(spark: SparkSession, dir: String): DataFrame =
@@ -458,6 +490,7 @@ object AnalyticsQueries {
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q_streaks", streaks, Some(streaksSql)),
     QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("q_asof_exec", asofExec, Some(asofExecSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
