@@ -254,6 +254,101 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** Drawdown: running peak and percent distance below it per key — the
+    * standard risk series over any price path. One window pass over the
+    * same (user_id)-partitioned sort every other series metric reuses;
+    * `value` is strictly positive in this domain so the peak never needs
+    * a zero guard. */
+  private def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        max("value").over(w).as("peak"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("peak"),
+        Num.r((col("value") - col("peak")) / col("peak"), 6).as("drawdown"))
+      .orderBy("event_id")
+  }
+
+  /** Bollinger bands: 20-row SMA ± 2 rolling sample stddevs, with a band
+    * position flag. Bands are defined only on FULL 20-row windows (count
+    * guard): Spark yields NaN and DuckDB NULL for a 1-row sample stddev,
+    * so partial windows are nulled identically on both engines. */
+  private def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val w = byUser.rowsBetween(-19, 0)
+    val full = count(lit(1)).over(w) === 20
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(full, avg("value").over(w)).as("mid"),
+        when(full, stddev_samp("value").over(w)).as("sd"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        Num.r(col("mid"), 4).as("mid"),
+        Num.r(col("mid") + lit(2) * col("sd"), 4).as("upper"),
+        Num.r(col("mid") - lit(2) * col("sd"), 4).as("lower"),
+        when(col("sd").isNull, lit(null).cast("string"))
+          .when(col("value") > col("mid") + lit(2) * col("sd"), "above")
+          .when(col("value") < col("mid") - lit(2) * col("sd"), "below")
+          .otherwise("inside").as("band"))
+      .orderBy("event_id")
+  }
+
+  /** 14-period RSI (simple-average Cutler form — the recursive Wilder
+    * smoothing is order-dependent and engine-hostile). Gains/losses are
+    * summed as exact integer CENTS so the avg_loss = 0 branch is an
+    * EXACT zero test on both engines, not a float comparison against
+    * accumulated noise; the final 100·g/(g+l) is one double division.
+    * Defined from the 15th row per key (14 full deltas). */
+  private def rsi(spark: SparkSession, dir: String): DataFrame = {
+    val dCents = (round(col("value") * 100) -
+      round(lag("value", 1).over(byUser) * 100)).cast("long")
+    val w = byUser.rowsBetween(-13, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        dCents.as("d"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        sum(when(col("d") > 0, col("d")).otherwise(0L)).over(w).as("g"),
+        sum(when(col("d") < 0, -col("d")).otherwise(0L)).over(w).as("l"),
+        count(col("d")).over(w).as("n"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        Num.r(when(col("n") < 14, lit(null))
+          .when(col("g") + col("l") === 0, lit(null))
+          .otherwise(lit(100.0) * col("g") / (col("g") + col("l"))), 4)
+          .as("rsi_14"))
+      .orderBy("event_id")
+  }
+
+  /** Min-max feature scaling per key — (x − min)/(max − min) over the
+    * whole partition, the normalization step of any per-entity feature
+    * pipeline. Constant series scale to null (exact compare on raw,
+    * unrounded data values). */
+  private def minmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        min("value").over(w).as("lo"), max("value").over(w).as("hi"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        Num.r(when(col("hi") > col("lo"),
+          (col("value") - col("lo")) / (col("hi") - col("lo"))), 6)
+          .as("scaled"))
+      .orderBy("event_id")
+  }
+
+  /** Weight-averaged price per (user, day) with the weight parsed out of
+    * the JSON `props` column (B19 surface in a batch query). The weighted
+    * sum runs in exact integer cents·k (order-independent across
+    * engines); the single closing division is deterministic. */
+  private def vwap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("user_id", "day")
+      .agg(
+        sum("k").as("total_k"),
+        Num.r(sum(round(col("value") * 100).cast("long") * col("k")) /
+          lit(100.0) / sum("k"), 4).as("vwap"))
+      .filter(col("total_k") > 0)
+      .orderBy("user_id", "day")
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -416,5 +511,77 @@ object WindowQueries {
       SELECT event_id, user_id, ts, value, mu, z
       FROM z WHERE abs(z) >= 2.5
       ORDER BY event_id""")),
+    QueryDef("q_drawdown", drawdown, Some(s"""
+      WITH peaks AS (
+        SELECT event_id, user_id, ts, value,
+               max(value) OVER ($wUser
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM $E)
+      SELECT event_id, user_id, ts, value, peak,
+             round((value - peak) / peak + 1e-9, 6) AS drawdown
+      FROM peaks
+      ORDER BY event_id""")),
+    QueryDef("q_bollinger", bollinger, Some(s"""
+      WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN count(*) OVER w = 20
+                    THEN avg(value) OVER w END AS mid,
+               CASE WHEN count(*) OVER w = 20
+                    THEN stddev_samp(value) OVER w END AS sd
+        FROM $E
+        WINDOW w AS ($wUser ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, ts, value,
+             round(mid + 1e-9, 4) AS mid,
+             round(mid + 2 * sd + 1e-9, 4) AS upper,
+             round(mid - 2 * sd + 1e-9, 4) AS lower,
+             CASE WHEN sd IS NULL THEN NULL
+                  WHEN value > mid + 2 * sd THEN 'above'
+                  WHEN value < mid - 2 * sd THEN 'below'
+                  ELSE 'inside' END AS band
+      FROM s
+      ORDER BY event_id""")),
+    QueryDef("q_rsi", rsi, Some(s"""
+      WITH d AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(round(value * 100) -
+                    round(lag(value, 1) OVER ($wUser) * 100) AS BIGINT) AS d
+        FROM $E),
+      gl AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w AS BIGINT) AS g,
+               CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w AS BIGINT) AS l,
+               count(d) OVER w AS n
+        FROM d
+        WINDOW w AS ($wUser ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, ts, value,
+             round(CASE WHEN n < 14 THEN NULL
+                        WHEN g + l = 0 THEN NULL
+                        ELSE 100.0 * g / (g + l) END + 1e-9, 4) AS rsi_14
+      FROM gl
+      ORDER BY event_id""")),
+    QueryDef("q_minmax_scale", minmaxScale, Some(s"""
+      WITH ext AS (
+        SELECT event_id, user_id, value,
+               min(value) OVER (PARTITION BY user_id) AS lo,
+               max(value) OVER (PARTITION BY user_id) AS hi
+        FROM $E)
+      SELECT event_id, user_id, value,
+             round(CASE WHEN hi > lo THEN (value - lo) / (hi - lo) END
+                   + 1e-9, 6) AS scaled
+      FROM ext
+      ORDER BY event_id""")),
+    QueryDef("q_vwap", vwap, Some(s"""
+      WITH src AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+        FROM $E)
+      SELECT user_id, day,
+             CAST(sum(k) AS BIGINT) AS total_k,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT) * k) AS DOUBLE)
+                   / 100.0 / sum(k) + 1e-9, 4) AS vwap
+      FROM src
+      GROUP BY user_id, day
+      HAVING sum(k) > 0
+      ORDER BY user_id, day""")),
   )
 }
