@@ -630,7 +630,173 @@ object TextQueries {
     FROM starts
     ORDER BY doc_id, start"""
 
+  /** Hashing-trick features: every token mapped to one of 256 buckets by
+    * the portable 60-bit hash, per-doc bucket counts in long (sparse)
+    * form — the fixed-width featurization that needs NO vocabulary
+    * build, so the plan is explode → one (doc, bucket) aggregate with
+    * map-side partials; nothing grows with vocab size at 100 TB. */
+  private def featureHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .selectExpr("doc_id",
+        "cast(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 256 AS bucket")
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+
+  private val featureHashSql = """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents)
+    SELECT doc_id,
+           CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS bucket,
+           count(*) AS n
+    FROM t GROUP BY 1, 2
+    ORDER BY doc_id, bucket"""
+
+  /** Decile curation table: rank every document into quality deciles
+    * (deterministic NTILE over (score, doc_id)) and report each decile's
+    * population and score/length profile — what a curation pass reads to
+    * pick its keep-threshold. At 100 TB the cutoffs would come from an
+    * approx-quantile sketch broadcast instead of a global NTILE sort;
+    * here the exact form doubles as the oracle check of the sketch path. */
+  private def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score"), col("doc_id"))
+    textQuality(spark, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"),
+        Num.r(avg("n_tokens"), 2).as("avg_tokens"))
+      .orderBy("decile")
+  }
+
+  private val qualityDecilesSql = s"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> t IN ${sqlSet(stopwords)}))
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+               + 1e-9, 4) AS stopword_ratio,
+             round((length(text) -
+                 length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             round((CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END) +
+                   (CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END) +
+                   (CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END)
+                   + 1e-9, 2) AS quality_score
+      FROM base),
+    ranked AS (
+      SELECT *, ntile(10) OVER (ORDER BY quality_score, doc_id) AS decile
+      FROM scored)
+    SELECT decile, count(*) AS n_docs,
+           min(quality_score) AS min_score,
+           max(quality_score) AS max_score,
+           round(avg(n_tokens) + 1e-9, 2) AS avg_tokens
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile"""
+
+  /** Top-3 terms per document by term frequency (token asc on ties) —
+    * per-group top-k, the keyword-extraction primitive. The rank-≤-k
+    * filter compiles to a WindowGroupLimit (pinned in PlanSpec): each
+    * partition keeps only 3 candidate rows per doc BEFORE the window
+    * sort, so the exchange carries O(k·docs), not the token stream. */
+  private def topkPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("n").desc, col("tok"))
+    tf.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val topkPerDocSql = """
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS n
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok)
+    SELECT doc_id, tok, n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, tok) AS rnk
+    FROM tf
+    QUALIFY rnk <= 3
+    ORDER BY doc_id, rnk"""
+
+  /** Pointwise mutual information over token co-occurrence, bounded to
+    * the top-20 tokens by document frequency so the pair space is ≤190
+    * per doc regardless of corpus size (the vocab cap is what keeps the
+    * self-join broadcastable at 100 TB — same pattern as the unigram
+    * LM). log determinism via the rExp nudge on both engines. */
+  private val PmiVocab = 20
+  private def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .distinct()
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("tok"))
+    val top = dfreq.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= PmiVocab).drop("rnk")
+    val nDocs = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val kept = dt.join(broadcast(top), Seq("tok"))
+    val a = kept.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+    val b = kept.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_ab"),
+        first("df_a").as("df_a"), first("df_b").as("df_b"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_ab") >= 5)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        Num.rExp(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("df_a") * col("df_b"))), 4).as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
+  private val pmiPairsSql = s"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)),
+    dfreq AS (
+      SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+    top AS (
+      SELECT tok, df FROM dfreq
+      QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= $PmiVocab),
+    kept AS (
+      SELECT dt.doc_id, dt.tok, top.df FROM dt JOIN top USING (tok)),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab,
+             first(a.df) AS df_a, first(b.df) AS df_b
+      FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * n_docs / (df_a * df_b))
+                 + 1e-8, 4) AS pmi
+    FROM pairs, n
+    WHERE n_ab >= 5
+    ORDER BY tok_a, tok_b"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_feature_hash", featureHash, Some(featureHashSql)),
+    QueryDef("q_quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
+    QueryDef("q_topk_per_doc", topkPerDoc, Some(topkPerDocSql)),
+    QueryDef("q_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_chunk_sliding", chunkSliding, Some(chunkSlidingSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),

@@ -38,7 +38,7 @@ class PlanSpec extends SparkSpec {
     // of sorting every scored candidate. The ANN re-rank windows must
     // keep that shape — it is what bounds the top-k cost at corpus scale.
     Seq("q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_sample_stratified",
-      "q_knn_classify").foreach { q =>
+      "q_knn_classify", "q_topk_per_doc").foreach { q =>
         val plan = finalPlan(q)
         assert(plan.contains("WindowGroupLimit"),
           s"$q top-k window lost its group limit:\n$plan")
