@@ -396,7 +396,59 @@ object RelationalQueries {
         min("scrubbed").as("sample_scrubbed"))
       .orderBy("event_type")
 
+  /** Data-quality rule suite (Deequ-style constraint checking as a
+    * query): primary-key uniqueness, FK orphan count, not-null, value
+    * range and sign rules, one row per rule with its violation count.
+    * Each rule is an independent aggregate over a pushed-down scan —
+    * they run as parallel stages and the union is 5 rows; the FK rule
+    * is the only join and the fact side streams through a left-anti
+    * probe of the (broadcastable) key side. */
+  private def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val c = Tables(spark, dir, "customer")
+    def shaped(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("rule"), col("violations"),
+        (col("violations") === 0).as("passed"))
+    shaped("customer_name_not_null",
+        c.filter(col("c_name").isNull).agg(count(lit(1)).as("violations")))
+      .unionByName(shaped("lineitem_fk_orphans",
+        li.select("l_orderkey")
+          .join(Tables(spark, dir, "orders").select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))))
+      .unionByName(shaped("lineitem_qty_range",
+        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+          .agg(count(lit(1)).as("violations"))))
+      .unionByName(shaped("orders_pk_unique",
+        o.agg((count(lit(1)) - countDistinct("o_orderkey")).as("violations"))))
+      .unionByName(shaped("orders_price_positive",
+        o.filter(col("o_totalprice") <= 0).agg(count(lit(1)).as("violations"))))
+      .orderBy("rule")
+  }
+
+  private val dqChecksSql = """
+    SELECT 'customer_name_not_null' AS rule, count(*) AS violations,
+           count(*) = 0 AS passed
+    FROM customer WHERE c_name IS NULL
+    UNION ALL
+    SELECT 'lineitem_fk_orphans', count(*), count(*) = 0
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_range', count(*), count(*) = 0
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'orders_pk_unique', count(*) - count(DISTINCT o_orderkey),
+           count(*) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_positive', count(*), count(*) = 0
+    FROM orders WHERE o_totalprice <= 0
+    ORDER BY rule"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dq_checks", dqChecks, Some(dqChecksSql)),
     QueryDef("q_join_outer", joinOuter, Some("""
       SELECT c_custkey, c_mktsegment,
              count(o_orderkey) AS n_orders,

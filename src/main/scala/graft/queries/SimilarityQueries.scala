@@ -816,7 +816,34 @@ object SimilarityQueries {
     FROM pred WHERE r = 1
     ORDER BY query_id"""
 
+  /** Per-label embedding centroids in long (label, dim, centroid) form —
+    * the class-prototype computation behind SemDeDup cluster centers,
+    * nearest-centroid classifiers and IVF seeding. posexplode → ONE
+    * (label, dim) aggregate with map-side partials: the shuffle carries
+    * 64·|labels| partial sums per map task, never the vectors. Floats
+    * are cast to double pre-sum; the 1e-9 nudge swamps the ≤1e-11
+    * order-of-summation noise so both engines round identically. */
+  private def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(Num.r(avg("col"), 6).as("centroid"))
+      .orderBy("label", "dim")
+
+  private val labelCentroidsSql = """
+    WITH flat AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings)
+    SELECT label, dim, round(avg(v) + 1e-9, 6) AS centroid
+    FROM flat
+    GROUP BY label, dim
+    ORDER BY label, dim"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
     QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("q_ann_lsh", annLsh, Some(annLshSql)),
