@@ -792,7 +792,94 @@ object TextQueries {
     WHERE n_ab >= 5
     ORDER BY tok_a, tok_b"""
 
+  /** TextRank keyword scores: PageRank (d = 0.85, 10 iterations) over
+    * the token co-occurrence graph, restricted to the same top-20
+    * document-frequency vocab as [[pmiPairs]].
+    *
+    * Scale shape: the DISTRIBUTED work is exactly the PMI plan — one
+    * distinct + one vocab-bounded pair count. What comes back to the
+    * driver is the aggregated EDGE TABLE, ≤ V² = 400 rows by
+    * construction at any corpus size — a model, not row data (same
+    * contract as the IVF centroid collect). The power iterations then
+    * run as plain driver arithmetic over that model: for a ≤20-node
+    * graph, 10 distributed 400-row shuffles would be pure overhead.
+    * Determinism: edge weights are integer-valued (exact sums in any
+    * order); contribution sums run in sorted (dst, src) order and the
+    * ≤1e-13 cross-engine FP drift is swamped by the 1e-9 rounding
+    * nudge. */
+  private val TrIters = 10
+  private def textrank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dt = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok").distinct()
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("tok"))
+    val top = dfreq.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= PmiVocab).select("tok")
+    val kept = dt.join(broadcast(top), Seq("tok"))
+    val a = kept.select(col("doc_id"), col("tok").as("src"))
+    val b = kept.select(col("doc_id"), col("tok").as("dst"))
+    val edges = a.join(b, Seq("doc_id")).filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val nodes = top.orderBy("tok").as[String].collect()
+    val n = nodes.length.toDouble
+    val wdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val orderedEdges = edges.sortBy(e => (e._2, e._1))
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to TrIters) {
+      val contrib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      for ((src, dst, wt) <- orderedEdges)
+        contrib(dst) = contrib.getOrElse(dst, 0.0) + wt / wdeg(src) * pr(src)
+      pr = nodes.map(v => v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    nodes.toSeq.map(v => (v, pr(v))).toDF("tok", "score")
+      .select(col("tok"), Num.r(col("score"), 6).as("textrank"))
+      .orderBy("tok")
+  }
+
+  private def textrankSql: String = {
+    val iters = (1 to TrIters).map { i =>
+      s"""pr$i AS (
+      SELECT nodes.tok,
+             0.15 / nn.n + 0.85 * COALESCE(c.s, 0.0) AS score
+      FROM nodes
+      LEFT JOIN (
+        SELECT e.dst, sum(e.w / wdeg.wd * pr${i - 1}.score) AS s
+        FROM pr${i - 1}
+        JOIN edges e ON e.src = pr${i - 1}.tok
+        JOIN wdeg ON wdeg.src = pr${i - 1}.tok
+        GROUP BY e.dst) c ON c.dst = nodes.tok,
+      nn)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)),
+    dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+    top AS (
+      SELECT tok FROM dfreq
+      QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= $PmiVocab),
+    kept AS (SELECT dt.doc_id, dt.tok FROM dt JOIN top USING (tok)),
+    edges AS (
+      SELECT a.tok AS src, b.tok AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok <> b.tok
+      GROUP BY 1, 2),
+    wdeg AS (SELECT src, sum(w) AS wd FROM edges GROUP BY src),
+    nodes AS (SELECT tok FROM top),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT tok, 1.0 / nn.n AS score FROM nodes, nn),
+    $iters
+    SELECT tok, round(score + 1e-9, 6) AS textrank
+    FROM pr$TrIters
+    ORDER BY tok"""
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_textrank", textrank, Some(textrankSql)),
     QueryDef("q_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("q_quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
     QueryDef("q_topk_per_doc", topkPerDoc, Some(topkPerDocSql)),

@@ -349,6 +349,36 @@ object WindowQueries {
       .filter(col("total_k") > 0)
       .orderBy("user_id", "day")
 
+  /** Lag-1 autocorrelation per key — the mean-reversion/momentum
+    * diagnostic of a series. One window pass to form (x, lag x) pairs
+    * on the shared user_id shuffle, then a plain corr aggregate. */
+  private def autocorr(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("value"),
+        lag("value", 1).over(byUser).as("prev"))
+      .groupBy("user_id")
+      .agg(count(col("prev")).as("n_pairs"),
+        Num.r(corr("value", "prev"), 4).as("autocorr_1"))
+      .orderBy("user_id")
+
+  /** Per-entity beta against the cross-sectional market: daily per-user
+    * means joined to the all-users daily mean (the "index"), then
+    * covar_samp/var_samp per user. The market series is one tiny
+    * per-day aggregate — broadcast back onto the per-user dailies, so
+    * the plan is two aggregates and a broadcast join, no self-join of
+    * the fact. */
+  private def beta(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+    val daily = ev.groupBy("user_id", "day").agg(avg("value").as("uval"))
+    val market = ev.groupBy("day").agg(avg("value").as("mval"))
+    daily.join(broadcast(market), Seq("day"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        Num.r(covar_samp("uval", "mval") / var_samp("mval"), 4).as("beta"))
+      .orderBy("user_id")
+  }
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -583,5 +613,29 @@ object WindowQueries {
       GROUP BY user_id, day
       HAVING sum(k) > 0
       ORDER BY user_id, day""")),
+    QueryDef("q_autocorr", autocorr, Some(s"""
+      WITH lagged AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER ($wUser) AS prev
+        FROM $E)
+      SELECT user_id, count(prev) AS n_pairs,
+             round(corr(value, prev) + 1e-9, 4) AS autocorr_1
+      FROM lagged
+      GROUP BY user_id
+      ORDER BY user_id""")),
+    QueryDef("q_beta", beta, Some(s"""
+      WITH src AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value FROM $E),
+      daily AS (
+        SELECT user_id, day, avg(value) AS uval
+        FROM src GROUP BY user_id, day),
+      market AS (
+        SELECT day, avg(value) AS mval FROM src GROUP BY day)
+      SELECT d.user_id, count(*) AS n_days,
+             round(covar_samp(d.uval, m.mval) / var_samp(m.mval) + 1e-9, 4)
+               AS beta
+      FROM daily d JOIN market m USING (day)
+      GROUP BY d.user_id
+      ORDER BY d.user_id""")),
   )
 }
