@@ -97,6 +97,42 @@ object AnalyticsQueries {
       ON p.user_id = v.v_user AND p.ts >= v.view_ts
     ORDER BY p.event_id"""
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next type | type) with counts. One lead() on the shared
+    * user_id shuffle forms the (from, to) pairs; the probability
+    * normalization is a window over the ALREADY-AGGREGATED ≤|types|²
+    * matrix, not the event stream. */
+  private def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"),
+        lead("event_type", 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("prob", Num.r(
+        col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val transitionsSql = s"""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM $E),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                 + 1e-9, 6) AS prob
+    FROM counts
+    ORDER BY from_type, to_type"""
+
   /** Sessionization: native session_window with a 30-minute gap; a
     * session ends 30 min after its last event. */
   private def sessionize(spark: SparkSession, dir: String): DataFrame =
@@ -491,6 +527,7 @@ object AnalyticsQueries {
     QueryDef("q_streaks", streaks, Some(streaksSql)),
     QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q_asof_exec", asofExec, Some(asofExecSql)),
+    QueryDef("q_transitions", transitions, Some(transitionsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),

@@ -878,7 +878,131 @@ object TextQueries {
     ORDER BY tok"""
   }
 
+  /** Per-document Shannon entropy of the token distribution (nats) —
+    * low entropy flags repetitive/template docs, the complement of the
+    * unigram-LM score. One explode → (doc, tok) aggregate; the doc
+    * total is a window over the aggregated tf table, and per-term
+    * −p·ln p values are quantized to scaled BIGINTs before summing so
+    * the doc score is independent of summation order (same discipline
+    * as q_unigram_logprob). */
+  private def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tf.withColumn("n", sum("tf").over(wDoc))
+      .withColumn("term", Num.rExp(
+        -(col("tf") / col("n")) * log(col("tf") / col("n")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        Num.r(sum(round(col("term") * 1e6).cast("long")) / 1e6, 4)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val entropySql = """
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    terms AS (
+      SELECT doc_id,
+             round(-(tf / CAST(n AS DOUBLE)) * ln(tf / CAST(n AS DOUBLE))
+                   + 1e-8, 6) AS term
+      FROM (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS n FROM tf))
+    SELECT doc_id, count(*) AS n_distinct,
+           round(CAST(sum(CAST(round(term * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                 + 1e-9, 4) AS entropy
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
+  /** Zipf exponent of the corpus: OLS slope of ln(freq) on ln(rank)
+    * over the aggregated vocabulary (natural text ≈ −1; synthetic or
+    * boilerplate-heavy corpora deviate). The regression inputs are
+    * quantized log values so both engines regress over identical
+    * doubles; the regression itself runs on the vocab table — distinct
+    * tokens, Zipf-bounded — never the token stream. */
+  private def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables(spark, dir, "documents")
+      .selectExpr(s"explode($toks) AS tok")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    freqs.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(Num.rExp(log(col("rnk").cast("double")), 6).as("lx"),
+        Num.rExp(log(col("freq").cast("double")), 6).as("ly"))
+      .agg(count(lit(1)).as("n_vocab"),
+        Num.r(regr_slope(col("ly"), col("lx")), 4).as("zipf_slope"),
+        Num.r(regr_intercept(col("ly"), col("lx")), 4).as("zipf_intercept"))
+  }
+
+  private val zipfSlopeSql = """
+    WITH freqs AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    pts AS (
+      SELECT round(ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                           AS DOUBLE)) + 1e-8, 6) AS lx,
+             round(ln(CAST(freq AS DOUBLE)) + 1e-8, 6) AS ly
+      FROM freqs)
+    SELECT count(*) AS n_vocab,
+           round(regr_slope(ly, lx) + 1e-9, 4) AS zipf_slope,
+           round(regr_intercept(ly, lx) + 1e-9, 4) AS zipf_intercept
+    FROM pts"""
+
+  /** Chi-squared contingency cells for lang × source independence: the
+    * margins are window sums over the AGGREGATED |langs|×|sources|
+    * table, expected counts and contributions are per-row arithmetic on
+    * exact integers — the classic "is my metadata correlated" data-audit
+    * check, one aggregate regardless of corpus size. */
+  private def chi2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(spark, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("observed"))
+    cells
+      .withColumn("row_n", sum("observed").over(Window.partitionBy("lang")))
+      .withColumn("col_n", sum("observed").over(Window.partitionBy("source")))
+      .withColumn("n", sum("observed").over(Window.partitionBy()))
+      .withColumn("expected",
+        col("row_n") * col("col_n") / col("n").cast("double"))
+      .select(col("lang"), col("source"), col("observed"),
+        Num.r(col("expected"), 4).as("expected"),
+        Num.r(pow(col("observed") - col("expected"), 2) / col("expected"), 6)
+          .as("contrib"))
+      .orderBy("lang", "source")
+  }
+
+  private val chi2Sql = """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS observed
+      FROM documents GROUP BY lang, source),
+    m AS (
+      SELECT *,
+             sum(observed) OVER (PARTITION BY lang) AS row_n,
+             sum(observed) OVER (PARTITION BY source) AS col_n,
+             sum(observed) OVER () AS n
+      FROM cells),
+    e AS (
+      SELECT lang, source, observed,
+             row_n * col_n / CAST(n AS DOUBLE) AS expected
+      FROM m)
+    SELECT lang, source, observed,
+           round(expected + 1e-9, 4) AS expected,
+           round(pow(observed - expected, 2) / expected + 1e-9, 6) AS contrib
+    FROM e
+    ORDER BY lang, source"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_entropy", entropy, Some(entropySql)),
+    QueryDef("q_zipf", zipfSlope, Some(zipfSlopeSql)),
+    QueryDef("q_chi2", chi2, Some(chi2Sql)),
     QueryDef("q_textrank", textrank, Some(textrankSql)),
     QueryDef("q_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("q_quality_deciles", qualityDeciles, Some(qualityDecilesSql)),

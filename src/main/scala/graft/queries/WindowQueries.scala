@@ -379,6 +379,28 @@ object WindowQueries {
       .orderBy("user_id")
   }
 
+  /** Time-weighted average price per (user, day): each observation
+    * weighted by microseconds until the next one (the TWAP convention;
+    * the day's last observation carries no weight). The weighted sum
+    * runs in exact integer cents·µs — bounded by max_cents × 86400e6
+    * per group, overflow-free — and the two closing divisions are the
+    * only float ops. */
+  private def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("dur_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull && col("dur_us") > 0)
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_obs"),
+        Num.r(sum(round(col("value") * 100).cast("long") * col("dur_us"))
+          / lit(100.0) / sum("dur_us"), 4).as("twap"))
+      .orderBy("user_id", "day")
+  }
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -637,5 +659,19 @@ object WindowQueries {
       FROM daily d JOIN market m USING (day)
       GROUP BY d.user_id
       ORDER BY d.user_id""")),
+    QueryDef("q_twap", twap, Some(s"""
+      WITH src AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               lead(epoch_us(ts)) OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+        FROM $E)
+      SELECT user_id, day, count(*) AS n_obs,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT) * dur_us)
+                     AS DOUBLE) / 100.0 / sum(dur_us) + 1e-9, 4) AS twap
+      FROM src
+      WHERE dur_us IS NOT NULL AND dur_us > 0
+      GROUP BY user_id, day
+      ORDER BY user_id, day""")),
   )
 }
