@@ -810,20 +810,25 @@ object TextQueries {
   private val TrIters = 10
   private def textrank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cached for the TWO model collects below (vocab, then edges) so the
+    // corpus explode+distinct runs once, not once per collect
     val dt = Tables(spark, dir, "documents")
-      .selectExpr("doc_id", s"explode($toks) AS tok").distinct()
-    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df").desc, col("tok"))
-    val top = dfreq.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= PmiVocab).select("tok")
-    val kept = dt.join(broadcast(top), Seq("tok"))
-    val a = kept.select(col("doc_id"), col("tok").as("src"))
-    val b = kept.select(col("doc_id"), col("tok").as("dst"))
-    val edges = a.join(b, Seq("doc_id")).filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-    val nodes = top.orderBy("tok").as[String].collect()
+      .selectExpr("doc_id", s"explode($toks) AS tok").distinct().persist()
+    val (edges, nodes) = try {
+      val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("tok"))
+      val top = dfreq.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= PmiVocab).select("tok")
+      val nodes = top.orderBy("tok").as[String].collect()
+      val kept = dt.filter(col("tok").isin(nodes.toSeq: _*))
+      val a = kept.select(col("doc_id"), col("tok").as("src"))
+      val b = kept.select(col("doc_id"), col("tok").as("dst"))
+      val edges = a.join(b, Seq("doc_id")).filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      (edges, nodes)
+    } finally dt.unpersist(blocking = false)
     val n = nodes.length.toDouble
     val wdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val orderedEdges = edges.sortBy(e => (e._2, e._1))

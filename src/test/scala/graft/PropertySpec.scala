@@ -95,4 +95,53 @@ class PropertySpec extends SparkSpec {
       assert(lost == 0)
     }
   }
+
+  test("round-5 series metrics respect their analytic bounds") {
+    import graft.queries.Registry
+    val sf = "/root/testdata/sf0.001"
+    // drawdown ≤ 0 and peak dominates value
+    val dd = Registry.byName("q_drawdown").fn(spark, sf)
+    assert(dd.filter(col("drawdown") > 1e-9 ||
+      col("peak") < col("value") - 1e-9).count() == 0)
+    // RSI ∈ [0, 100]
+    val rsi = Registry.byName("q_rsi").fn(spark, sf)
+    assert(rsi.filter(col("rsi_14") < -1e-9 ||
+      col("rsi_14") > 100.0 + 1e-9).count() == 0)
+    // min-max scaling ∈ [0, 1]
+    val mm = Registry.byName("q_minmax_scale").fn(spark, sf)
+    assert(mm.filter(col("scaled") < -1e-9 ||
+      col("scaled") > 1.0 + 1e-9).count() == 0)
+    // transition rows per source type sum to probability 1
+    val tr = graft.queries.Registry.byName("q_transitions").fn(spark, sf)
+    val sums = tr.groupBy("from_type").agg(sum("prob").as("s")).collect()
+    assert(sums.nonEmpty && sums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-4))
+    // entropy ∈ [0, ln(distinct tokens)]
+    val ent = Registry.byName("q_entropy").fn(spark, sf)
+    assert(ent.filter(col("entropy") < -1e-9 || col("entropy") >
+      log(col("n_distinct").cast("double")) + lit(1e-4)).count() == 0)
+    // TWAP lies within the day's [min, max] value envelope
+    val tw = Registry.byName("q_twap").fn(spark, sf)
+    val env = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    assert(tw.join(env, Seq("user_id", "day"))
+      .filter(col("twap") < col("lo") - 1e-6 ||
+        col("twap") > col("hi") + 1e-6).count() == 0)
+  }
+
+  test("exact-integer aggregates are shuffle-partition invariant") {
+    import graft.queries.Registry
+    val sf = "/root/testdata/sf0.001"
+    def run(q: String, parts: Int): Array[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        Registry.byName(q).fn(spark, sf).collect().map(_.toString).sorted
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    Seq("q_twap", "q_vwap", "q_rsi").foreach { q =>
+      assert(run(q, 3).sameElements(run(q, 7)),
+        s"$q results changed with shuffle partitioning")
+    }
+  }
 }
