@@ -46,6 +46,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[Attribute],
+    forward: Boolean,
+    toleranceUnits: Option[Long],
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
 
@@ -62,8 +64,9 @@ case class AsOfJoinPlan(
   * (AsOfJoin.ensureStrategy) or cluster-wide via GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lt, rt, payload, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, payload, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lt, rt, payload, fwd, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, payload, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -74,6 +77,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     payload: Seq[Attribute],
+    forward: Boolean,
+    toleranceUnits: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -121,6 +126,8 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val payloadAttrs = payload
     val outAttrs = output
+    val isForward = forward
+    val tol = toleranceUnits
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lkt = UnsafeProjection.create(Seq(lKeyExpr, lTimeExpr), lOut)
@@ -138,10 +145,13 @@ case class AsOfJoinExec(
         private var rRow: InternalRow = _
         private var rKey: Any = _
         private var rTime: Any = _
-        // latest right row seen with rTime <= some probed lTime, as a
-        // COPIED payload projection — the only per-key state the merge holds
+        // backward only: latest right row seen with rTime <= some probed
+        // lTime, as a COPIED payload projection — the only per-key state
+        // the merge holds (forward needs no history: the buffered row IS
+        // the candidate)
         private var lastMatchKey: Any = _
         private var lastMatch: UnsafeRow = _
+        private var lastMatchTime: Any = _
 
         advanceRight()
 
@@ -154,6 +164,15 @@ case class AsOfJoinExec(
           } else rRow = null
 
         override def hasNext: Boolean = lIter.hasNext
+
+        /** Integral view of a time value, for tolerance arithmetic
+          * (timestamp = µs, date = days; API guards the types). */
+        private def tl(v: Any): Long = v match {
+          case l: java.lang.Long => l
+          case i: java.lang.Integer => i.toLong
+          case other => throw new IllegalStateException(
+            s"as-of tolerance on non-integral time value: $other")
+        }
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
@@ -171,9 +190,17 @@ case class AsOfJoinExec(
                 else if (ck == 0) {
                   if (rTime == null) {
                     // null times sort first within the key group: consume
-                  } else if (lTime != null && timeOrd.compare(rTime, lTime) <= 0) {
+                  } else if (lTime == null) {
+                    advance = false
+                  } else if (isForward) {
+                    // stop at the first right row with rTime >= lTime: it
+                    // IS the candidate (earliest at-or-after)
+                    if (timeOrd.compare(rTime, lTime) < 0) advance = true
+                    else advance = false
+                  } else if (timeOrd.compare(rTime, lTime) <= 0) {
                     lastMatchKey = InternalRow.copyValue(rKey)
                     lastMatch = payloadProj(rRow).copy()
+                    lastMatchTime = InternalRow.copyValue(rTime)
                   } else advance = false
                 }
                 // ck < 0: right row's key already passed — consume
@@ -181,11 +208,23 @@ case class AsOfJoinExec(
               if (advance) advanceRight()
             }
           }
-          val matched = lKey != null && lTime != null && lastMatch != null &&
-            keyOrd.compare(lastMatchKey, lKey) == 0
-          if (matched) numMatched += 1
+          val payloadRow: InternalRow =
+            if (lKey == null || lTime == null) nullPayload
+            else if (isForward) {
+              val hit = rRow != null && rKey != null &&
+                keyOrd.compare(rKey, lKey) == 0 && rTime != null &&
+                timeOrd.compare(rTime, lTime) >= 0 &&
+                tol.forall(t => tl(rTime) - tl(lTime) <= t)
+              if (hit) payloadProj(rRow) else nullPayload
+            } else {
+              val hit = lastMatch != null &&
+                keyOrd.compare(lastMatchKey, lKey) == 0 &&
+                tol.forall(t => tl(lTime) - tl(lastMatchTime) <= t)
+              if (hit) lastMatch else nullPayload
+            }
+          if (!(payloadRow eq nullPayload)) numMatched += 1
           numOutputRows += 1
-          resultProj(joined(lRow, if (matched) lastMatch else nullPayload))
+          resultProj(joined(lRow, payloadRow))
         }
       }
     }
@@ -214,29 +253,60 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      toleranceUnits: Option[Long] = None): DataFrame =
+    join(left, right, leftKeyCol, rightKeyCol, leftTimeCol, rightTimeCol,
+      payloadCols, forward = false, toleranceUnits)
+
+  /** Forward as-of join: each left row gains `payload` from the right
+    * row with the SMALLEST `rightTime >= leftTime` at the same key —
+    * next-touch attribution, next-quote lookup. Same contract as
+    * [[backward]]; `toleranceUnits` bounds `rightTime − leftTime`. */
+  def forward(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      payloadCols: Seq[String],
+      toleranceUnits: Option[Long] = None): DataFrame =
+    join(left, right, leftKeyCol, rightKeyCol, leftTimeCol, rightTimeCol,
+      payloadCols, forward = true, toleranceUnits)
+
+  private def join(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      payloadCols: Seq[String], forward: Boolean,
+      toleranceUnits: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     require(rPlan.outputSet.intersect(lPlan.outputSet).isEmpty,
-      "asof backward: left and right share attribute ids (same Dataset " +
+      "asof: left and right share attribute ids (same Dataset " +
         "used on both sides) — re-read the source or rename the right side")
     val leftNames = lPlan.output.map(_.name).toSet
     val clash = payloadCols.filter(leftNames.contains)
     require(clash.isEmpty,
-      s"asof backward: payload columns ${clash.mkString(", ")} collide " +
+      s"asof: payload columns ${clash.mkString(", ")} collide " +
         "with left columns — rename them on the right side first")
     def attr(out: Seq[Attribute], name: String, side: String): Attribute =
       out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"asof backward: no column '$name' on the $side side " +
+        s"asof: no column '$name' on the $side side " +
           s"(have ${out.map(_.name).mkString(", ")})"))
+    val lTime = attr(lPlan.output, leftTimeCol, "left")
+    toleranceUnits.foreach { t =>
+      require(t >= 0, s"asof: negative tolerance $t")
+      import org.apache.spark.sql.types._
+      require(Seq(TimestampType, TimestampNTZType, LongType, IntegerType,
+          DateType).contains(lTime.dataType),
+        s"asof: tolerance needs an integral-backed time type " +
+          s"(timestamp=µs, date=days, int/long), got ${lTime.dataType}")
+    }
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
       attr(lPlan.output, leftKeyCol, "left"),
       attr(rPlan.output, rightKeyCol, "right"),
-      attr(lPlan.output, leftTimeCol, "left"),
+      lTime,
       attr(rPlan.output, rightTimeCol, "right"),
       payloadCols.map(attr(rPlan.output, _, "right")),
+      forward, toleranceUnits,
       lPlan, rPlan))
   }
 }

@@ -97,6 +97,70 @@ object AnalyticsQueries {
       ON p.user_id = v.v_user AND p.ts >= v.view_ts
     ORDER BY p.event_id"""
 
+  /** Forward as-of via the native operator: each purchase picks the same
+    * user's EARLIEST view at or after it (next-touch attribution).
+    * Oracle is DuckDB's ASOF LEFT JOIN with the inequality flipped. */
+  private def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .agg(round(max("value"), 2).as("view_value"))
+    graft.plans.AsOfJoin
+      .forward(purchases, views, "user_id", "v_user", "ts", "view_ts",
+        Seq("view_ts", "view_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofForwardSql = s"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase'),
+    v AS (
+      SELECT user_id AS v_user, ts AS view_ts, round(max(value), 2) AS view_value
+      FROM $E WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.v_user AND p.ts <= v.view_ts
+    ORDER BY p.event_id"""
+
+  /** Tolerance-bounded backward as-of (pandas merge_asof tolerance): the
+    * view must be within ONE HOUR before the purchase or the match is
+    * dropped — stale context is worse than none. Tolerance is enforced
+    * inside the merge exec; the oracle states the same window with a
+    * bounded-range join + max_by (exact because the view side is unique
+    * per (user, ts)). */
+  private def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .agg(round(max("value"), 2).as("view_value"))
+    graft.plans.AsOfJoin
+      .backward(purchases, views, "user_id", "v_user", "ts", "view_ts",
+        Seq("view_ts", "view_value"),
+        toleranceUnits = Some(3600L * 1000000L)) // 1 h in µs
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceSql = s"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase'),
+    v AS (
+      SELECT user_id AS v_user, ts AS view_ts, round(max(value), 2) AS view_value
+      FROM $E WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id, p.ts,
+           max_by(v.view_ts, v.view_ts) AS view_ts,
+           max_by(v.view_value, v.view_ts) AS view_value
+    FROM p LEFT JOIN v
+      ON p.user_id = v.v_user AND v.view_ts <= p.ts
+     AND v.view_ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id"""
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next type | type) with counts. One lead() on the shared
     * user_id shuffle forms the (from, to) pairs; the probability
@@ -527,6 +591,8 @@ object AnalyticsQueries {
     QueryDef("q_streaks", streaks, Some(streaksSql)),
     QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q_asof_exec", asofExec, Some(asofExecSql)),
+    QueryDef("q_asof_forward", asofForward, Some(asofForwardSql)),
+    QueryDef("q_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     QueryDef("q_transitions", transitions, Some(transitionsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
