@@ -161,6 +161,69 @@ object AnalyticsQueries {
     GROUP BY p.event_id, p.user_id, p.ts
     ORDER BY p.event_id"""
 
+  /** Point-in-time join against an SCD2 dimension: each purchase picks
+    * the user's activity state (last non-purchase event type) VALID AT
+    * the purchase instant — the dimension is change-compressed first
+    * (one row per state run, q_scd2's construction), so the as-of probe
+    * touches state CHANGES, not raw events. Implemented with the native
+    * as-of exec on valid_from; the valid_to containment filter is
+    * stated explicitly even though contiguous SCD2 intervals make it
+    * vacuous — the contract survives dims with gaps. */
+  private def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dim = Tables(spark, dir, "events")
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+        col("event_id").as("d_event_id"), col("event_type").as("state"),
+        lag("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+          .as("prev_state"))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      // two changes at the SAME instant collapse to the latest (by event
+      // id) so the as-of tie is deterministic on both engines
+      .groupBy("d_user", "valid_from")
+      .agg(max_by(col("state"), col("d_event_id")).as("state"))
+      .withColumn("valid_to", lead("valid_from", 1).over(
+        Window.partitionBy("d_user").orderBy(col("valid_from"))))
+      .select("d_user", "valid_from", "valid_to", "state")
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.plans.AsOfJoin
+      .backward(purchases, dim, "user_id", "d_user", "ts", "valid_from",
+        Seq("state", "valid_from", "valid_to"))
+      .filter(col("state").isNull ||
+        col("valid_to").isNull || col("ts") < col("valid_to"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("state"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
+  private val pitJoinSql = s"""
+    WITH obs AS (
+      SELECT user_id AS d_user, ts AS valid_from, event_id,
+             event_type AS state,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM $E WHERE event_type <> 'purchase'),
+    changes AS (
+      SELECT d_user, valid_from, max_by(state, event_id) AS state
+      FROM obs
+      WHERE prev_state IS NULL OR prev_state <> state
+      GROUP BY d_user, valid_from),
+    dim AS (
+      SELECT d_user, valid_from, state,
+             lead(valid_from) OVER (PARTITION BY d_user
+                                    ORDER BY valid_from) AS valid_to
+      FROM changes),
+    p AS (
+      SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, dim.state, dim.valid_from
+    FROM p ASOF LEFT JOIN dim
+      ON p.user_id = dim.d_user AND p.ts >= dim.valid_from
+    WHERE dim.state IS NULL OR dim.valid_to IS NULL OR p.ts < dim.valid_to
+    ORDER BY p.event_id"""
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next type | type) with counts. One lead() on the shared
     * user_id shuffle forms the (from, to) pairs; the probability
@@ -593,6 +656,7 @@ object AnalyticsQueries {
     QueryDef("q_asof_exec", asofExec, Some(asofExecSql)),
     QueryDef("q_asof_forward", asofForward, Some(asofForwardSql)),
     QueryDef("q_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
+    QueryDef("q_pit_join", pitJoin, Some(pitJoinSql)),
     QueryDef("q_transitions", transitions, Some(transitionsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),

@@ -447,7 +447,65 @@ object RelationalQueries {
     FROM orders WHERE o_totalprice <= 0
     ORDER BY rule"""
 
+  /** Market-basket co-occurrence: top-20 part pairs by order support
+    * with lift. The pair join runs per-order after a distinct — order
+    * fan-out is the (small, bounded) basket size, never the catalog —
+    * and lift's inputs are exact integer counts broadcast back from two
+    * tiny aggregates. The classic retail affinity query at 100 TB:
+    * shuffle on orderkey once, aggregate pairs with map-side partials. */
+  private def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val nOrders = Tables(spark, dir, "orders")
+      .agg(countDistinct("o_orderkey").as("n_orders"))
+    val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("pf"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("pf").as("fa")), "part_a")
+      .join(freq.select(col("l_partkey").as("part_b"), col("pf").as("fb")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("part_a"), col("part_b"), col("support"),
+        Num.r(col("support").cast("double") * col("n_orders") /
+          (col("fa") * col("fb")), 4).as("lift"))
+      .orderBy("rnk")
+  }
+
+  private val basketPairsSql = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (
+      SELECT l_partkey, count(*) AS pf FROM items GROUP BY 1),
+    n AS (SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT part_a, part_b, support,
+             CAST(row_number() OVER (ORDER BY support DESC, part_a, part_b)
+                  AS BIGINT) AS rnk
+      FROM pairs)
+    SELECT rnk, part_a, part_b, support,
+           round(CAST(support AS DOUBLE) * n.n_orders / (fa.pf * fb.pf)
+                 + 1e-9, 4) AS lift
+    FROM ranked
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b, n
+    WHERE rnk <= 20
+    ORDER BY rnk"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_basket_pairs", basketPairs, Some(basketPairsSql)),
     QueryDef("q_dq_checks", dqChecks, Some(dqChecksSql)),
     QueryDef("q_join_outer", joinOuter, Some("""
       SELECT c_custkey, c_mktsegment,
