@@ -467,12 +467,17 @@ object RelationalQueries {
       .agg(count(lit(1)).as("support"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
+    // global top-20 via orderBy+limit — plans as TakeOrderedAndProject
+    // (per-partition heap, driver merge of 20×tasks rows), NEVER a
+    // single-task global rank window over the full pair set; the rank
+    // column is then a window over just the 20 winners
     pairs
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .join(freq.select(col("l_partkey").as("part_a"), col("pf").as("fa")), "part_a")
       .join(freq.select(col("l_partkey").as("part_b"), col("pf").as("fb")), "part_b")
       .crossJoin(broadcast(nOrders))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 20)
       .select(col("rnk"), col("part_a"), col("part_b"), col("support"),
         Num.r(col("support").cast("double") * col("n_orders") /
           (col("fa") * col("fb")), 4).as("lift"))
