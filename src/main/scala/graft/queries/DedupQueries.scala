@@ -125,6 +125,13 @@ object DedupQueries {
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashesCached(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Inverted-index self-join on the 60-bit shingle key. The
+    // posting-list alternative (groupBy(h) → collect_list → explode
+    // pairs) trades the second shuffle of the shingle stream for
+    // per-row list materialization; measured A/B at sf0.1 local[32]:
+    // join 1.48 s vs lists 1.68 s median-of-5 — the hash join wins at
+    // this scale and both layouts concentrate a hot shingle's pairs
+    // identically (the df cap bounds either), so the join stays.
     val common = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
