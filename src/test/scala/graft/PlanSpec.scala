@@ -77,4 +77,23 @@ class PlanSpec extends SparkSpec {
         s"$q assignment must use max_by/min_by:\n$plan")
     }
   }
+
+  test("basket pairs: global top-20 is a TakeOrderedAndProject heap") {
+    // a global rank window here would funnel the full pair set into ONE
+    // task; orderBy+limit keeps a 20-row heap per partition instead
+    val plan = finalPlan("q_basket_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_basket_pairs top-20 must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("as-of queries execute through the native merge operator") {
+    Seq("q_asof_exec", "q_asof_forward", "q_asof_tolerance", "q_pit_join")
+      .foreach { q =>
+        val plan = finalPlan(q)
+        assert(plan.contains("AsOfJoin"),
+          s"$q must plan through AsOfJoinExec:\n$plan")
+        assert(!plan.toLowerCase.contains("union"),
+          s"$q must not fall back to the union-trick shape:\n$plan")
+      }
+  }
 }
