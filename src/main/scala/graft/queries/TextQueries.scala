@@ -1004,7 +1004,41 @@ object TextQueries {
     FROM e
     ORDER BY lang, source"""
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * 100 docs drawn with probability ∝ length, deterministically — the
+    * importance-sampling primitive behind quality- or domain-weighted
+    * data mixing. u = portable-hash uniform in (0,1], key =
+    * −ln(u)/w QUANTIZED to integer nanounits so the global top-k ranks
+    * on exact integers (no float-tie divergence), and the top-k itself
+    * is orderBy+limit → TakeOrderedAndProject (per-partition heap).
+    * Rerunnable on any cluster: no rand() anywhere. */
+  private def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "n_chars",
+        // u ∈ (0,1]: (h60 + 1) / 2^60 over the portable 60-bit hash
+        """round(
+             -ln((cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) + 1)
+                 / 1152921504606846976.0)
+             / n_chars + 1e-8, 6) AS skey""")
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"), col("skey"))
+
+  private val weightedSampleSql = """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(
+               -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                   / 1152921504606846976.0)
+               / n_chars + 1e-8, 6) AS skey
+      FROM documents)
+    SELECT doc_id, n_chars, skey
+    FROM keyed
+    ORDER BY skey, doc_id
+    LIMIT 100"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_entropy", entropy, Some(entropySql)),
     QueryDef("q_zipf", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("q_chi2", chi2, Some(chi2Sql)),
