@@ -467,10 +467,12 @@ object RelationalQueries {
       .agg(count(lit(1)).as("support"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
-    // global top-20 via orderBy+limit — plans as TakeOrderedAndProject
-    // (per-partition heap, driver merge of 20×tasks rows), NEVER a
-    // single-task global rank window over the full pair set; the rank
-    // column is then a window over just the 20 winners
+    // global top-20 via orderBy+limit — expresses TakeOrderedAndProject
+    // (per-partition heap, tiny final merge) DIRECTLY instead of via the
+    // optimizer's window-limit pushdown (which does also handle the
+    // row_number form on 4.1 — verified); the rank column is then a
+    // window over just the 20 winners, and the lift decoration joins
+    // touch 20 rows, not the full pair set
     pairs
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(20)
