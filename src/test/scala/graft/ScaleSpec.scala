@@ -133,4 +133,34 @@ class ScaleSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("AsOfJoinExec at 1M×1M rows across many partitions ≡ max_by oracle") {
+    // the custom merge exec under realistic conditions: thousands of keys,
+    // multiple rows per (key, time), many shuffle partitions — verified
+    // against an independent max_by formulation on a 2k-row sample
+    val n = 1000000L
+    val left = spark.range(n).select(
+      (col("id") % 4096).as("k"), (hash(col("id")) % 100000).cast("long").as("t"),
+      col("id").as("lid"))
+    val right = spark.range(n).select(
+      (col("id") % 4096).as("rk"),
+      (hash(col("id") + 31) % 100000).cast("long").as("rt"),
+      col("id").as("pay"))
+    val rightU = right.groupBy("rk", "rt").agg(max("pay").as("pay"))
+    val joined = graft.plans.AsOfJoin
+      .backward(left, rightU, "k", "rk", "t", "rt", Seq("pay"))
+    assert(joined.count() == n) // left outer: every left row exactly once
+    val sample = joined.filter(col("lid") % 499 === 0)
+      .select("lid", "pay")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    rightU.createOrReplaceTempView("scale_asof_r")
+    left.filter(col("lid") % 499 === 0).createOrReplaceTempView("scale_asof_l")
+    val want = spark.sql("""
+      SELECT l.lid, max_by(r.pay, r.rt) AS pay
+      FROM scale_asof_l l LEFT JOIN scale_asof_r r
+        ON l.k = r.rk AND r.rt <= l.t
+      GROUP BY l.lid""")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(sample == want)
+  }
 }
