@@ -511,7 +511,101 @@ object RelationalQueries {
     WHERE rnk <= 20
     ORDER BY rnk"""
 
+  /** Sorted group string-aggregation: per nation, supplier counts/
+    * balances plus a comma-joined top-3 supplier list (group_concat /
+    * string_agg surface). Order inside the aggregate is made explicit —
+    * collect_list is unordered, so the names ride in a (rank, name)
+    * struct and are array_sort'ed before joining; the top-3 cut is a
+    * rank window per nation (WindowGroupLimit shape). */
+  private def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val j = s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val totals = j.groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(Num.centsSum(col("s_acctbal")), 2).as("total_acctbal"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("s_acctbal").desc, col("s_name"))
+    val top3 = j.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .groupBy("n_name")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rnk, s_name))), x -> x.s_name), ',')")
+        .as("top_suppliers"))
+    totals.join(top3, "n_name").orderBy("n_name")
+  }
+
+  private val stringAggSql = """
+    WITH j AS (
+      SELECT n.n_name, s.s_name, s.s_acctbal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+    totals AS (
+      SELECT n_name, count(*) AS n_suppliers,
+             round(CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0, 2)
+               AS total_acctbal
+      FROM j GROUP BY n_name),
+    top3 AS (
+      SELECT n_name,
+             string_agg(s_name, ',' ORDER BY s_acctbal DESC, s_name)
+               AS top_suppliers
+      FROM (SELECT * FROM j
+            QUALIFY row_number() OVER (PARTITION BY n_name
+                                       ORDER BY s_acctbal DESC, s_name) <= 3)
+      GROUP BY n_name)
+    SELECT n_name, n_suppliers, total_acctbal, top_suppliers
+    FROM totals JOIN top3 USING (n_name)
+    ORDER BY n_name"""
+
+  /** Equi-depth (decile) histogram of lineitem prices: boundaries from
+    * ONE exact-percentile aggregate (rounded onto the 2-decimal data
+    * grid so bucket-edge comparisons are exact on both engines),
+    * broadcast back, bucket assigned per row by counting crossed
+    * boundaries — a second full-scan aggregate, no sort of the data.
+    * Complements the equi-width q_histogram. */
+  private def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select("l_extendedprice")
+    val bounds = li.agg(expr(
+      """transform(
+           percentile(l_extendedprice,
+                      array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),
+           b -> round(b + 1e-9, 2))""").as("bs"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_extendedprice"),
+        (size(expr("filter(bs, b -> l_extendedprice > b)")) + 1)
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"),
+        round(Num.centsSum(col("l_extendedprice")), 2).as("total"))
+      .orderBy("bucket")
+  }
+
+  private val equidepthHistSql = """
+    WITH bounds AS (
+      SELECT list_transform(
+               quantile_cont(l_extendedprice,
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               b -> round(b + 1e-9, 2)) AS bs
+      FROM lineitem),
+    bucketed AS (
+      SELECT l_extendedprice,
+             CAST(len(list_filter(bs, b -> l_extendedprice > b)) + 1 AS BIGINT)
+               AS bucket
+      FROM lineitem, bounds)
+    SELECT bucket, count(*) AS n,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi,
+           round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2)
+             AS total
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_string_agg", stringAgg, Some(stringAggSql)),
+    QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
     QueryDef("q_basket_pairs", basketPairs, Some(basketPairsSql)),
     QueryDef("q_dq_checks", dqChecks, Some(dqChecksSql)),
     QueryDef("q_join_outer", joinOuter, Some("""
