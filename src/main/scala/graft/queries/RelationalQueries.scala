@@ -557,23 +557,55 @@ object RelationalQueries {
     FROM totals JOIN top3 USING (n_name)
     ORDER BY n_name"""
 
-  /** Equi-depth (decile) histogram of lineitem prices: boundaries from
-    * ONE exact-percentile aggregate (rounded onto the 2-decimal data
-    * grid so bucket-edge comparisons are exact on both engines),
-    * broadcast back, bucket assigned per row by counting crossed
-    * boundaries — a second full-scan aggregate, no sort of the data.
-    * Complements the equi-width q_histogram. */
+  /** Equi-depth (decile) histogram of lineitem prices. Boundaries are
+    * EXACT type-7 percentiles computed from the grouped cents
+    * distribution: one map-side-partial count per distinct price, a
+    * cumulative sum over that table (single-task, but VALUE-DOMAIN
+    * bounded — 2-decimal prices have ≤ a few million possible cents no
+    * matter the corpus size), then 9 interpolated lookups in one tiny
+    * aggregate. This replaces Spark's holistic `percentile` aggregate,
+    * which buffers per-partition value maps and merged 3.0 s at sf0.1
+    * vs ~0.6 s for this plan (measured). Boundaries land on the
+    * 2-decimal grid (+ nudge) so bucket-edge comparisons are exact on
+    * both engines; the oracle states the same semantics directly with
+    * quantile_cont. */
   private def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = Tables(spark, dir, "lineitem").select("l_extendedprice")
-    val bounds = li.agg(expr(
-      """transform(
-           percentile(l_extendedprice,
-                      array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),
-           b -> round(b + 1e-9, 2))""").as("bs"))
+    val dist = li
+      .groupBy(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = dist
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val ps = (1 to 9).map(_ / 10.0)
+    // value at 0-based sorted index i = min c with cum > i; type-7
+    // percentile p interpolates indices floor/ceil of p*(n-1)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("n") - 1)
+      Seq(
+        min(when(col("cum") > floor(pos), col("c"))).as(s"lo$i"),
+        min(when(col("cum") > ceil(pos), col("c"))).as(s"hi$i"))
+    } :+ max("n").as("n")
+    val looked = cum.agg(aggs.head, aggs.tail: _*)
+    val bElems = ps.zipWithIndex.map { case (p, i) =>
+      val pos = lit(p) * (col("n") - 1)
+      val frac = pos - floor(pos)
+      round((col(s"lo$i") / 100.0) +
+        frac * ((col(s"hi$i") / 100.0) - (col(s"lo$i") / 100.0)) + 1e-9, 2)
+    }
+    val bounds = looked.select(array(bElems: _*).as("bs"))
+    // bucket = 1 + #boundaries crossed, as NINE codegen'd comparisons —
+    // the equivalent higher-order filter() runs interpreted per row and
+    // measured ~3× slower on the scan pass
+    val crossed = (1 to 9)
+      .map(i => when(col("l_extendedprice") > element_at(col("bs"), i), 1)
+        .otherwise(0))
+      .reduce(_ + _)
     li.crossJoin(broadcast(bounds))
       .select(col("l_extendedprice"),
-        (size(expr("filter(bs, b -> l_extendedprice > b)")) + 1)
-          .cast("long").as("bucket"))
+        (crossed + 1).cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min("l_extendedprice").as("lo"),
