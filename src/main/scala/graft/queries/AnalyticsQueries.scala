@@ -224,6 +224,137 @@ object AnalyticsQueries {
     WHERE dim.state IS NULL OR dim.valid_to IS NULL OR p.ts < dim.valid_to
     ORDER BY p.event_id"""
 
+  /** Funnel latency: time from each user's FIRST view to FIRST purchase,
+    * summarized as count + exact p50/p90. One conditional-min aggregate
+    * per user (map-side partials, no window over the stream), then a
+    * 1-row percentile over the per-user deltas — the converted-user set,
+    * orders of magnitude below the event stream. */
+  private def funnelTime(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .select(((unix_micros(col("first_purchase")) -
+        unix_micros(col("first_view"))) / 1e6).as("delta_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        Num.r(expr("percentile(delta_s, 0.5)"), 2).as("p50_s"),
+        Num.r(expr("percentile(delta_s, 0.9)"), 2).as("p90_s"))
+
+  private val funnelTimeSql = s"""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM $E WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id),
+    deltas AS (
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view)) / 1e6 AS delta_s
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view)
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(delta_s, 0.5) + 1e-9, 2) AS p50_s,
+           round(quantile_cont(delta_s, 0.9) + 1e-9, 2) AS p90_s
+    FROM deltas"""
+
+  /** Daily/weekly/monthly active users with DAU/MAU stickiness. Rolling
+    * DISTINCT counts never range-join the stream: each (day, user) pair
+    * — already one aggregated row — is exploded onto the ≤7/≤30 future
+    * spine days it contributes to, then counted per day with map-side
+    * partials. Cost is bounded by (active pairs × window), independent
+    * of per-day event volume. */
+  private def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val dayUsers = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = dayUsers.groupBy("day").agg(count(lit(1)).as("dau"))
+    def rolling(win: Int, name: String): DataFrame = dayUsers
+      .select(explode(expr(
+        s"sequence(day, date_add(day, ${win - 1}), interval 1 day)")).as("day"),
+        col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as(name))
+    dau
+      .join(rolling(7, "wau"), "day")
+      .join(rolling(30, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        Num.r(col("dau") / col("mau").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  private val activeUsersSql = s"""
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM $E),
+    dau AS (SELECT day, count(*) AS dau FROM day_users GROUP BY day),
+    wau AS (
+      SELECT CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS day,
+             user_id
+      FROM day_users),
+    wau_c AS (SELECT day, count(DISTINCT user_id) AS wau FROM wau GROUP BY day),
+    mau AS (
+      SELECT CAST(unnest(generate_series(day, day + 29, INTERVAL 1 DAY)) AS DATE) AS day,
+             user_id
+      FROM day_users),
+    mau_c AS (SELECT day, count(DISTINCT user_id) AS mau FROM mau GROUP BY day)
+    SELECT dau.day, dau.dau, wau_c.wau, mau_c.mau,
+           round(dau.dau / CAST(mau_c.mau AS DOUBLE) + 1e-9, 4) AS stickiness
+    FROM dau JOIN wau_c USING (day) JOIN mau_c USING (day)
+    ORDER BY day"""
+
+  /** Cohort lifetime value: revenue by signup-week cohort and age-week,
+    * with the running cumulative per cohort. Joins move only the
+    * per-user signup day (aggregated, broadcastable) onto purchases;
+    * the cumulative window runs over the cohort×age matrix, not the
+    * stream. */
+  private def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val signup = Tables(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("s_day"))
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("p_day"), col("value"))
+    purchases.join(broadcast(signup), "user_id")
+      .filter(col("p_day") >= col("s_day"))
+      .select(date_trunc("week", col("s_day")).cast("date").as("cohort"),
+        floor(datediff(col("p_day"), col("s_day")) / 7).cast("long").as("age_w"),
+        col("value"))
+      .groupBy("cohort", "age_w")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(Num.centsSum(col("value")), 2).as("revenue"))
+      .withColumn("cum_revenue", round(sum("revenue").over(
+        Window.partitionBy("cohort").orderBy("age_w")
+          .rowsBetween(Window.unboundedPreceding, 0)) + lit(1e-9), 2))
+      .orderBy("cohort", "age_w")
+  }
+
+  private val cohortLtvSql = s"""
+    WITH signup AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS s_day
+      FROM $E WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT events.user_id, CAST(events.ts AS DATE) AS p_day, events.value,
+             s.s_day
+      FROM $E JOIN signup s USING (user_id)
+      WHERE event_type = 'purchase' AND CAST(events.ts AS DATE) >= s.s_day),
+    cells AS (
+      SELECT CAST(date_trunc('week', s_day) AS DATE) AS cohort,
+             CAST(floor(date_diff('day', s_day, p_day) / 7) AS BIGINT) AS age_w,
+             count(*) AS n_purchases,
+             round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0, 2)
+               AS revenue
+      FROM p
+      GROUP BY 1, 2)
+    SELECT cohort, age_w, n_purchases, revenue,
+           round(sum(revenue) OVER (PARTITION BY cohort ORDER BY age_w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2)
+             AS cum_revenue
+    FROM cells
+    ORDER BY cohort, age_w"""
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next type | type) with counts. One lead() on the shared
     * user_id shuffle forms the (from, to) pairs; the probability
@@ -657,6 +788,9 @@ object AnalyticsQueries {
     QueryDef("q_asof_forward", asofForward, Some(asofForwardSql)),
     QueryDef("q_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     QueryDef("q_pit_join", pitJoin, Some(pitJoinSql)),
+    QueryDef("q_funnel_time", funnelTime, Some(funnelTimeSql)),
+    QueryDef("q_active_users", activeUsers, Some(activeUsersSql)),
+    QueryDef("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q_transitions", transitions, Some(transitionsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
