@@ -355,6 +355,56 @@ object AnalyticsQueries {
     FROM cells
     ORDER BY cohort, age_w"""
 
+  /** View abandonment: per day, how many views converted to a purchase
+    * by the same user within 24 hours vs not — the inverse funnel,
+    * computed with the native FORWARD + TOLERANCE as-of exec (earliest
+    * purchase at-or-after each view, capped at 24 h) instead of a range
+    * self-join of the stream. Purchases pre-aggregate to one row per
+    * (user, ts). */
+  private def abandonment(spark: SparkSession, dir: String): DataFrame = {
+    val views = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(count(lit(1)).as("n_p"))
+    graft.plans.AsOfJoin
+      .forward(views, purchases, "user_id", "p_user", "ts", "p_ts",
+        Seq("p_ts"), toleranceUnits = Some(24L * 3600L * 1000000L))
+      .select(to_date(col("ts")).as("day"),
+        col("p_ts").isNotNull.as("converted"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("day"), col("n_views"), col("n_converted"),
+        Num.r((col("n_views") - col("n_converted")) /
+          col("n_views").cast("double"), 4).as("abandon_rate"))
+      .orderBy("day")
+  }
+
+  private val abandonmentSql = s"""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM $E WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id AS p_user, ts AS p_ts, count(*) AS n_p
+      FROM $E WHERE event_type = 'purchase' GROUP BY 1, 2),
+    matched AS (
+      SELECT v.ts,
+             min(p.p_ts) AS p_ts
+      FROM v LEFT JOIN p
+        ON v.user_id = p.p_user AND p.p_ts >= v.ts
+       AND p.p_ts <= v.ts + INTERVAL 24 HOUR
+      GROUP BY v.event_id, v.ts)
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n_views,
+           CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           round((count(*) - sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END))
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS abandon_rate
+    FROM matched
+    GROUP BY 1
+    ORDER BY day"""
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next type | type) with counts. One lead() on the shared
     * user_id shuffle forms the (from, to) pairs; the probability
@@ -789,6 +839,7 @@ object AnalyticsQueries {
     QueryDef("q_asof_tolerance", asofTolerance, Some(asofToleranceSql)),
     QueryDef("q_pit_join", pitJoin, Some(pitJoinSql)),
     QueryDef("q_funnel_time", funnelTime, Some(funnelTimeSql)),
+    QueryDef("q_abandonment", abandonment, Some(abandonmentSql)),
     QueryDef("q_active_users", activeUsers, Some(activeUsersSql)),
     QueryDef("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q_transitions", transitions, Some(transitionsSql)),

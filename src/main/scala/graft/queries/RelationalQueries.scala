@@ -635,7 +635,43 @@ object RelationalQueries {
     GROUP BY bucket
     ORDER BY bucket"""
 
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data screen. The leading digit comes from the INTEGER
+    * cents rendered as a string (integer→string is identical across
+    * engines; float→string formatting is not, and log10-based digit
+    * extraction can flip at exact powers of ten), and the expected
+    * Benford mass log10(1+1/d) gets the standard exp/log nudge. One
+    * 9-row aggregate. */
+  private def benford(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val total = o.agg(count(lit(1)).as("n_total"))
+    o.select(expr(
+        "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        Num.r(col("n") / col("n_total").cast("double"), 6).as("observed"),
+        Num.rExp(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford"))
+      .orderBy("digit")
+  }
+
+  private val benfordSql = """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders),
+    n AS (SELECT count(*) AS n_total FROM orders)
+    SELECT digit, count(*) AS n,
+           round(count(*) / CAST(n.n_total AS DOUBLE) + 1e-9, 6) AS observed,
+           round(log10(1.0 + 1.0 / digit) + 1e-8, 6) AS benford
+    FROM digits, n
+    GROUP BY digit, n.n_total
+    ORDER BY digit"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_benford", benford, Some(benfordSql)),
     QueryDef("q_string_agg", stringAgg, Some(stringAggSql)),
     QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
     QueryDef("q_basket_pairs", basketPairs, Some(basketPairsSql)),
