@@ -670,7 +670,80 @@ object RelationalQueries {
     GROUP BY digit, n.n_total
     ORDER BY digit"""
 
+  /** RFM customer segmentation: recency (days since last order,
+    * anchored at the data's own max date), frequency and monetary per
+    * customer, each scored into quintiles against EXACT percentile
+    * cutoffs computed over the per-customer table (already aggregated —
+    * one row per customer, far below the fact stream) and broadcast
+    * back. Output is the ≤125-cell segment matrix. Cutoff comparisons
+    * use the rounded-to-grid cutoffs so edges are exact on both
+    * engines; quintile-bucket populations are deterministic. */
+  private def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val perCust = o.crossJoin(broadcast(anchor))
+      .groupBy("o_custkey")
+      .agg(
+        min(datediff(col("maxd"), to_date(col("o_orderdate"))))
+          .cast("long").as("recency"),
+        count(lit(1)).as("frequency"),
+        round(Num.centsSum(col("o_totalprice")), 2).as("monetary"))
+    val cuts = perCust.agg(expr(
+      """transform(percentile(recency, array(0.2D,0.4D,0.6D,0.8D)),
+           b -> round(b + 1e-9, 2))""").as("rc"),
+      expr("""transform(percentile(frequency, array(0.2D,0.4D,0.6D,0.8D)),
+           b -> round(b + 1e-9, 2))""").as("fc"),
+      expr("""transform(percentile(monetary, array(0.2D,0.4D,0.6D,0.8D)),
+           b -> round(b + 1e-9, 2))""").as("mc"))
+    def score(v: org.apache.spark.sql.Column, cutsCol: String) =
+      (1 to 4).map(i =>
+        when(v > element_at(col(cutsCol), i), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    perCust.crossJoin(broadcast(cuts))
+      .select(
+        // low recency = recently active = BEST: invert the bucket
+        (lit(6) - score(col("recency").cast("double"), "rc"))
+          .cast("long").as("r_score"),
+        score(col("frequency").cast("double"), "fc").cast("long").as("f_score"),
+        score(col("monetary"), "mc").cast("long").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val rfmSql = """
+    WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(min(date_diff('day', CAST(o_orderdate AS DATE), anchor.maxd))
+                  AS BIGINT) AS recency,
+             count(*) AS frequency,
+             round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0, 2)
+               AS monetary
+      FROM orders, anchor
+      GROUP BY o_custkey, anchor.maxd),
+    cuts AS (
+      SELECT
+        list_transform(quantile_cont(recency, [0.2,0.4,0.6,0.8]),
+                       b -> round(b + 1e-9, 2)) AS rc,
+        list_transform(quantile_cont(frequency, [0.2,0.4,0.6,0.8]),
+                       b -> round(b + 1e-9, 2)) AS fc,
+        list_transform(quantile_cont(monetary, [0.2,0.4,0.6,0.8]),
+                       b -> round(b + 1e-9, 2)) AS mc
+      FROM per_cust),
+    scored AS (
+      SELECT
+        CAST(6 - (len(list_filter(rc, b -> recency > b)) + 1) AS BIGINT) AS r_score,
+        CAST(len(list_filter(fc, b -> frequency > b)) + 1 AS BIGINT) AS f_score,
+        CAST(len(list_filter(mc, b -> monetary > b)) + 1 AS BIGINT) AS m_score
+      FROM per_cust, cuts)
+    SELECT r_score, f_score, m_score, count(*) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_rfm", rfm, Some(rfmSql)),
     QueryDef("q_benford", benford, Some(benfordSql)),
     QueryDef("q_string_agg", stringAgg, Some(stringAggSql)),
     QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthHistSql)),
