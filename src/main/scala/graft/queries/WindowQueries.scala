@@ -401,6 +401,21 @@ object WindowQueries {
       .orderBy("user_id", "day")
   }
 
+  /** The remaining rank-family windows in one pass: percent_rank,
+    * cume_dist and nth_value(3) per key, all sharing the single
+    * (user_id)-partitioned sort every other series metric reuses.
+    * Completes the §2.E window-function surface. */
+  private def rankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = byUser
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        Num.r(percent_rank().over(w), 6).as("pct_rank"),
+        Num.r(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("value"), 3).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).as("third_value"))
+      .orderBy("event_id")
+  }
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -673,5 +688,14 @@ object WindowQueries {
       WHERE dur_us IS NOT NULL AND dur_us > 0
       GROUP BY user_id, day
       ORDER BY user_id, day""")),
+    QueryDef("q_rank_stats", rankStats, Some(s"""
+      SELECT event_id, user_id, ts, value,
+             round(percent_rank() OVER ($wUser) + 1e-9, 6) AS pct_rank,
+             round(cume_dist() OVER ($wUser) + 1e-9, 6) AS cume,
+             nth_value(value, 3) OVER ($wUser
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS third_value
+      FROM $E
+      ORDER BY event_id""")),
   )
 }
