@@ -405,6 +405,57 @@ object AnalyticsQueries {
     GROUP BY 1
     ORDER BY day"""
 
+  /** Session path mining: the 20 most common event-type sequences
+    * (first 5 steps) across 30-minute-gap sessions. Sessions come from
+    * a gap-flag running sum on the shared per-user sort; each session
+    * collapses to ONE ordered path string inside a (user, session)
+    * aggregate — order is pinned by sorting (ts, event_id, type)
+    * structs, since collect_list itself is unordered — and the final
+    * top-20 is an orderBy+limit heap over the aggregated path counts. */
+  private def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap",
+        when(unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) >
+          1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("gap").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions
+      .groupBy("user_id", "session_id")
+      .agg(expr(
+        """concat_ws('>', slice(transform(
+             array_sort(collect_list(struct(ts, event_id, event_type))),
+             x -> x.event_type), 1, 5))""").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  private val sessionPathsSql = s"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS gap
+      FROM $E
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+               AS path
+      FROM sessioned
+      GROUP BY user_id, session_id)
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20"""
+
   /** First-order Markov transition matrix over each user's event
     * sequence: P(next type | type) with counts. One lead() on the shared
     * user_id shuffle forms the (from, to) pairs; the probability
@@ -843,6 +894,7 @@ object AnalyticsQueries {
     QueryDef("q_active_users", activeUsers, Some(activeUsersSql)),
     QueryDef("q_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q_transitions", transitions, Some(transitionsSql)),
+    QueryDef("q_session_paths", sessionPaths, Some(sessionPathsSql)),
     QueryDef("q_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q_rollup", rollupPricing, Some(rollupPricingSql)),
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
