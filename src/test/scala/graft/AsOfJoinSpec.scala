@@ -150,6 +150,19 @@ class AsOfJoinSpec extends SparkSpec {
       toleranceUnits = Some(50L))) == Map("a" -> None, "b" -> Some(2.0)))
   }
 
+  test("empty right side: every left row survives with null payload") {
+    val l = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "tag")
+    val r = Seq.empty[(Long, Long, Double)].toDF("rk", "rt", "px")
+    Seq(
+      AsOfJoin.backward(l, r, "k", "rk", "t", "rt", Seq("px")),
+      AsOfJoin.forward(l, r, "k", "rk", "t", "rt", Seq("px"))
+    ).foreach { df =>
+      val rows = df.select("tag", "px").collect()
+        .map(x => (x.getString(0), Option(x.get(1)))).toMap
+      assert(rows == Map("a" -> None, "b" -> None))
+    }
+  }
+
   test("self-join without re-read is rejected eagerly") {
     val df = spark.range(10).select(col("id").as("k"), col("id").as("t"),
       col("id").as("v"))
