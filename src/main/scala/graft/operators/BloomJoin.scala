@@ -61,13 +61,12 @@ object BloomJoin {
     * one cheap aggregate over the (already filtered, pushed-down) dim
     * scan — the same scan the sketch build reads next; a fixed 1024-key
     * floor keeps degenerate tiny dims from rounding the sketch below
-    * its minimum useful size. */
+    * its minimum useful size. Deliberately NOT cached: a cache would be
+    * dropped before the lazily-returned join ever executed, so it could
+    * only ever cost, never serve. */
   def semiJoinAutoSized(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, fpp: Double = 0.03): DataFrame = {
-    val d = dim.cache()
-    try {
-      val n = math.max(d.count(), 1024L)
-      semiJoin(fact, factKey, d, dimKey, expectedItems = n, fpp = fpp)
-    } finally d.unpersist(blocking = false)
+    val n = math.max(dim.count(), 1024L)
+    semiJoin(fact, factKey, dim, dimKey, expectedItems = n, fpp = fpp)
   }
 }

@@ -300,11 +300,22 @@ object AsOfJoin {
         s"asof: tolerance needs an integral-backed time type " +
           s"(timestamp=µs, date=days, int/long), got ${lTime.dataType}")
     }
+    val lKey = attr(lPlan.output, leftKeyCol, "left")
+    val rKey = attr(rPlan.output, rightKeyCol, "right")
+    val rTime = attr(rPlan.output, rightTimeCol, "right")
+    // The merge orderings are built from the LEFT types; a mismatched right
+    // type would pass analysis and only blow up executor-side mid-compare.
+    require(lKey.dataType == rKey.dataType,
+      s"asof: key types differ — left '$leftKeyCol' is ${lKey.dataType}, " +
+        s"right '$rightKeyCol' is ${rKey.dataType}; cast one side first")
+    require(lTime.dataType == rTime.dataType,
+      s"asof: time types differ — left '$leftTimeCol' is ${lTime.dataType}, " +
+        s"right '$rightTimeCol' is ${rTime.dataType}; cast one side first")
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
-      attr(lPlan.output, leftKeyCol, "left"),
-      attr(rPlan.output, rightKeyCol, "right"),
+      lKey,
+      rKey,
       lTime,
-      attr(rPlan.output, rightTimeCol, "right"),
+      rTime,
       payloadCols.map(attr(rPlan.output, _, "right")),
       forward, toleranceUnits,
       lPlan, rPlan))

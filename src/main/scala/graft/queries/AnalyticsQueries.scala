@@ -175,9 +175,7 @@ object AnalyticsQueries {
       .filter(col("event_type") =!= "purchase")
       .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
         col("event_id").as("d_event_id"), col("event_type").as("state"),
-        lag("event_type", 1).over(
-          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
-          .as("prev_state"))
+        lag("event_type", 1).over(w).as("prev_state"))
       .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
       // two changes at the SAME instant collapse to the latest (by event
       // id) so the as-of tie is deterministic on both engines

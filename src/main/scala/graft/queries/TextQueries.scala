@@ -927,22 +927,43 @@ object TextQueries {
 
   /** Zipf exponent of the corpus: OLS slope of ln(freq) on ln(rank)
     * over the aggregated vocabulary (natural text ≈ −1; synthetic or
-    * boilerplate-heavy corpora deviate). The regression inputs are
-    * quantized log values so both engines regress over identical
-    * doubles; the regression itself runs on the vocab table — distinct
-    * tokens, Zipf-bounded — never the token stream. */
+    * boilerplate-heavy corpora deviate). The log inputs are quantized
+    * to integer micro-units and the OLS moment sums accumulate as EXACT
+    * integers (decimal(38,0) here, HUGEINT in the oracle), so the sums
+    * are partition-order-independent; the only float ops left are the
+    * final slope/intercept divisions over identical scalars. The
+    * regression runs on the vocab table — distinct tokens,
+    * Zipf-bounded — never the token stream. */
   private def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
     val freqs = Tables(spark, dir, "documents")
       .selectExpr(s"explode($toks) AS tok")
       .groupBy("tok").agg(count(lit(1)).as("freq"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc, col("tok"))
+    val d38 = "decimal(38,0)"
     freqs.withColumn("rnk", row_number().over(w).cast("long"))
-      .select(Num.rExp(log(col("rnk").cast("double")), 6).as("lx"),
-        Num.rExp(log(col("freq").cast("double")), 6).as("ly"))
+      .select(
+        round((log(col("rnk").cast("double")) + lit(1e-8)) * 1e6)
+          .cast("long").as("qx"),
+        round((log(col("freq").cast("double")) + lit(1e-8)) * 1e6)
+          .cast("long").as("qy"))
       .agg(count(lit(1)).as("n_vocab"),
-        Num.r(regr_slope(col("ly"), col("lx")), 4).as("zipf_slope"),
-        Num.r(regr_intercept(col("ly"), col("lx")), 4).as("zipf_intercept"))
+        sum(col("qx")).as("sxl"), sum(col("qy")).as("syl"),
+        sum((col("qx") * col("qy")).cast(d38)).as("sxyd"),
+        sum((col("qx") * col("qx")).cast(d38)).as("sxxd"))
+      .select(col("n_vocab"),
+        col("n_vocab").cast("double").as("n"),
+        col("sxl").cast("double").as("sx"),
+        col("syl").cast("double").as("sy"),
+        col("sxyd").cast("double").as("sxy"),
+        col("sxxd").cast("double").as("sxx"))
+      .withColumn("slope_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n_vocab"),
+        Num.r(col("slope_raw"), 4).as("zipf_slope"),
+        Num.r((col("sy") - col("slope_raw") * col("sx")) / col("n") / 1e6, 4)
+          .as("zipf_intercept"))
   }
 
   private val zipfSlopeSql = """
@@ -952,14 +973,26 @@ object TextQueries {
             FROM documents)
       GROUP BY tok),
     pts AS (
-      SELECT round(ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
-                           AS DOUBLE)) + 1e-8, 6) AS lx,
-             round(ln(CAST(freq AS DOUBLE)) + 1e-8, 6) AS ly
-      FROM freqs)
-    SELECT count(*) AS n_vocab,
-           round(regr_slope(ly, lx) + 1e-9, 4) AS zipf_slope,
-           round(regr_intercept(ly, lx) + 1e-9, 4) AS zipf_intercept
-    FROM pts"""
+      SELECT CAST(round((ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                                 AS DOUBLE)) + 1e-8) * 1e6) AS BIGINT) AS qx,
+             CAST(round((ln(CAST(freq AS DOUBLE)) + 1e-8) * 1e6) AS BIGINT)
+               AS qy
+      FROM freqs),
+    aggs AS (
+      SELECT count(*) AS n_vocab,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(qx) AS DOUBLE) AS sx,
+             CAST(sum(qy) AS DOUBLE) AS sy,
+             CAST(sum(qx * qy) AS DOUBLE) AS sxy,
+             CAST(sum(qx * qx) AS DOUBLE) AS sxx
+      FROM pts),
+    fit AS (
+      SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+      FROM aggs)
+    SELECT n_vocab,
+           round(slope_raw + 1e-9, 4) AS zipf_slope,
+           round((sy - slope_raw * sx) / n / 1e6 + 1e-9, 4) AS zipf_intercept
+    FROM fit"""
 
   /** Chi-squared contingency cells for lang × source independence: the
     * margins are window sums over the AGGREGATED |langs|×|sources|

@@ -139,7 +139,7 @@ class PropertySpec extends SparkSpec {
         Registry.byName(q).fn(spark, sf).collect().map(_.toString).sorted
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    Seq("q_twap", "q_vwap", "q_rsi").foreach { q =>
+    Seq("q_twap", "q_vwap", "q_rsi", "q_zipf").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
