@@ -5,22 +5,26 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north star): image/audio/video travel as
   * opaque `binary` columns with typed metadata; the engine owns the
-  * schema, partitioning and batch shape while the codec itself is a
-  * stub (no media libraries in this environment — the decode is a
-  * deterministic fake clearly marked below).
+  * schema, partitioning and batch shape, and the image codec is REAL —
+  * JDK `javax.imageio` (PNG/JPEG, zero added dependencies) decodes
+  * actual pixels in the per-partition batch shape.
   *
-  * Layout: media rows are (media_id, kind, bytes, meta) where bytes
-  * carries a 12-byte header (magic ++ width ++ height, big-endian i32)
-  * followed by the payload. Header parsing is pure Catalyst expressions
-  * (substring on binary + hex + conv) — codegen'd, no UDF, so metadata
-  * extraction never leaves WholeStageCodegen and predicate pushdown on
-  * (kind, meta) survives.
+  * Two blob tiers:
+  *   - engine-framed blobs: a 12-byte header (magic ++ width ++ height,
+  *     big-endian i32) followed by an opaque payload. Header parsing is
+  *     pure Catalyst expressions (substring on binary + hex + conv) —
+  *     codegen'd, no UDF, so metadata extraction never leaves
+  *     WholeStageCodegen and predicate pushdown on metadata survives.
+  *   - standard image blobs (PNG/JPEG bytes as produced by cameras /
+  *     crawlers): decoded executor-side by [[decodeImagePartitioned]] /
+  *     [[perceptualHashImagePartitioned]] via `javax.imageio.ImageIO`.
   *
   * Scale notes: payloads stay off the shuffle path — every transform
-  * here either projects metadata (narrow) or repartitions by media_id
-  * once before per-partition decode. The decode stage is the only
-  * mapPartitions, sized by `spark.sql.files.maxPartitionBytes` so one
-  * task never holds more than a bounded byte volume.
+  * here either projects metadata (narrow) or decodes per-partition and
+  * emits FIXED-WIDTH feature rows (the only thing that ever shuffles).
+  * The decode stage holds one blob plus the codec working set at a
+  * time; partition byte volume is bounded by
+  * `spark.sql.files.maxPartitionBytes`.
   */
 object Multimodal {
 
@@ -51,65 +55,160 @@ object Multimodal {
       .withColumn("payload_bytes",
         expr(s"length($bytesCol) - 12").cast("long"))
 
-  /** STUB — the real decoder (JPEG/PNG/audio frames) would run here via
-    * per-partition native-lib calls. This deterministic fake "decodes"
-    * the payload to its byte histogram so the batch shape (one output
-    * row per media row, bounded memory per partition) is real and
-    * tested while the codec is not. */
-  def decodeStub(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
-    df.withColumn("decoded_checksum",
-        expr(s"crc32(substring($bytesCol, 13, 1073741824))"))
-      .withColumn("decoded_n_bytes",
-        expr(s"length($bytesCol) - 12").cast("long"))
+  // ========================================================================
+  // Real image codec — JDK javax.imageio (PNG lossless, JPEG), no new deps
+  // ========================================================================
 
-  /** One decoded media row — the typed output of the per-partition
-    * decode stage. */
-  case class MediaFeature(media_id: Long, n_bytes: Long, byte_mode: Int,
-      mode_count: Long)
+  /** One decoded image row — the fixed-width output of the per-partition
+    * decode stage. `ok=false` marks undecodable bytes (corrupt blob,
+    * non-image payload): a sentinel row, never a task-killing exception.
+    * `px_sum` is the exact integer luma sum; `phash_hi`/`phash_lo` are
+    * the two 32-bit halves of the 64-bit aHash, kept as separate
+    * non-negative BIGINTs so they survive engines without unsigned 64-bit
+    * (and the driver's oracle compare). */
+  case class ImageFeature(media_id: Long, ok: Boolean, width: Long,
+      height: Long, px_sum: Long, phash_hi: Long, phash_lo: Long)
 
-  /** Per-partition decode — the batch shape a REAL codec runs in: one
-    * task iterates its partition's rows, holding a single blob (plus the
-    * codec's working set) at a time; partition size is bounded by
-    * `spark.sql.files.maxPartitionBytes`. The decode body here is the
-    * STUB (byte-histogram mode stands in for pixel decode); swap the
-    * body for an image/audio library call and the plumbing — typed
-    * Dataset in/out, encoders, partition iteration — is unchanged. */
-  def decodePartitioned(df: DataFrame, idCol: String = "media_id",
-      bytesCol: String = "bytes"): Dataset[MediaFeature] = {
+  /** Integer luma of pixel (x,y): the raw band-0 sample for grayscale
+    * images (exact PNG round-trip), Rec.601 integer luma for color. */
+  private def luma(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+    else {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+
+  /** Decode + feature-extract ONE image blob. The aHash uses the exact
+    * integer decision rule `cellSum·nPx >= totSum·cellPx` (cell luma mean
+    * vs whole-image luma mean by cross-multiplication) — no floats, so
+    * the signature is bit-reproducible across JVMs and re-derivable by a
+    * SQL oracle. Exact for images up to ~190 MP (255·nPx² < 2⁶³); beyond
+    * that, downscale first. Cell (cy,cx) of the 8×8 grid covers pixels
+    * with y·8/h == cy, x·8/w == cx — same floor-division blocks on any
+    * engine. */
+  def imageFeature(id: Long, bytes: Array[Byte]): ImageFeature = {
+    val img =
+      try {
+        if (bytes == null || bytes.isEmpty) null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      } catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      ImageFeature(id, ok = false, 0L, 0L, 0L, 0L, 0L)
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = new Array[Long](64)
+      val cellPx = new Array[Long](64)
+      var tot = 0L
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val g = luma(img, x, y)
+          val b = cy * 8 + x * 8 / w
+          cellSum(b) += g; cellPx(b) += 1; tot += g
+          x += 1
+        }
+        y += 1
+      }
+      val nPx = w.toLong * h
+      var hi = 0L; var lo = 0L
+      var b = 0
+      while (b < 64) {
+        if (cellPx(b) > 0 && cellSum(b) * nPx >= tot * cellPx(b)) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      ImageFeature(id, ok = true, w.toLong, h.toLong, tot, hi, lo)
+    }
+  }
+
+  /** REAL per-partition image decode: one task iterates its partition's
+    * rows, `ImageIO.read`s each blob (PNG/JPEG/anything the JDK
+    * registry handles) and emits one fixed-width [[ImageFeature]] —
+    * blobs never shuffle, only 7-column feature rows do. */
+  def decodeImagePartitioned(df: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[ImageFeature] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          // null blob (failed fetch / corrupt record) decodes like empty —
-          // a sentinel feature row, never a task-killing NPE
-          val payload = if (bytes == null) Array.emptyByteArray
-            else bytes.drop(12)
-          // --- stubbed decode body begins (would be the codec call) ---
-          val hist = new Array[Long](256)
-          payload.foreach(b => hist(b & 0xff) += 1)
-          val mode = if (payload.isEmpty) -1
-            else hist.indexOf(hist.max)
-          // --- stubbed decode body ends ---
-          MediaFeature(id, payload.length.toLong, mode,
-            if (mode >= 0) hist(mode) else 0L)
-        }
+        // no temp-file cache: decode stays in-memory per blob
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) => imageFeature(id, bytes) }
       }
   }
 
-  /** One media perceptual signature — 64-bit aHash-shaped. */
+  /** Real perceptual hash (aHash over decoded pixels) in the same
+    * per-partition shape, recombined to the single 64-bit signature the
+    * banded near-dup join consumes. Undecodable blobs are dropped here
+    * (they have no pixels to hash) — route them through
+    * [[decodeImagePartitioned]] when the ok/not-ok split matters. */
+  def perceptualHashImagePartitioned(df: DataFrame,
+      idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[MediaSig] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    decodeImagePartitioned(df, idCol, bytesCol)
+      .filter(_.ok)
+      .map(f => MediaSig(f.media_id, (f.phash_hi << 32) | f.phash_lo))
+  }
+
+  /** Deterministic synthetic test image: w×h 8-bit grayscale,
+    * luma(x,y) = (37·seed + x² + 5·y) mod 256, written through the REAL
+    * PNG encoder — so tests and oracle queries exercise genuine
+    * encode→decode byte round-trips while the expected pixel content
+    * stays analytically derivable. */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          java.lang.Math.floorMod(37L * seed + x.toLong * x + 5L * y, 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Executor-side synthetic-PNG generator: (id, w, h) rows → real PNG
+    * blobs, encoded per-partition (blobs are born on executors and never
+    * visit the driver — the ingest shape of a crawler fetch stage). */
+  def encodeSynthPngPartitioned(df: DataFrame, idCol: String,
+      wCol: String, hCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, w, h) => (id, synthPng(id, w, h)) }
+      }
+      .toDF("media_id", "bytes")
+  }
+
+  /** One media perceptual signature — 64-bit aHash. */
   case class MediaSig(media_id: Long, phash: Long)
 
-  /** Perceptual hash of the decoded content, in the same per-partition
-    * batch shape as [[decodePartitioned]]. Real aHash: resize to an 8×8
-    * luma grid, set bit i when cell i ≥ the grid mean. The STUB stands
-    * the 64 equal payload slices in for the 8×8 grid (no image libs in
-    * this environment) — identical payloads hash identically and local
-    * byte edits flip only the slices they touch, so the signature has
-    * the aHash locality the dedup tier needs. Swap the slice means for
-    * decoded-pixel cell means and nothing downstream changes. */
-  def perceptualHashPartitioned(df: DataFrame, idCol: String = "media_id",
+  /** Locality signature for OPAQUE payloads (audio frames, video
+    * containers, formats the JDK codec registry lacks): 64 equal payload
+    * slices stand in for the 8×8 pixel grid — identical payloads hash
+    * identically and local byte edits flip only the slices they touch.
+    * For decodable images use [[perceptualHashImagePartitioned]], which
+    * hashes real pixels; both emit [[MediaSig]] and feed the same banded
+    * [[mediaNearDups]] join. */
+  def payloadSliceHash(df: DataFrame, idCol: String = "media_id",
       bytesCol: String = "bytes"): Dataset[MediaSig] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -121,7 +220,7 @@ object Multimodal {
             else bytes.drop(12)
           val n = payload.length
           val sig = if (n == 0) 0L else {
-            // --- stubbed "decode to 8×8 grid" begins (codec call) ---
+            // 64 equal byte slices play the role of the 8×8 pixel grid
             val cell = new Array[Double](64)
             var i = 0
             while (i < 64) {
@@ -133,7 +232,6 @@ object Multimodal {
               cell(i) = s.toDouble / math.max(1, math.min(hi, n) - lo)
               i += 1
             }
-            // --- stubbed decode ends ---
             val mean = cell.sum / 64
             var acc = 0L
             var b = 0

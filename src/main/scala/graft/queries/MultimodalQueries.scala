@@ -27,6 +27,62 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL image decode round-trip: each document becomes a genuine PNG
+    * (encoded executor-side with `javax.imageio`, pixel content a known
+    * function of doc_id), the engine decodes the actual PNG bytes back
+    * and emits dimensions, exact luma sum and the 64-bit aHash. The
+    * oracle re-derives every output analytically from the pixel formula
+    * — so a green hash proves the full encode→PNG-bytes→decode→feature
+    * path is lossless, not that a stub echoed its input. Blobs are born,
+    * decoded and dropped inside one executor pass; only 7-column feature
+    * rows ever shuffle (the 100 TB shape: petabytes of pixels in, a few
+    * GB of features out). */
+  private def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("h"))
+    val blobs = Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
+    Multimodal.decodeImagePartitioned(blobs).toDF()
+      .selectExpr("media_id AS doc_id", "ok", "width", "height",
+        "px_sum", "phash_hi", "phash_lo")
+      .orderBy("doc_id")
+  }
+
+  private val mediaPhashSql = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + (doc_id % 6) * 8 AS BIGINT) AS w,
+             CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM dims),
+    cells AS (
+      SELECT doc_id, w, h,
+             (((p // w) * 8) // h) * 8 + (((p % w) * 8) // w) AS b,
+             sum((doc_id * 37 + (p % w) * (p % w) + 5 * (p // w)) % 256)
+               AS cell_sum,
+             count(*) AS cell_px
+      FROM px GROUP BY 1, 2, 3, 4),
+    tot AS (
+      SELECT doc_id, sum(cell_sum) AS tot_sum, sum(cell_px) AS n_px
+      FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id, c.w, c.h, t.tot_sum, c.b,
+             CASE WHEN c.cell_sum * t.n_px >= t.tot_sum * c.cell_px
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM cells c JOIN tot t USING (doc_id))
+    SELECT doc_id, TRUE AS ok,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(max(tot_sum) AS BIGINT) AS px_sum,
+           CAST(sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)
+                AS BIGINT) AS phash_hi,
+           CAST(sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END)
+                AS BIGINT) AS phash_lo
+    FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", multimodalMeta, Some("""
       SELECT doc_id, TRUE AS is_valid,
@@ -35,5 +91,6 @@ object MultimodalQueries {
              octet_length(encode(text)) AS payload_bytes
       FROM documents
       ORDER BY doc_id""")),
+    QueryDef("q_media_phash", mediaPhash, Some(mediaPhashSql)),
   )
 }

@@ -56,7 +56,7 @@ class ConnectorsSpec extends SparkSpec {
     assert(rows(2) == ("C", 3.0))
   }
 
-  test("multimodal: header roundtrip + decode stub + frame sampling") {
+  test("multimodal: header roundtrip + frame sampling") {
     import spark.implicits._
     val media = Multimodal.encodeFake(
       Seq((1L, 640, 480, "payloadbytes"), (2L, 0, 0, ""))
@@ -67,8 +67,6 @@ class ConnectorsSpec extends SparkSpec {
     assert(meta(0).getAs[Int]("height") == 480)
     assert(meta(0).getAs[Long]("payload_bytes") == 12L)
     assert(meta(1).getAs[Long]("payload_bytes") == 0L)
-    val dec = Multimodal.decodeStub(media).orderBy("media_id").collect()
-    assert(dec(0).getAs[Long]("decoded_n_bytes") == 12L)
     val frames = Multimodal.frameSample(media.filter(col("media_id") === 1), 4)
     assert(frames.count() == 3) // offsets 13,17,21 over 12 payload bytes
     // empty payload must yield zero frames, not an illegal-sequence crash
@@ -101,15 +99,16 @@ class ConnectorsSpec extends SparkSpec {
     assert(e.getMessage.contains("kafka"))
   }
 
-  test("decodePartitioned: typed per-partition decode with empty-payload edge") {
+  test("decodeImagePartitioned: non-image and empty blobs yield ok=false sentinels") {
     import spark.implicits._
-    val media = Multimodal.encodeFake(
-      Seq((1L, 2, 2, "aaab"), (2L, 0, 0, "")).toDF("media_id", "w", "h", "payload"),
-      "w", "h", "payload")
-    val feats = Multimodal.decodePartitioned(media)
+    val media = Seq(
+      (1L, "not a png at all".getBytes("UTF-8")),
+      (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+    val feats = Multimodal.decodeImagePartitioned(media)
       .collect().sortBy(_.media_id)
-    assert(feats(0) == Multimodal.MediaFeature(1L, 4L, 'a'.toInt, 3L))
-    assert(feats(1) == Multimodal.MediaFeature(2L, 0L, -1, 0L))
+    assert(feats.length == 3 && feats.forall(f => !f.ok && f.width == 0L))
   }
 
   // Embedded Derby stands in for the reference's SQL warehouse (no
@@ -299,7 +298,7 @@ class ConnectorsSpec extends SparkSpec {
       (3L, img(base))) // exact copy → hamming 0
       .toDF("media_id", "payload")
       .withColumn("w", lit(8)).withColumn("h", lit(8))
-    val sigs = Multimodal.perceptualHashPartitioned(
+    val sigs = Multimodal.payloadSliceHash(
       Multimodal.encodeFake(rows, "w", "h", "payload"))
     val pairs = Multimodal.mediaNearDups(sigs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
