@@ -11,13 +11,15 @@ import graft.Tables
   * Scale design: brute force is O(Q·N) dot products — fine for a bounded
   * query set, quadratic for all-pairs, so it is the verification tier
   * (headline=false). The LSH variant assigns every vector one small
-  * bucket id per hash table (sign pattern of 4 fixed hyperplane
+  * bucket id per hash table (sign pattern of LSH_PLANES fixed hyperplane
   * projections × 8 tables) in a single narrow scan; candidate generation
   * is an equi-join on (table, bucket) — a hash shuffle on a tiny key,
-  * broadcastable query side, no cross join anywhere. Measured on sf0.01:
-  * 5/5 top-1 and 74% top-10 recall visiting ~39% of the corpus; denser
-  * real corpora tune planes-per-table up to cut the candidate share. An
-  * IVF layout (k-means centroids) would drop into the same join shape.
+  * broadcastable query side, no cross join anywhere. Narrow buckets plus
+  * Hamming-radius multiprobe on the query side (only probe rows fan out,
+  * never the corpus index) buys recall at a fraction of the scan share
+  * wide buckets would pay; layout tuned with [[graft.LshTune]], measured
+  * in README's recall table. An IVF layout (k-means centroids) drops
+  * into the same join shape.
   *
   * Determinism: hyperplanes are literal doubles (deterministic LCG, baked
   * into both the Spark plan and the oracle SQL); dot products use the
@@ -28,7 +30,24 @@ import graft.Tables
 object SimilarityQueries {
 
   private val TABLES = 8
-  private val PLANES = 4 // per table
+  /** Hyperplanes per table in the PRODUCTION LSH index. Narrower buckets
+    * (2^LSH_PLANES per table) than the classic 4-plane layout, recovered
+    * by Hamming-[[LSH_RADIUS]] multiprobe on the query side: the query
+    * probes every bucket whose sign pattern differs from its own in at
+    * most LSH_RADIUS planes. Narrow buckets + multiprobe dominates wide
+    * buckets at equal visit budget (Lv et al., VLDB'07): the corpus index
+    * is unchanged, only the query fans out, so recall is bought with
+    * probe rows (queries × tables × probe masks — broadcastable) instead
+    * of corpus scan share. Values tuned empirically with
+    * [[graft.LshTune]] at sf0.1 — (7, 1) reaches recall@1 = 1.00 (from
+    * 0.80 single-probe) visiting 41% of the corpus; wider radii push
+    * recall@10 higher only by visiting > 45%. See README's recall
+    * table. */
+  private val LSH_PLANES = 7
+  private val LSH_RADIUS = 1
+  /** Hyperplane pool depth — [[LshTune]] sweeps planes ≤ this; pools are
+    * prefix-stable so tuning and production share hyperplanes. */
+  private val LSH_MAX_PLANES = 12
   private val DIM = 64
   private val TOPK = 10
   private val NQUERIES = 5 // vec_id < 5 are the query vectors
@@ -42,8 +61,14 @@ object SimilarityQueries {
       x = (1103515245L * x + 12345L) % 2147483648L
       ((x % 2001L) - 1000L) / 1000.0
     }
-    Seq.fill(TABLES)(Seq.fill(PLANES)(Seq.fill(DIM)(next())))
+    Seq.fill(TABLES)(Seq.fill(LSH_MAX_PLANES)(Seq.fill(DIM)(next())))
   }
+
+  /** All bucket-id XOR masks within Hamming `radius` of the query's own
+    * bucket (mask 0 = the bucket itself). |masks| = Σ_{i≤radius} C(planes,i)
+    * — 8 for (7, 1). */
+  private[queries] def probeMasks(planes: Int, radius: Int): Seq[Int] =
+    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
 
   private def planeSpark(t: Int, p: Int): String =
     hyperplanes(t)(p).map(v => s"${v}D").mkString("array(", ", ", ")")
@@ -56,13 +81,13 @@ object SimilarityQueries {
   private val dotSpark = "dot_product(%s, %s)"
 
   /** Per-table LSH bucket id for a double-array column expression. */
-  private def bucketSpark(t: Int, v: String): String =
-    (0 until PLANES).map { p =>
+  private def bucketSpark(t: Int, v: String, planes: Int = LSH_PLANES): String =
+    (0 until planes).map { p =>
       s"(CASE WHEN ${dotSpark.format(v, planeSpark(t, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def bucketDuck(t: Int, v: String): String =
-    (0 until PLANES).map { p =>
+  private def bucketDuck(t: Int, v: String, planes: Int = LSH_PLANES): String =
+    (0 until planes).map { p =>
       s"(CASE WHEN list_dot_product($v, ${planeDuck(t, p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -112,30 +137,53 @@ object SimilarityQueries {
 
   /** (vec_id, tbl, bucket) triples — the narrow LSH bucket assignment
     * pass shared by [[annLsh]] and the recall diagnostics. */
-  private def lshBucketsOf(e: DataFrame): DataFrame = {
+  private[queries] def lshBucketsOf(e: DataFrame,
+      planes: Int = LSH_PLANES): DataFrame = {
     val tblCols = (0 until TABLES).map { t =>
-      s"named_struct('tbl', $t, 'bucket', ${bucketSpark(t, "v")})"
+      s"named_struct('tbl', $t, 'bucket', ${bucketSpark(t, "v", planes)})"
     }.mkString(", ")
     e.selectExpr("vec_id", s"explode(array($tblCols)) AS tb")
       .selectExpr("vec_id", "tb.tbl AS tbl", "tb.bucket AS bucket")
   }
 
-  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = embeddingsOf(spark, dir)
-    val buckets = lshBucketsOf(e)
-    val q = buckets.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("query_id"),
-        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
-    val cand = broadcast(q)
+  /** Query-side multiprobe fan-out: each query row's bucket expands to
+    * every bucket within Hamming [[LSH_RADIUS]] (XOR with the mask set) —
+    * (query_id, qtbl, qbucket) probe rows. Only the QUERY side fans out
+    * (queries × tables × masks rows, always broadcastable); the corpus
+    * index is untouched, so multiprobe costs no extra index pass or
+    * storage at any scale. */
+  private[queries] def lshProbesOf(buckets: DataFrame, planes: Int,
+      radius: Int): DataFrame = {
+    val masks = probeMasks(planes, radius)
+    buckets.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+        explode(array(masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("qbucket"))
+  }
+
+  /** Distinct LSH candidate pairs (query_id, vec_id) under the given
+    * layout — the shared core of [[annLsh]], the recall diagnostics and
+    * [[graft.LshTune]]'s sweep. */
+  private[queries] def lshCandidatesOf(e: DataFrame, planes: Int,
+      radius: Int): DataFrame = {
+    val buckets = lshBucketsOf(e, planes)
+    val probes = lshProbesOf(buckets, planes, radius)
+    broadcast(probes)
       .join(buckets, col("qtbl") === col("tbl") &&
         col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
+  }
+
+  /** Exact cosine top-k within a candidate-pair set — the re-rank tail
+    * shared by the LSH production query and the tuning sweep. */
+  private def exactTopK(e: DataFrame, cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = cand
       .join(broadcast(e.filter(col("vec_id") < NQUERIES))
         .select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+        col("vec_id") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
     val w = Window.partitionBy("query_id")
@@ -146,19 +194,34 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  private[queries] def annLshWith(spark: SparkSession, dir: String,
+      planes: Int, radius: Int): DataFrame = {
+    val e = embeddingsOf(spark, dir)
+    exactTopK(e, lshCandidatesOf(e, planes, radius))
+  }
+
+  private def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshWith(spark, dir, LSH_PLANES, LSH_RADIUS)
+
   private def annLshSql: String = {
     val tables = (0 until TABLES).map { t =>
       s"SELECT vec_id, embedding::DOUBLE[] AS v, $t AS tbl, ${bucketDuck(t, "embedding::DOUBLE[]")} AS bucket FROM embeddings"
     }.mkString("\n      UNION ALL\n      ")
+    val maskList = probeMasks(LSH_PLANES, LSH_RADIUS).mkString("[", ", ", "]")
     s"""
     WITH buckets AS (
       $tables),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, tbl AS qtbl,
+             xor(bucket, mk.mask) AS qbucket
+      FROM buckets, unnest($maskList) AS mk(mask)
+      WHERE vec_id < $NQUERIES),
     cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                      q.v AS qv, e.v AS v
-      FROM buckets q JOIN buckets e
-        ON q.tbl = e.tbl AND q.bucket = e.bucket AND q.vec_id <> e.vec_id
-      WHERE q.vec_id < $NQUERIES),
+      SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
+                      q.qv AS qv, e.v AS v
+      FROM probes q JOIN buckets e
+        ON q.qtbl = e.tbl AND q.qbucket = e.bucket
+       AND q.query_id <> e.vec_id),
     scored AS (
       SELECT query_id, neighbor_id,
              round(list_dot_product(qv, v) + 1e-9, 6) AS cosine
@@ -371,7 +434,37 @@ object SimilarityQueries {
   private val PQ_M = 8 // subspaces
   private val PQ_SUBDIM = DIM / PQ_M // dims per subspace
   private val PQ_K = 16 // codes per subspace
-  private val PQ_RERANK = 50 // exact-rerank candidate budget per query
+
+  /** Exact-rerank candidate floor / log-multiplier: the re-rank budget is
+    * max(FLOOR, TOPK · ⌈log₂N⌉ · MULT), computed IN-QUERY from the corpus
+    * count (one scalar aggregate, broadcast), so the budget grows with the
+    * corpus instead of silently starving recall at scale — a fixed 50
+    * dropped recall@10 from 0.78 to 0.58 going sf0.01 → sf0.1, and decays
+    * further at 100×. Logarithmic growth keeps the re-rank tier sublinear:
+    * ~600 raw-vector reads per query at N = 10⁹. ⌈log₂⌉ lands on exact
+    * IEEE values at powers of two and is > 1e-10 from an integer
+    * everywhere else, so both engines round it identically. */
+  private val PQ_RERANK_FLOOR = 50
+  private val PQ_RERANK_MULT = 2
+
+  /** Driver-side twin of the in-query budget expression, for diagnostics
+    * ([[annRecallStats]]'s visited-fraction column). */
+  private[queries] def pqRerankBudget(n: Long): Long =
+    math.max(PQ_RERANK_FLOOR.toLong,
+      TOPK.toLong * math.ceil(math.log(n.toDouble) / math.log(2.0)).toLong
+        * PQ_RERANK_MULT)
+
+  /** 1-row (rerank_budget) scalar: broadcast cross-joined under the
+    * candidate filter — the plan-native form of "budget = f(count)". */
+  private def pqBudgetOf(e: DataFrame): DataFrame =
+    e.agg(greatest(lit(PQ_RERANK_FLOOR.toLong),
+      lit(TOPK.toLong) * ceil(log2(count(lit(1))))
+        * lit(PQ_RERANK_MULT.toLong)).as("rerank_budget"))
+
+  private val pqBudgetSql =
+    s"""SELECT GREATEST($PQ_RERANK_FLOOR, $TOPK
+         * CAST(CEIL(LOG2(COUNT(*))) AS BIGINT) * $PQ_RERANK_MULT)
+         AS rerank_budget FROM embeddings"""
 
   /** Placeholder the PQ oracle SQL carries for the trained-codebook
     * parquet; [[graft.Verify]] substitutes [[pqModelPath]]. */
@@ -483,14 +576,14 @@ object SimilarityQueries {
     * every vector is encoded as its nearest code per subspace; a query
     * builds a tiny lookup table (PQ_M × PQ_K exact sub-dot-products,
     * broadcast) and each vector's approximate cosine is the sum of its
-    * codes' LUT entries; the PQ_RERANK best approximate candidates are
-    * re-scored exactly. Fails fast without the trained codebooks, like
-    * [[annIvf]].
+    * codes' LUT entries; the best approximate candidates — a
+    * corpus-size-scaled budget, see [[pqBudgetOf]] — are re-scored
+    * exactly. Fails fast without the trained codebooks, like [[annIvf]].
     *
     * Scale shape: encode = broadcast join against PQ_M·PQ_K centers +
     * one (vec_id, m) window over exactly PQ_K rows each; ADC = broadcast
     * LUT join + partial-aggregating groupBy on (query_id, vec_id); the
-    * exact re-rank touches PQ_RERANK vectors per query. ADC is O(N)
+    * exact re-rank touches O(TOPK·log N) vectors per query. ADC is O(N)
     * per query BY DESIGN — PQ is the compression tier; composing it
     * under the IVF coarse quantizer (probe lists only) is the standard
     * sublinear stack, and both tiers live in this file. */
@@ -511,7 +604,8 @@ object SimilarityQueries {
     val wCand = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = adc.withColumn("crn", row_number().over(wCand))
-      .filter(col("crn") <= PQ_RERANK)
+      .crossJoin(broadcast(pqBudgetOf(e)))
+      .filter(col("crn") <= col("rerank_budget"))
       .select("query_id", "vec_id")
     val scored = cand
       .join(broadcast(e.filter(col("vec_id") < NQUERIES)
@@ -554,10 +648,11 @@ object SimilarityQueries {
       FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
       WHERE l.query_id <> k.vec_id
       GROUP BY 1, 2),
+    budget AS ($pqBudgetSql),
     cand AS (
-      SELECT query_id, vec_id FROM adc
+      SELECT query_id, vec_id FROM adc, budget
       QUALIFY row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc DESC, vec_id) <= $PQ_RERANK),
+                                 ORDER BY adc DESC, vec_id) <= rerank_budget),
     scored AS (
       SELECT c.query_id, c.vec_id AS neighbor_id,
              round(list_dot_product(q.v, x.v) + 1e-9, 6) AS cosine
@@ -575,7 +670,7 @@ object SimilarityQueries {
   /** IVF-PQ — the full sublinear compressed stack, composed from the two
     * trained models: the IVF coarse quantizer restricts each query to its
     * NPROBE inverted lists (~NPROBE/K of the corpus), ADC scores ONLY
-    * those lists' members from their 4-byte PQ codes, and the PQ_RERANK
+    * those lists' members from their 4-byte PQ codes, and the budgeted
     * best approximate candidates are re-scored exactly. This is the
     * layout a 100 TB vector corpus actually ships: raw vectors are read
     * for the re-rank tier alone; everything else touches centroids
@@ -605,7 +700,8 @@ object SimilarityQueries {
     val wCand = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = adc.withColumn("crn", row_number().over(wCand))
-      .filter(col("crn") <= PQ_RERANK)
+      .crossJoin(broadcast(pqBudgetOf(e)))
+      .filter(col("crn") <= col("rerank_budget"))
       .select("query_id", "vec_id")
     val scored = cand
       .join(broadcast(e.filter(col("vec_id") < NQUERIES)
@@ -669,10 +765,11 @@ object SimilarityQueries {
       JOIN codes k ON k.vec_id = pr.vec_id
       JOIN lut l ON l.query_id = pr.query_id AND l.m = k.m AND l.code = k.code
       GROUP BY 1, 2),
+    budget AS ($pqBudgetSql),
     cand AS (
-      SELECT query_id, vec_id FROM adc
+      SELECT query_id, vec_id FROM adc, budget
       QUALIFY row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc DESC, vec_id) <= $PQ_RERANK),
+                                 ORDER BY adc DESC, vec_id) <= rerank_budget),
     scored AS (
       SELECT c.query_id, c.vec_id AS neighbor_id,
              round(list_dot_product(q.v, x.v) + 1e-9, 6) AS cosine
@@ -696,28 +793,48 @@ object SimilarityQueries {
   /** Offline diagnostic (NOT a registry query): measures both ANN routes
     * against [[annBrute]] ground truth on `dir`. Trains the IVF model if
     * absent — this is setup tooling, the same tier as training itself. */
+  /** recall@k of `res` against the brute-force truth table. */
+  private def recallVs(brute: DataFrame, res: DataFrame, k: Int): Double = {
+    val truth = brute.filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    truth.join(res.filter(col("rank") <= k)
+        .select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id")).count().toDouble / truth.count()
+  }
+
+  /** Measure a grid of LSH (planes, radius) layouts against brute-force
+    * truth on `dir` — the tuning tool ([[graft.LshTune]]) behind the
+    * production LSH_PLANES/LSH_RADIUS choice. */
+  def lshSweep(spark: SparkSession, dir: String,
+      layouts: Seq[(Int, Int)]): Seq[((Int, Int), AnnRouteStats)] = {
+    val n = Tables(spark, dir, "embeddings").count()
+    val brute = annBrute(spark, dir)
+      .select("query_id", "neighbor_id", "rank").cache()
+    val out = layouts.map { case (planes, radius) =>
+      require(planes <= LSH_MAX_PLANES, s"pool holds $LSH_MAX_PLANES planes")
+      val e = embeddingsOf(spark, dir)
+      val cand = lshCandidatesOf(e, planes, radius).cache()
+      val res = exactTopK(e, cand)
+      val visited = cand.groupBy("query_id").count()
+        .agg(avg(col("count") / (n - 1.0))).first().getDouble(0)
+      val stats = AnnRouteStats(s"lsh($planes,$radius)",
+        recallVs(brute, res, 1), recallVs(brute, res, TOPK), visited)
+      cand.unpersist()
+      (planes, radius) -> stats
+    }
+    brute.unpersist()
+    out
+  }
+
   def annRecallStats(spark: SparkSession, dir: String): Seq[AnnRouteStats] = {
     trainIvfCentroids(spark, dir)
     trainPqCodebooks(spark, dir)
     val n = Tables(spark, dir, "embeddings").count()
     val brute = annBrute(spark, dir)
       .select("query_id", "neighbor_id", "rank").cache()
-    def recallVs(res: DataFrame, k: Int): Double = {
-      val truth = brute.filter(col("rank") <= k)
-        .select("query_id", "neighbor_id")
-      truth.join(res.filter(col("rank") <= k)
-          .select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id")).count().toDouble / truth.count()
-    }
-    // LSH cost: distinct candidates per query over the bucket equi-join
-    val buckets = lshBucketsOf(embeddingsOf(spark, dir)).cache()
-    val qb = buckets.filter(col("vec_id") < NQUERIES)
-      .select(col("vec_id").as("query_id"),
-        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
-    val lshVisited = broadcast(qb)
-      .join(buckets, col("qtbl") === col("tbl") &&
-        col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
-      .select("query_id", "vec_id").distinct()
+    // LSH cost: distinct multiprobe candidates per query
+    val lshVisited = lshCandidatesOf(embeddingsOf(spark, dir),
+        LSH_PLANES, LSH_RADIUS)
       .groupBy("query_id").count()
       .agg(avg(col("count") / (n - 1.0))).first().getDouble(0)
     // IVF cost: sizes of each query's NPROBE probed lists (lists are
@@ -736,18 +853,18 @@ object SimilarityQueries {
     val pqRes = annPq(spark, dir).cache()
     val ivfpqRes = annIvfPq(spark, dir).cache()
     val out = Seq(
-      AnnRouteStats("lsh", recallVs(lshRes, 1), recallVs(lshRes, TOPK),
+      AnnRouteStats("lsh", recallVs(brute, lshRes, 1), recallVs(brute, lshRes, TOPK),
         lshVisited),
-      AnnRouteStats("ivf", recallVs(ivfRes, 1), recallVs(ivfRes, TOPK),
+      AnnRouteStats("ivf", recallVs(brute, ivfRes, 1), recallVs(brute, ivfRes, TOPK),
         ivfVisited),
       // PQ's ADC pass touches every CODE (by design — compression tier);
       // "visited" here reports the exact-rerank fraction, the share of
       // raw vectors actually read
-      AnnRouteStats("pq", recallVs(pqRes, 1), recallVs(pqRes, TOPK),
-        PQ_RERANK.toDouble / (n - 1.0)),
-      AnnRouteStats("ivfpq", recallVs(ivfpqRes, 1), recallVs(ivfpqRes, TOPK),
-        PQ_RERANK.toDouble / (n - 1.0)))
-    Seq(brute, buckets, ranked, lshRes, ivfRes, pqRes, ivfpqRes)
+      AnnRouteStats("pq", recallVs(brute, pqRes, 1), recallVs(brute, pqRes, TOPK),
+        pqRerankBudget(n).toDouble / (n - 1.0)),
+      AnnRouteStats("ivfpq", recallVs(brute, ivfpqRes, 1), recallVs(brute, ivfpqRes, TOPK),
+        pqRerankBudget(n).toDouble / (n - 1.0)))
+    Seq(brute, ranked, lshRes, ivfRes, pqRes, ivfpqRes)
       .foreach(_.unpersist())
     out
   }
