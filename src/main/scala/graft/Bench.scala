@@ -62,14 +62,25 @@ object Bench {
     // kept in the JSON so dispersion stays visible — rep 1 of the first
     // shingle-family query also pays the shared shingle-cache fill, which
     // the median intentionally amortizes out just like any steady state.
+    //
+    // Reps run REP-MAJOR (A,B,C,…,A,B,C,… — not A,A,A,…): back-to-back
+    // reps of one query all sit inside the same machine-noise window, so
+    // a transient stall doubles that query's median and reads as a code
+    // regression (round 5's q_ann_pq false alarm: rep array
+    // [1.97, 9.77, 1.99]). Interleaved, the same stall lands one slow rep
+    // on several DIFFERENT queries, and each query's median sheds it.
     val Reps = 3
-    val results = headline.map { q =>
-      val reps = (1 to Reps).map { _ =>
-        val t0 = System.nanoTime()
-        // a failed rep must be visibly -1, never a plausible elapsed time
-        try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
+    val repTimes = Array.fill(headline.size, Reps)(-1.0)
+    for (r <- 0 until Reps; (q, i) <- headline.zipWithIndex) {
+      val t0 = System.nanoTime()
+      // a failed rep must be visibly -1, never a plausible elapsed time
+      try {
+        q.fn(spark, sfDir).count()
+        repTimes(i)(r) = (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    }
+    val results = headline.zipWithIndex.map { case (q, i) =>
+      val reps = repTimes(i).toSeq
       val ok = reps.filter(_ >= 0).sorted
       // true median: with an even number of surviving reps (a partial
       // failure left 2 of 3), average the middle pair — ok(size/2) alone
