@@ -492,15 +492,23 @@ object AnalyticsQueries {
 
   /** Sessionization: native session_window with a 30-minute gap; a
     * session ends 30 min after its last event. */
-  private def sessionize(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+  /** The sessionization aggregation shared by the batch query and its
+    * streaming twin (StreamingSpec): 30-minute-gap session windows per
+    * user. `session_window` is the same Catalyst operator in both modes —
+    * streaming callers watermark `ev` first and run append-mode, batch
+    * callers aggregate directly; the spec asserts both produce identical
+    * rows. */
+  def sessionWindows(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("session_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
+
+  private def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionWindows(Tables(spark, dir, "events"))
       .orderBy("user_id", "session_start")
 
   private val sessionizeSql = s"""

@@ -17,8 +17,16 @@ object PipelineQueries {
     * essence of the reference in one plan. One shuffle (hash by user_id)
     * feeds every window; the volume column is parsed from the props string
     * with coerce-cast semantics. */
-  def b3Metrics(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir, "events")
+  def b3Metrics(spark: SparkSession, dir: String): DataFrame =
+    b3MetricsOf(Tables(spark, dir, "events"))
+
+  /** The full q_b3_metrics plan over any events-shaped DataFrame — shared
+    * by the batch query and its streaming twin (StreamingSpec), which
+    * stream-ingests the same events through dedup + idempotent upsert and
+    * asserts this plan over the staged table is byte-identical to the
+    * batch run. */
+  def b3MetricsOf(events: DataFrame): DataFrame = {
+    val ev = events
       .withColumn("volume",
         regexp_extract(col("props"), "[0-9]+", 0).cast("long"))
     B3Pipeline.calculateMetrics(ev, "user_id", "ts", "event_id",

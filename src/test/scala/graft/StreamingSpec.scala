@@ -232,6 +232,63 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(petr(1).getDouble(4) - (12.0 / 11.0 - 1)) < 1e-12)
   }
 
+  test("streaming twin: q_b3_metrics over stream-staged events is byte-identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val staged = Files.createTempDirectory("graft_b3_twin").toString + "/events"
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    // three arrivals; the 2nd replays 50 rows of the 1st and the 3rd
+    // replays 50 of the 2nd — the idempotent event_id upsert must keep
+    // exactly one copy of each, like the reference's ON CONFLICT DO NOTHING
+    val chunks = Seq(
+      ev.slice(0, 400).toSeq,
+      (ev.slice(350, 400) ++ ev.slice(400, 800)).toSeq,
+      (ev.slice(750, 800) ++ ev.slice(800, ev.length)).toSeq)
+    chunks.foreach { chunk =>
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      mem.addData(chunk)
+      StreamingPipeline.upsertSink(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        Seq("event_id"), staged).start().awaitTermination()
+    }
+    val twin = graft.queries.PipelineQueries
+      .b3MetricsOf(spark.read.parquet(staged)).collect()
+    val batch = graft.queries.PipelineQueries.b3Metrics(spark, dir).collect()
+    assert(twin.length == ev.length) // replays suppressed, nothing lost
+    assert(twin.toSeq == batch.toSeq)
+  }
+
+  test("streaming twin: q_sessionize via watermarked session_window equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "ts", "value").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    // an ordered log in four arrivals (chunk k+1's min ts ≥ chunk k's max,
+    // so nothing falls behind the 1-hour-lateness watermark)
+    ev.grouped(ev.length / 4 + 1).foreach(c => mem.addData(c.toSeq))
+    // far-future sentinel pushes the watermark past every real session so
+    // append mode emits them all; its own (still-open) session never
+    // emits and the negative user_id filters it out of the compare
+    val maxTs = ev.map(_._2.getTime).max
+    mem.addData((-1L, new Timestamp(maxTs + 90L * 24 * 3600 * 1000), 0.0))
+    val streamed = graft.queries.AnalyticsQueries.sessionWindows(
+      mem.toDF.toDF("user_id", "ts", "value").withWatermark("ts", "1 hour"))
+    StreamingPipeline.drainAvailableNow(streamed, "sess_twin")
+    val twin = spark.table("sess_twin").filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start").collect()
+    val batch = graft.queries.Registry.byName("q_sessionize")
+      .fn(spark, dir).collect()
+    assert(twin.nonEmpty && twin.toSeq == batch.toSeq)
+  }
+
   test("H4 durable offsets: checkpointed file stream processes each file once") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_ckpt").toString
