@@ -191,8 +191,12 @@ object DedupQueries {
     * exact-Jaccard verification at 0.5. Same output as [[ngramJaccard]]
     * minus any pair LSH misses (none on this data — 12 hashes / 4 bands
     * at j≥0.5 has >99% recall). */
-  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashesCached(spark, dir)
+  /** The LSH candidate-generation stage alone — signature → band buckets
+    * → distinct candidate pairs — over any (doc_id, h) shingle-hash set.
+    * Factored out so ScaleSpec can MEASURE the 100 TB claim (candidates
+    * grow ~linearly in corpus size, where all-pairs grows quadratically)
+    * on synthetically scaled corpora instead of asserting it in prose. */
+  private[graft] def minhashCandidatesOf(sh: DataFrame): DataFrame = {
     val sig = sh.groupBy("doc_id")
       .agg(expr(s"min(${mix(0, "h", spark = true)})").as("mh0"),
         (1 until K).map(i =>
@@ -204,12 +208,17 @@ object DedupQueries {
     val buckets = sig.selectExpr("doc_id",
       s"explode(array($bandCols)) AS bb")
       .selectExpr("doc_id", "bb.band AS band", "bb.bh AS bh")
-    val cand = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashesCached(spark, dir)
+    val cand = minhashCandidatesOf(sh)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.as("sa2"), col("doc_a") === col("sa2.doc_id"))

@@ -163,4 +163,34 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
     assert(sample == want)
   }
+
+  test("MinHash LSH candidate pairs grow ~linearly in corpus size (all-pairs would be quadratic)") {
+    import graft.queries.DedupQueries
+    // Deterministic synthetic scale-up of the real documents table: each
+    // replica is a fresh slice of corpus (doc_ids offset; ~90% of tokens
+    // remapped per replica so replicas are distinct documents, ~10% kept
+    // as shared cross-corpus vocabulary/boilerplate — the df cap's prey).
+    // This mirrors how a crawl grows: new documents, partially shared
+    // vocabulary, preserved near-dup structure within each slice.
+    val base = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    def corpus(m: Int) = (0 until m).map { r =>
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        expr(s"""concat_ws(' ', transform(split(trim(text), '\\\\s+'),
+          t -> CASE WHEN pmod(hash(t), 10) < 9
+               THEN concat(t, '_r$r') ELSE t END))""").as("text"))
+    }.reduce(_ unionByName _)
+    def candidates(m: Int): Long = DedupQueries.minhashCandidatesOf(
+      DedupQueries.shingleHashesOf(corpus(m), DedupQueries.StopShingleDf))
+      .count()
+    val c1 = candidates(1)
+    val c4 = candidates(4)
+    assert(c1 > 0) // the sf0.01 corpus has planted near-dups
+    // measured growth exponent: candidates ∝ docs^e. LSH banding keeps
+    // e ≈ 1 (bucket occupancy scales with corpus, pairs with occupancy);
+    // an all-pairs candidate generator is e = 2 (4× docs → 16× pairs).
+    val e = math.log(c4.toDouble / c1) / math.log(4.0)
+    assert(e < 1.3, s"candidate growth exponent $e (c1=$c1, c4=$c4) " +
+      "— LSH candidate generation is superlinear")
+  }
 }
