@@ -19,7 +19,13 @@ import graft.queries.SimilarityQueries
   *  - `read_parquet('dir/….parquet')` becomes Spark's
   *    ``parquet.`dir` `` table syntax;
   *  - `list_dot_product` becomes the engine's registered `dot_product`
-  *    (bit-identical by FunctionsSpec).
+  *    (bit-identical by FunctionsSpec);
+  *  - DuckDB's hex-string cast `CAST(concat('0x', x) AS BIGINT)` (or the
+  *    `'0x' || x` spelling) becomes
+  *    Spark's spelling of the same conversion, `CAST(conv(x, 16, 10) AS
+  *    BIGINT)` (Spark casts '0x…' strings to NULL instead of parsing);
+  *  - `AS VARCHAR)` becomes `AS STRING)` (same type, Spark rejects the
+  *    unparameterized VARCHAR spelling).
   * Everything else must parse as-is or the query is reported
   * DIALECT-INCOMPATIBLE (DuckDB-only surface: QUALIFY, `::TYPE` casts,
   * list lambdas, unnest-with-alias, …). No result is ever "fixed up" —
@@ -69,17 +75,25 @@ object SqlCrossCheck {
     }
     val eventsSnippet = graft.queries.OracleSources.events
     val readParquet = """read_parquet\('([^']+)/\*\.parquet'\)""".r
+    // non-greedy to the FIRST ") AS BIGINT)" — the capture is the full
+    // nested hex-producing expression; both DuckDB concat spellings
+    val hexCast = """(?s)CAST\(concat\('0x', (.*?)\) AS BIGINT\)""".r
+    val hexCast2 = """(?s)CAST\('0x' \|\| (.*?) AS BIGINT\)""".r
     var agree, differ, incompatible, planErr = 0
     val lines = SparkEntry.oracleSql.toSeq.sortBy(_._1).map {
       case (name, sql0) =>
-        val sql = readParquet.replaceAllIn(
-          sql0.replace(eventsSnippet, "events")
-            .replace(SimilarityQueries.IvfCentroidsToken,
-              SimilarityQueries.ivfModelPath(sfDir))
-            .replace(SimilarityQueries.PqCodebooksToken,
-              SimilarityQueries.pqModelPath(sfDir))
-            .replace("list_dot_product", "dot_product"),
-          m => s"parquet.`${m.group(1)}`")
+        val sql = hexCast2.replaceAllIn(hexCast.replaceAllIn(
+          readParquet.replaceAllIn(
+            sql0.replace(eventsSnippet, "events")
+              .replace(SimilarityQueries.IvfCentroidsToken,
+                SimilarityQueries.ivfModelPath(sfDir))
+              .replace(SimilarityQueries.PqCodebooksToken,
+                SimilarityQueries.pqModelPath(sfDir))
+              .replace("list_dot_product", "dot_product")
+              .replace(" AS VARCHAR)", " AS STRING)"),
+            m => s"parquet.`${m.group(1)}`"),
+          m => s"CAST(conv(${java.util.regex.Matcher.quoteReplacement(m.group(1))}, 16, 10) AS BIGINT)"),
+          m => s"CAST(conv(${java.util.regex.Matcher.quoteReplacement(m.group(1))}, 16, 10) AS BIGINT)")
         def firstLine(e: Throwable): String = {
           val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
           m.linesIterator.find(_.trim.nonEmpty).getOrElse("").take(120)
