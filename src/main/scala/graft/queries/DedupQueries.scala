@@ -720,7 +720,117 @@ object DedupQueries {
     WHERE n_hits >= 3
     ORDER BY doc_id"""
 
+  /** Minimum exact-match run, in tokens, for [[dupSpans]]. */
+  private[graft] val SpanK = 8
+
+  /** Exact repeated-span detection (substring-level dedup): for every
+    * document, the maximal token runs whose every [[SpanK]]-gram occurs
+    * at least twice in the corpus (in another document OR again in the
+    * same one — verbatim boilerplate, licenses, quoted passages). This is
+    * the exact-substring primitive of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (ACL'22) — document-level dedup
+    * (minhash/simhash families above) misses a 200-token license block
+    * pasted into a million otherwise-unique pages; span-level detection
+    * is what lets a pipeline CUT the repeated range instead of dropping
+    * or keeping whole documents.
+    *
+    * Scale shape (strictly linear in corpus tokens, unlike any pair
+    * join): the k-gram stream is (doc_id, pos, md5) — text leaves the
+    * plan at the hash; the duplicate-k-gram pass is a map-side-combinable
+    * groupBy(count ≥ 2); membership is a LEFT SEMI join, so a boilerplate
+    * k-gram shared by a million documents marks each occurrence once and
+    * never generates pairs (contrast [[StopShingleDf]], which exists
+    * because pair joins ARE quadratic in a hot key); span merging is one
+    * window per document, partition bounded by document length. Output:
+    * per-doc span count, duplicated-token total and duplicated fraction —
+    * the cut list is [[spansOf]] with the same plan prefix. */
+  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
+      .selectExpr("doc_id", "t", "cast(size(t) AS BIGINT) AS n_tokens")
+    val grams = toks.filter(col("n_tokens") >= SpanK)
+      .selectExpr("doc_id",
+        s"""posexplode(transform(sequence(1, size(t) - ${SpanK - 1}),
+             i -> md5(array_join(slice(t, i, $SpanK), ' ')))) AS (pos, kh)""")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("kh"))
+    val dup = grams.groupBy("kh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("kh")
+    val dupPos = grams.join(dup, Seq("kh"), "left_semi")
+    // gaps-and-islands: two duplicated k-gram starts ≤ K−1 apart overlap
+    // (or touch), so they merge into one maximal span
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dupPos
+      .withColumn("newi",
+        when(col("pos") - lag("pos", 1).over(w) <= SpanK - 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island",
+        sum("newi").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy("doc_id", "island")
+      .agg(min("pos").as("s"),
+        (max(col("pos")) + lit(SpanK - 1).cast("long")).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  private def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs
+      .selectExpr("doc_id", "cast(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens")
+    val perDoc = spansOf(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        Num.r(coalesce(col("dup_tokens"), lit(0L)) /
+          col("n_tokens").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val dupSpansSql = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    toks2 AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(t[i:i+${SpanK - 1}], ' ')) AS kh
+      FROM toks2, unnest(range(1, len(t) - ${SpanK - 2})) AS u(i)
+      WHERE n_tokens >= $SpanK),
+    dupkh AS (
+      SELECT kh FROM grams GROUP BY kh HAVING count(*) >= 2),
+    dup_pos AS (
+      SELECT doc_id, pos FROM grams WHERE kh IN (SELECT kh FROM dupkh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= ${SpanK - 1}
+                  THEN 0 ELSE 1 END AS newi
+      FROM dup_pos),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + ${SpanK - 1} AS e
+      FROM isl2 GROUP BY doc_id, island),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE)
+                 + 1e-9, 4) AS dup_frac
+    FROM toks2 t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_dedup_incremental", dedupIncremental,
       Some(dedupIncrementalSql)),

@@ -219,4 +219,30 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 3) // different docs far apart
   }
+
+  test("dup spans: cross-doc shared block, within-doc repetition, unique text") {
+    import graft.queries.DedupQueries
+    // 11-token license block shared verbatim by docs 0 and 1, embedded in
+    // otherwise-unique prose; doc 2 repeats its own 8-token phrase twice;
+    // doc 3 is entirely unique.
+    val license = "this work is licensed under the creative commons attribution share alike"
+    val phrase = "one two three four five six seven eight"
+    val d = docs(Seq(
+      (0L, s"alpha beta gamma delta $license epsilon zeta eta theta"),
+      (1L, s"iota kappa lambda mu $license nu xi omicron pi"),
+      (2L, s"$phrase rho sigma tau upsilon $phrase"),
+      (3L, "phi chi psi omega aleph bet gimel dalet he vav zayin het")))
+    val spans = DedupQueries.spansOf(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(s => (s._1, s._2))
+    // docs 0/1: the license starts at token 4 (0-based) in both and is 11
+    // tokens long → k-gram starts 4..7, one island, span [4, 14]
+    assert(spans.filter(_._1 == 0L).toSeq == Seq((0L, 4L, 14L)))
+    assert(spans.filter(_._1 == 1L).toSeq == Seq((1L, 4L, 14L)))
+    // doc 2: its 8-token phrase occurs at 0 and 12 — two disjoint spans
+    // (gap 12 > K−1), each exactly the phrase
+    assert(spans.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 7L), (2L, 12L, 19L)))
+    // doc 3: nothing repeated anywhere
+    assert(!spans.exists(_._1 == 3L))
+  }
 }
