@@ -86,6 +86,18 @@ class PlanSpec extends SparkSpec {
       s"q_basket_pairs top-20 must be TakeOrderedAndProject:\n$plan")
   }
 
+  test("dup spans: duplicate marking is a semi join, never a pair join") {
+    // the linearity claim: occurrences are MARKED (semi join against the
+    // duplicated-k-gram key set), never PAIRED — a pair join on a hot
+    // boilerplate k-gram would be quadratic in its occurrence count
+    val plan = finalPlan("q_dup_spans")
+    assert(plan.contains("LeftSemi"),
+      s"q_dup_spans must mark occurrences with a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_dup_spans must not contain a product join:\n$plan")
+  }
+
   test("as-of queries execute through the native merge operator") {
     Seq("q_asof_exec", "q_asof_forward", "q_asof_tolerance", "q_pit_join")
       .foreach { q =>
