@@ -139,7 +139,12 @@ class PropertySpec extends SparkSpec {
         Registry.byName(q).fn(spark, sf).collect().map(_.toString).sorted
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    Seq("q_twap", "q_vwap", "q_rsi", "q_zipf").foreach { q =>
+    // every query whose output accumulates floats across partitions
+    // (moment sums, entropy, correlation) plus the span detector (pure
+    // integer, but its windows repartition) — re-planned at 3 and 7
+    // shuffle partitions, results must be bit-identical
+    Seq("q_twap", "q_vwap", "q_rsi", "q_zipf", "q_corr_matrix", "q_beta",
+      "q_autocorr", "q_chi2", "q_entropy", "q_dup_spans").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
