@@ -788,8 +788,9 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  private val dupSpansSql = s"""
-    WITH toks AS (
+  /** The span-construction CTE chain shared by [[dupSpansSql]] and
+    * [[dupCutSql]] — mirrors [[spansOf]] stage for stage. */
+  private val spanCtes = s"""toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
       FROM documents),
     toks2 AS (
@@ -816,7 +817,10 @@ object DedupQueries {
       FROM isl),
     spans AS (
       SELECT doc_id, island, min(pos) AS s, max(pos) + ${SpanK - 1} AS e
-      FROM isl2 GROUP BY doc_id, island),
+      FROM isl2 GROUP BY doc_id, island)"""
+
+  private val dupSpansSql = s"""
+    WITH $spanCtes,
     per_doc AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
              CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
@@ -829,8 +833,83 @@ object DedupQueries {
     FROM toks2 t LEFT JOIN per_doc p USING (doc_id)
     ORDER BY t.doc_id"""
 
+  /** The CUT application of [[spansOf]]: rebuild every document with its
+    * duplicated spans removed, keeping exactly one copy of each distinct
+    * span text — the occurrence with the globally smallest (doc_id,
+    * start). Identical span texts (the license block in a million pages,
+    * a phrase a doc repeats) survive once, in their first home; every
+    * other occurrence is cut. Spans whose maximal extents differ between
+    * documents have different texts and are kept independently — the
+    * deterministic, order-free approximation of Lee et al.'s
+    * keep-one-occurrence cut (exact occurrence-level bookkeeping needs
+    * suffix automata, which do not distribute).
+    *
+    * Scale shape: canonical election is one groupBy(span_text_hash) →
+    * min(struct(doc_id, s)) — map-side combinable; the cut list rides a
+    * per-doc array (spans per doc, bounded by doc length), and token
+    * filtering is array-local inside the row (higher-order functions, no
+    * posexplode, no range join). Nothing here exceeds the linear cost of
+    * [[dupSpans]] itself. */
+  private[graft] def cutOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
+      .selectExpr("doc_id", "t", "cast(size(t) AS BIGINT) AS n_tokens")
+    val withText = spansOf(docs).join(toks.select("doc_id", "t"), "doc_id")
+      .selectExpr("doc_id", "s", "e",
+        "md5(array_join(slice(t, cast(s AS INT) + 1, cast(e - s + 1 AS INT)), ' ')) AS sh")
+    val canonical = withText.groupBy("sh")
+      .agg(min(struct(col("doc_id"), col("s"))).as("m"))
+    val cuts = withText.join(canonical, "sh")
+      .filter(!(col("doc_id") === col("m.doc_id") && col("s") === col("m.s")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ranges"))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens",
+        """filter(transform(t, (tok, i) -> named_struct('tok', tok, 'i', CAST(i AS BIGINT))),
+             x -> ranges IS NULL OR
+                  NOT exists(ranges, r -> x.i >= r.s AND x.i <= r.e)) AS kept""")
+      .selectExpr("doc_id", "n_tokens",
+        "cast(size(kept) AS BIGINT) AS kept_tokens",
+        "cast(n_tokens - size(kept) AS BIGINT) AS cut_tokens",
+        "array_join(transform(kept, x -> x.tok), ' ') AS text_clean")
+  }
+
+  private def dupCut(spark: SparkSession, dir: String): DataFrame =
+    cutOf(Tables(spark, dir, "documents")).orderBy("doc_id")
+
+  private val dupCutSql = s"""
+    WITH $spanCtes,
+    spans2 AS (
+      SELECT sp.doc_id, sp.s, sp.e,
+             md5(array_to_string(
+               t2.t[CAST(sp.s + 1 AS INT):CAST(sp.e + 1 AS INT)], ' ')) AS sh
+      FROM spans sp JOIN toks2 t2 USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, s, e,
+             row_number() OVER (PARTITION BY sh ORDER BY doc_id, s) AS rn
+      FROM spans2),
+    cuts AS (
+      SELECT doc_id, list({'s': s, 'e': e}) AS ranges
+      FROM ranked WHERE rn > 1 GROUP BY doc_id),
+    cleaned AS (
+      SELECT t2.doc_id, t2.n_tokens,
+             list_transform(
+               list_filter(range(1, len(t2.t) + 1),
+                 i -> c.ranges IS NULL OR
+                      len(list_filter(c.ranges,
+                        r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0),
+               i -> t2.t[i]) AS kept
+      FROM toks2 t2 LEFT JOIN cuts c USING (doc_id))
+    SELECT doc_id, n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS cut_tokens,
+           coalesce(array_to_string(kept, ' '), '') AS text_clean
+    FROM cleaned
+    ORDER BY doc_id"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
+    QueryDef("q_dup_cut", dupCut, Some(dupCutSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_dedup_incremental", dedupIncremental,
       Some(dedupIncrementalSql)),

@@ -245,4 +245,27 @@ class DedupSpec extends SparkSpec {
     // doc 3: nothing repeated anywhere
     assert(!spans.exists(_._1 == 3L))
   }
+
+  test("dup cut: keeps each span's globally-first occurrence, cuts the rest") {
+    import graft.queries.DedupQueries
+    val license = "this work is licensed under the creative commons attribution share alike"
+    val phrase = "one two three four five six seven eight"
+    val d = docs(Seq(
+      (0L, s"alpha beta gamma delta $license epsilon zeta eta theta"),
+      (1L, s"iota kappa lambda mu $license nu xi omicron pi"),
+      (2L, s"$phrase rho sigma tau upsilon $phrase"),
+      (3L, "phi chi psi omega aleph bet gimel dalet he vav zayin het")))
+    val out = DedupQueries.cutOf(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 0 is the license's first home: nothing cut
+    assert(out(0) == ((0L, 19L, 0L,
+      s"alpha beta gamma delta $license epsilon zeta eta theta")))
+    // doc 1 loses the license block, keeps its own prose
+    assert(out(1) == ((1L, 8L, 11L, "iota kappa lambda mu nu xi omicron pi")))
+    // doc 2 keeps the phrase's first occurrence, loses the repeat
+    assert(out(2) == ((2L, 12L, 8L,
+      s"$phrase rho sigma tau upsilon")))
+    // doc 3 untouched
+    assert(out(3)._3 == 0L && out(3)._4.startsWith("phi chi"))
+  }
 }
