@@ -138,6 +138,45 @@ object TextQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(50)
 
+  /** First BPE merge step (tokenizer training): the most frequent
+    * adjacent character pairs across the corpus, each occurrence weighted
+    * by its word's corpus frequency — the statistic BPE training computes
+    * before every merge (Sennrich et al., ACL'16). The scale story is the
+    * same one that makes real BPE trainable on web-scale corpora: the
+    * pair explode runs over the DISTINCT-WORD table (vocab-bounded, after
+    * the corpus has already collapsed to (token, freq) via one map-side-
+    * combinable count), never over the token stream — 100 TB of text and
+    * 1 GB of text explode the same number of pair rows once their
+    * vocabularies match. Iterating merges would repeat this step over the
+    * re-segmented vocab (model-side work, like TextRank's driver
+    * iterations); the query exposes the per-step primitive. */
+  private def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr(s"explode($toks) AS token")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(length(col("token")) >= 2)
+      .selectExpr("freq",
+        "explode(transform(sequence(1, length(token) - 1), i -> substr(token, i, 2))) AS pair")
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  private val bpePairsSql = """
+    WITH vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents)
+      GROUP BY token),
+    pairs AS (
+      SELECT substr(token, i, 2) AS pair, freq
+      FROM vocab, unnest(range(1, length(token))) AS u(i)
+      WHERE length(token) >= 2)
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20"""
+
   /** Unigram language-model scoring: each document's mean token
     * log10-probability under the corpus's own top-K unigram LM — the
     * classic cheap perplexity proxy for quality filtering (a low score
@@ -1147,6 +1186,7 @@ object TextQueries {
       GROUP BY t
       ORDER BY freq DESC, token
       LIMIT 50""")),
+    QueryDef("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     QueryDef("q_unigram_logprob", unigramLogprob, Some(s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
