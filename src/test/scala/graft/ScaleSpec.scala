@@ -164,33 +164,57 @@ class ScaleSpec extends SparkSpec {
     assert(sample == want)
   }
 
-  test("MinHash LSH candidate pairs grow ~linearly in corpus size (all-pairs would be quadratic)") {
-    import graft.queries.DedupQueries
-    // Deterministic synthetic scale-up of the real documents table: each
-    // replica is a fresh slice of corpus (doc_ids offset; ~90% of tokens
-    // remapped per replica so replicas are distinct documents, ~10% kept
-    // as shared cross-corpus vocabulary/boilerplate — the df cap's prey).
-    // This mirrors how a crawl grows: new documents, partially shared
-    // vocabulary, preserved near-dup structure within each slice.
+  /** Deterministic synthetic scale-up of the real documents table: each
+    * replica is a fresh slice of corpus (doc_ids offset; ~90% of tokens
+    * remapped per replica so replicas are distinct documents, ~10% kept
+    * as shared cross-corpus vocabulary/boilerplate — the df cap's prey).
+    * This mirrors how a crawl grows: new documents, partially shared
+    * vocabulary, preserved (near-)dup structure within each slice. */
+  private def replicaCorpus(m: Int) = {
     val base = Tables(spark, "/root/testdata/sf0.01", "documents")
       .select("doc_id", "text")
-    def corpus(m: Int) = (0 until m).map { r =>
+    (0 until m).map { r =>
       base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
         expr(s"""concat_ws(' ', transform(split(trim(text), '\\\\s+'),
           t -> CASE WHEN pmod(hash(t), 10) < 9
                THEN concat(t, '_r$r') ELSE t END))""").as("text"))
     }.reduce(_ unionByName _)
+  }
+
+  /** candidates/marks ∝ docs^e; e ≈ 1 is the 100 TB claim, e = 2 is the
+    * all-pairs failure mode (4× docs → 16× work). */
+  private def growthExponent(c1: Long, c4: Long): Double =
+    math.log(c4.toDouble / c1) / math.log(4.0)
+
+  test("MinHash LSH candidate pairs grow ~linearly in corpus size (all-pairs would be quadratic)") {
+    import graft.queries.DedupQueries
     def candidates(m: Int): Long = DedupQueries.minhashCandidatesOf(
-      DedupQueries.shingleHashesOf(corpus(m), DedupQueries.StopShingleDf))
+      DedupQueries.shingleHashesOf(replicaCorpus(m), DedupQueries.StopShingleDf))
       .count()
     val c1 = candidates(1)
     val c4 = candidates(4)
     assert(c1 > 0) // the sf0.01 corpus has planted near-dups
-    // measured growth exponent: candidates ∝ docs^e. LSH banding keeps
-    // e ≈ 1 (bucket occupancy scales with corpus, pairs with occupancy);
-    // an all-pairs candidate generator is e = 2 (4× docs → 16× pairs).
-    val e = math.log(c4.toDouble / c1) / math.log(4.0)
+    val e = growthExponent(c1, c4)
     assert(e < 1.3, s"candidate growth exponent $e (c1=$c1, c4=$c4) " +
       "— LSH candidate generation is superlinear")
+  }
+
+  test("dup-span total grows ~linearly in corpus size (semi-join marking, no pair blowup)") {
+    import graft.queries.DedupQueries
+    // span-level dedup work is the marked-position volume (what the semi
+    // join emits and the islands window consumes): each replica's
+    // within-slice duplication replicates, cross-replica 8-grams almost
+    // never survive the 90% token remap — so marks must scale with docs,
+    // exponent ≈ 1; a pair-join formulation would be ≈ 2 on the shared
+    // 10% boilerplate
+    def marks(m: Int): Long = DedupQueries.spansOf(replicaCorpus(m))
+      .selectExpr("sum(e - s + 1) AS covered")
+      .collect()(0).getLong(0)
+    val m1 = marks(1)
+    val m4 = marks(4)
+    assert(m1 > 0) // the sf0.01 corpus has repeated spans
+    val e = growthExponent(m1, m4)
+    assert(e < 1.3, s"dup-span growth exponent $e (m1=$m1, m4=$m4) " +
+      "— span marking is superlinear")
   }
 }
