@@ -499,8 +499,10 @@ object DedupQueries {
     }
   }
 
-  private val dedupClustersSql = s"""
-    WITH RECURSIVE $shingleHashesSql,
+  /** Recursive cluster-label CTE chain (near-dup pairs → transitive
+    * closure → min-reachable-id labels) shared by the clusters, canonical
+    * and leak-free-split oracles. */
+  private val clusterLabelCtes = s"""$shingleHashesSql,
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM shing a JOIN shing b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -521,7 +523,10 @@ object DedupQueries {
       WHERE r.src <> e.dst),
     labels AS (
       SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-      FROM reach GROUP BY src)
+      FROM reach GROUP BY src)"""
+
+  private val dedupClustersSql = s"""
+    WITH RECURSIVE $clusterLabelCtes
     SELECT doc_id, cluster_id
     FROM labels
     ORDER BY doc_id"""
@@ -542,34 +547,65 @@ object DedupQueries {
   }
 
   private val dedupCanonicalSql = s"""
-    WITH RECURSIVE $shingleHashesSql,
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM shing a JOIN shing b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM common
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE) + 1e-9, 6) >= 0.5),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      WHERE r.src <> e.dst),
-    labels AS (
-      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-      FROM reach GROUP BY src),
+    WITH RECURSIVE $clusterLabelCtes,
     drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
     SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     GROUP BY source
     ORDER BY source"""
+
+  /** Leakage-free train/val/test split: the 80/10/10 assignment hashes
+    * the near-dup CLUSTER id (canonical label from [[clusterLabels]];
+    * unclustered docs hash their own id), so near-duplicates can never
+    * straddle train and eval — the data-leakage failure mode a plain
+    * per-doc hash split (q_split_assign) invites whenever the corpus has
+    * near-dups. By construction, every cluster lands in exactly one
+    * split. Output: per (source, split) doc counts plus how many of them
+    * were cluster members (the docs whose split was decided by the
+    * guard). Scale: one left join of the corpus against the cluster
+    * label table (|clustered docs| rows) on top of the clustering cost
+    * itself; the split hash is the same portable md5 as q_split_assign. */
+  private def splitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b"))
+    Tables(spark, dir, "documents").select("doc_id", "source")
+      .join(labels.withColumnRenamed("cluster_id", "gid"),
+        Seq("doc_id"), "left")
+      .selectExpr("source",
+        "CASE WHEN gid IS NULL THEN 0L ELSE 1L END AS clustered",
+        "coalesce(gid, doc_id) AS gid")
+      .selectExpr("source", "clustered",
+        """CASE
+             WHEN cast(conv(substr(md5(cast(gid AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 < 8 THEN 'train'
+             WHEN cast(conv(substr(md5(cast(gid AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 8 THEN 'val'
+             ELSE 'test'
+           END AS split""")
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("clustered").as("n_clustered"))
+      .orderBy("source", "split")
+  }
+
+  private val splitLeakfreeSql = s"""
+    WITH RECURSIVE $clusterLabelCtes,
+    assigned AS (
+      SELECT d.source,
+             CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS clustered,
+             coalesce(l.cluster_id, d.doc_id) AS gid
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+    split AS (
+      SELECT source, clustered,
+             CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(gid AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(gid AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM assigned)
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(clustered) AS BIGINT) AS n_clustered
+    FROM split
+    GROUP BY source, split
+    ORDER BY source, split"""
 
   /** Incremental dedup — the shape a GROWING 100 TB corpus actually
     * runs: a new batch (sources src10+) is deduped AGAINST the existing
@@ -916,6 +952,8 @@ object DedupQueries {
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql),
       headline = false),
     QueryDef("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql),
+      headline = false),
+    QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql),
       headline = false),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
