@@ -24,7 +24,11 @@ object PlanDump {
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
     names.foreach { n =>
       val df = Registry.byName(n).fn(spark, sfDir)
-      df.count() // force execution → AQE final plan
+      // collect() executes THIS DataFrame's own queryExecution (count()
+      // would build a separate aggregated plan and leave this one
+      // un-finalized: isFinalPlan=false, no query stages, no visible
+      // stage reuse)
+      df.collect()
       println(s"===== $n =====")
       println(df.queryExecution.executedPlan.toString)
     }

@@ -454,8 +454,17 @@ object RelationalQueries {
     * tiny aggregates. The classic retail affinity query at 100 TB:
     * shuffle on orderkey once, aggregate pairs with map-side partials. */
   private def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    // the explicit not-null filter makes all four consumers of `items`
+    // (pair side a, pair side b, freq for a, freq for b) push the SAME
+    // predicate set into the scan, so all four distinct subtrees
+    // canonicalize identically and exchange reuse collapses them to ONE
+    // scan+shuffle+aggregate (final AQE plan: 3 ReusedExchange nodes;
+    // without the uniform filter the freq branches' scans differ and
+    // only 2 reuse)
     val items = Tables(spark, dir, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
+      .select("l_orderkey", "l_partkey")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .distinct()
     val nOrders = Tables(spark, dir, "orders")
       .agg(countDistinct("o_orderkey").as("n_orders"))
     val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("pf"))
