@@ -14,16 +14,7 @@ object LshTune {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Tables.ensureConf(spark)
+    val spark = Sessions.local(cpus)
     val layouts = Seq((4, 0), (4, 1), (7, 1), (8, 1), (8, 2), (10, 1),
       (10, 2), (11, 2), (12, 2), (12, 3))
     println("| sf dir | planes | radius | recall@1 | recall@10 | visited |")

@@ -11,15 +11,7 @@ object PlanDump {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_scan_filter", "q_join_snowflake", "q_b3_metrics")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Tables.ensureConf(spark)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
     names.foreach { n =>

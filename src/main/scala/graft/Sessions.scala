@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE local-session recipe for every engine main (Verify, Bench,
+  * RecallEval, PlanDump, LshTune, SqlCrossCheck). The oracle compare
+  * depends on these semantics (ANSI off for pandas-cast parity, UTC,
+  * AQE, low shuffle partitions) — a tool hand-rolling its own builder
+  * and missing one config would silently measure/verify under different
+  * semantics than the engine ships. */
+object Sessions {
+  /** `cpus` drives both parallelism and shuffle partitions — local mode
+    * has no reason to shuffle wider than its core count. */
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.ensureConf(spark)
+    spark
+  }
+}

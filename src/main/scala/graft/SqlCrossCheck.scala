@@ -43,7 +43,9 @@ object SqlCrossCheck {
     proj.collect().map { r =>
       cols.indices.map { i =>
         r.get(i) match {
-          case null => "null"
+          // control-char marker (U+0001): a NULL must not collide with a data string
+          // "null" — that collision would mask a real drift as AGREE
+          case null => ""
           case d: java.lang.Double => f"${d.doubleValue()}%.9g"
           case f: java.lang.Float => f"${f.floatValue()}%.9g"
           case x => x.toString
@@ -56,16 +58,7 @@ object SqlCrossCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outPath = if (args.length > 1) args(1) else "SQL_CROSSCHECK.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Tables.ensureConf(spark)
+    val spark = Sessions.local(cpus)
     SimilarityQueries.trainIvfCentroids(spark, sfDir)
     SimilarityQueries.trainPqCodebooks(spark, sfDir)
     // one view per testdata table, through the SAME read path as the
@@ -117,8 +110,10 @@ object SqlCrossCheck {
           case (Right(a), Right(b)) =>
             differ += 1
             val diff = a.zip(b).indexWhere { case (x, y) => x != y }
-            s"| $name | **DISAGREE** | df=${a.size} sql=${b.size} rows, " +
-              s"first diff at sorted row $diff |"
+            val where =
+              if (diff >= 0) s"first diff at sorted row $diff"
+              else "common prefix equal; row-count difference"
+            s"| $name | **DISAGREE** | df=${a.size} sql=${b.size} rows, $where |"
         }
     }
     val total = agree + differ + incompatible + planErr

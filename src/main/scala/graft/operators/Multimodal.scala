@@ -92,7 +92,13 @@ object Multimodal {
       try {
         if (bytes == null || bytes.isEmpty) null
         else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      } catch { case _: java.io.IOException => null }
+      } catch {
+        // NOT just IOException: the JDK readers throw RuntimeExceptions
+        // (IllegalArgument, ArrayIndexOutOfBounds, CMMException, …) on
+        // malformed blobs — exactly the crawler input this codec is for;
+        // the contract is a sentinel row, never a task-killing exception
+        case scala.util.control.NonFatal(_) => null
+      }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
       ImageFeature(id, ok = false, 0L, 0L, 0L, 0L, 0L)
     else {

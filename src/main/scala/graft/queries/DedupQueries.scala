@@ -780,11 +780,21 @@ object DedupQueries {
     * window per document, partition bounded by document length. Output:
     * per-doc span count, duplicated-token total and duplicated fraction —
     * the cut list is [[spansOf]] with the same plan prefix. */
-  private[graft] def spansOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
+  /** (doc_id, tokens array, token count) — the single tokenization
+    * expression every span-dedup consumer derives from. One shared
+    * definition means every consumer's scan subtree canonicalizes
+    * identically (the basket-pairs exchange-reuse lesson); the scans
+    * that DO re-execute are narrow pushed-down parquet reads — the
+    * expensive stages (the kh shuffle, the islands window) run once. */
+  private def tokensOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
       .selectExpr("doc_id", "t", "cast(size(t) AS BIGINT) AS n_tokens")
+
+  private[graft] def spansOf(docs: DataFrame): DataFrame =
+    spansOfToks(tokensOf(docs))
+
+  private def spansOfToks(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = toks.filter(col("n_tokens") >= SpanK)
       .selectExpr("doc_id",
         s"""posexplode(transform(sequence(1, size(t) - ${SpanK - 1}),
@@ -809,10 +819,9 @@ object DedupQueries {
   }
 
   private def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val toks = docs
-      .selectExpr("doc_id", "cast(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens")
-    val perDoc = spansOf(docs).groupBy("doc_id")
+    val toks = tokensOf(Tables(spark, dir, "documents"))
+      .select("doc_id", "n_tokens")
+    val perDoc = spansOf(Tables(spark, dir, "documents")).groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + 1).as("dup_tokens"))
     toks.join(perDoc, Seq("doc_id"), "left")
@@ -887,10 +896,8 @@ object DedupQueries {
     * posexplode, no range join). Nothing here exceeds the linear cost of
     * [[dupSpans]] itself. */
   private[graft] def cutOf(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS t")
-      .selectExpr("doc_id", "t", "cast(size(t) AS BIGINT) AS n_tokens")
-    val withText = spansOf(docs).join(toks.select("doc_id", "t"), "doc_id")
+    val toks = tokensOf(docs)
+    val withText = spansOfToks(toks).join(toks.select("doc_id", "t"), "doc_id")
       .selectExpr("doc_id", "s", "e",
         "md5(array_join(slice(t, cast(s AS INT) + 1, cast(e - s + 1 AS INT)), ' ')) AS sh")
     val canonical = withText.groupBy("sh")

@@ -441,9 +441,14 @@ object SimilarityQueries {
     * corpus instead of silently starving recall at scale — a fixed 50
     * dropped recall@10 from 0.78 to 0.58 going sf0.01 → sf0.1, and decays
     * further at 100×. Logarithmic growth keeps the re-rank tier sublinear:
-    * ~600 raw-vector reads per query at N = 10⁹. ⌈log₂⌉ lands on exact
-    * IEEE values at powers of two and is > 1e-10 from an integer
-    * everywhere else, so both engines round it identically. */
+    * ~600 raw-vector reads per query at N = 10⁹. ⌈log₂N⌉ is computed as
+    * the BIT LENGTH of N−1 (`length(bin(n - 1))`) — pure integer ops,
+    * identical on both engines; a float `ceil(log2(n))` is NOT safe:
+    * Spark's log-ratio log2 overshoots the exact integer at 2^29, 2^31,
+    * 2^39, … (log(2^k)/log(2) = k + 4e-16) while DuckDB's std::log2 is
+    * exact, so the two engines would pick different budgets at those
+    * corpus sizes. (N = 1 gives bit length 1, not 0 — swallowed by the
+    * FLOOR, which dominates until N ≈ 2^12.) */
   private val PQ_RERANK_FLOOR = 50
   private val PQ_RERANK_MULT = 2
 
@@ -451,19 +456,19 @@ object SimilarityQueries {
     * ([[annRecallStats]]'s visited-fraction column). */
   private[queries] def pqRerankBudget(n: Long): Long =
     math.max(PQ_RERANK_FLOOR.toLong,
-      TOPK.toLong * math.ceil(math.log(n.toDouble) / math.log(2.0)).toLong
+      TOPK.toLong * math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(n - 1))
         * PQ_RERANK_MULT)
 
   /** 1-row (rerank_budget) scalar: broadcast cross-joined under the
     * candidate filter — the plan-native form of "budget = f(count)". */
   private def pqBudgetOf(e: DataFrame): DataFrame =
     e.agg(greatest(lit(PQ_RERANK_FLOOR.toLong),
-      lit(TOPK.toLong) * ceil(log2(count(lit(1))))
+      lit(TOPK.toLong) * expr("length(bin(count(1) - 1))")
         * lit(PQ_RERANK_MULT.toLong)).as("rerank_budget"))
 
   private val pqBudgetSql =
     s"""SELECT GREATEST($PQ_RERANK_FLOOR, $TOPK
-         * CAST(CEIL(LOG2(COUNT(*))) AS BIGINT) * $PQ_RERANK_MULT)
+         * CAST(LENGTH(BIN(COUNT(*) - 1)) AS BIGINT) * $PQ_RERANK_MULT)
          AS rerank_budget FROM embeddings"""
 
   /** Placeholder the PQ oracle SQL carries for the trained-codebook
@@ -815,8 +820,10 @@ object SimilarityQueries {
       val e = embeddingsOf(spark, dir)
       val cand = lshCandidatesOf(e, planes, radius).cache()
       val res = exactTopK(e, cand)
-      val visited = cand.groupBy("query_id").count()
-        .agg(avg(col("count") / (n - 1.0))).first().getDouble(0)
+      // total pairs / (queries · corpus): a per-query avg over the
+      // grouped counts would silently DROP zero-candidate queries and
+      // overstate visited% exactly for the sparsest layouts in the grid
+      val visited = cand.count().toDouble / (NQUERIES * (n - 1.0))
       val stats = AnnRouteStats(s"lsh($planes,$radius)",
         recallVs(brute, res, 1), recallVs(brute, res, TOPK), visited)
       cand.unpersist()
@@ -832,11 +839,12 @@ object SimilarityQueries {
     val n = Tables(spark, dir, "embeddings").count()
     val brute = annBrute(spark, dir)
       .select("query_id", "neighbor_id", "rank").cache()
-    // LSH cost: distinct multiprobe candidates per query
+    // LSH cost: distinct multiprobe candidates per query (total pairs /
+    // (queries · corpus) — counts zero-candidate queries, unlike an avg
+    // over grouped per-query counts)
     val lshVisited = lshCandidatesOf(embeddingsOf(spark, dir),
         LSH_PLANES, LSH_RADIUS)
-      .groupBy("query_id").count()
-      .agg(avg(col("count") / (n - 1.0))).first().getDouble(0)
+      .count().toDouble / (NQUERIES * (n - 1.0))
     // IVF cost: sizes of each query's NPROBE probed lists (lists are
     // disjoint — crank 1 partitions the corpus); −1 for the query itself,
     // which always sits in one of its own probed lists
