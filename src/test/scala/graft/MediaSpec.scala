@@ -63,6 +63,22 @@ class MediaSpec extends SparkSpec {
     assert(f.px_sum > 0) // lossy pixels, but decoded content is real
   }
 
+  test("malformed blobs produce the ok=false sentinel, never an exception") {
+    // crawler reality: headers that promise an image whose body lies.
+    // JDK readers throw RUNTIME exceptions (not just IOException) on
+    // these — the codec contract is a sentinel row, not a dead task.
+    val png = Multimodal.synthPng(7L, 24, 16)
+    val truncated = png.take(30) // valid PNG signature, body cut off
+    val corrupted = png.clone()
+    for (i <- 20 until math.min(60, corrupted.length))
+      corrupted(i) = (corrupted(i) ^ 0x5a).toByte // scrambled chunk data
+    val garbage = Array.fill[Byte](256)(0x42)
+    Seq(truncated, corrupted, garbage, Array.emptyByteArray, null).foreach { b =>
+      val f = Multimodal.imageFeature(1L, b)
+      assert(!f.ok && f.width == 0 && f.height == 0)
+    }
+  }
+
   test("real-pixel aHash has perceptual locality: edits flip few bits, inversions flip many") {
     // base: half dark / half bright — every 8x8 cell decisively off-mean
     def paint(edit: Boolean, invert: Boolean): Array[Byte] = {
