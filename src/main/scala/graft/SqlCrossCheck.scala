@@ -69,7 +69,11 @@ object SqlCrossCheck {
     val eventsSnippet = graft.queries.OracleSources.events
     val readParquet = """read_parquet\('([^']+)/\*\.parquet'\)""".r
     // non-greedy to the FIRST ") AS BIGINT)" — the capture is the full
-    // nested hex-producing expression; both DuckDB concat spellings
+    // nested hex-producing expression; both DuckDB concat spellings.
+    // CONSTRAINT: the captured expression must not itself contain an
+    // "AS BIGINT)" cast (the capture would cut short and garble the
+    // rewrite) — today every hex oracle nests only "AS VARCHAR" casts,
+    // which the STRING rewrite above has already renamed
     val hexCast = """(?s)CAST\(concat\('0x', (.*?)\) AS BIGINT\)""".r
     val hexCast2 = """(?s)CAST\('0x' \|\| (.*?) AS BIGINT\)""".r
     var agree, differ, incompatible, planErr = 0
