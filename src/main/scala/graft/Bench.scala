@@ -30,9 +30,10 @@ object Bench {
       try {
         graft.queries.SimilarityQueries.trainIvfCentroids(spark, d)
         graft.queries.SimilarityQueries.trainPqCodebooks(spark, d)
+        graft.queries.TextQueries.trainBpeMerges(spark, d)
       } catch { case e: Throwable =>
         warmupFailures += 1
-        System.err.println(s"[bench] WARNING: ANN model training failed on " +
+        System.err.println(s"[bench] WARNING: offline model training failed on " +
           s"$d: ${e.getMessage}")
       }
     }

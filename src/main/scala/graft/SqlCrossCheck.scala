@@ -61,6 +61,7 @@ object SqlCrossCheck {
     val spark = Sessions.local(cpus)
     SimilarityQueries.trainIvfCentroids(spark, sfDir)
     SimilarityQueries.trainPqCodebooks(spark, sfDir)
+    graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     // one view per testdata table, through the SAME read path as the
     // DataFrame queries (events ns→µs truncation included)
     Tables.names.foreach { n =>
@@ -86,6 +87,8 @@ object SqlCrossCheck {
                 SimilarityQueries.ivfModelPath(sfDir))
               .replace(SimilarityQueries.PqCodebooksToken,
                 SimilarityQueries.pqModelPath(sfDir))
+              .replace(graft.queries.TextQueries.BpeMergesToken,
+                graft.queries.TextQueries.bpeModelPath(sfDir))
               .replace("list_dot_product", "dot_product")
               .replace(" AS VARCHAR)", " AS STRING)"),
             m => s"parquet.`${m.group(1)}`"),
@@ -132,7 +135,9 @@ object SqlCrossCheck {
     report.append("A DISAGREE here with a green DuckDB hash would mean " +
       "DataFrame-Spark and DuckDB agree but SQL-Spark differs — a Spark " +
       "SQL dialect gap, not an engine bug; the reverse localizes a real " +
-      "drift. Current state: zero disagreements.\n\n")
+      "drift." + (if (differ == 0) " Current state: zero disagreements."
+                  else s" Current state: $differ DISAGREE — investigate.") +
+      "\n\n")
     report.append("| query | status | detail |\n|---|---|---|\n")
     lines.foreach(l => report.append(l).append('\n'))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),

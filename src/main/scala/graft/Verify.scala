@@ -16,8 +16,9 @@ object Verify {
     try {
       graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
       graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
+      graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     } catch { case e: Throwable =>
-      System.err.println(s"[verify] ANN model training failed: ${e.getMessage}")
+      System.err.println(s"[verify] offline model training failed: ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -48,6 +49,8 @@ object Verify {
             graft.queries.SimilarityQueries.ivfModelPath(sfDir))
           .replace(graft.queries.SimilarityQueries.PqCodebooksToken,
             graft.queries.SimilarityQueries.pqModelPath(sfDir))
+          .replace(graft.queries.TextQueries.BpeMergesToken,
+            graft.queries.TextQueries.bpeModelPath(sfDir))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -41,8 +41,10 @@ object SimilarityQueries {
     * of corpus scan share. Values tuned empirically with
     * [[graft.LshTune]] at sf0.1 — (7, 1) reaches recall@1 = 1.00 (from
     * 0.80 single-probe) visiting 41% of the corpus; wider radii push
-    * recall@10 higher only by visiting > 45%. See README's recall
-    * table. */
+    * recall@10 higher only by visiting > 45%, and the round-7 grid shows
+    * every ≤20%-visited layout collapsing below 0.80 recall@1 — which is
+    * why q_ann_lsh sits in the correctness tier and IVF-PQ is the
+    * documented scale route. See README's recall table. */
   private val LSH_PLANES = 7
   private val LSH_RADIUS = 1
   /** Hyperplane pool depth — [[LshTune]] sweeps planes ≤ this; pools are
@@ -867,11 +869,12 @@ object SimilarityQueries {
         ivfVisited),
       // PQ's ADC pass touches every CODE (by design — compression tier);
       // "visited" here reports the exact-rerank fraction, the share of
-      // raw vectors actually read
+      // raw vectors actually read — clamped to the n−1 candidates that
+      // exist, since the budget formula can exceed them on tiny corpora
       AnnRouteStats("pq", recallVs(brute, pqRes, 1), recallVs(brute, pqRes, TOPK),
-        pqRerankBudget(n).toDouble / (n - 1.0)),
+        math.min(pqRerankBudget(n), n - 1).toDouble / (n - 1.0)),
       AnnRouteStats("ivfpq", recallVs(brute, ivfpqRes, 1), recallVs(brute, ivfpqRes, TOPK),
-        pqRerankBudget(n).toDouble / (n - 1.0)))
+        math.min(pqRerankBudget(n), n - 1).toDouble / (n - 1.0)))
     Seq(brute, ranked, lshRes, ivfRes, pqRes, ivfpqRes)
       .foreach(_.unpersist())
     out
@@ -971,7 +974,13 @@ object SimilarityQueries {
     QueryDef("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
     QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
-    QueryDef("q_ann_lsh", annLsh, Some(annLshSql)),
+    // Correctness tier, not headline: the hyperplane family tops out at
+    // 41% corpus scan for recall@1 = 1.00 on this data — the round-7
+    // LshTune grid (README recall table) shows every ≤20%-visited layout
+    // collapsing to recall@1 ≤ 0.80, so LSH is demoted in favor of
+    // q_ann_ivfpq (11% visited, 0.94@10, logarithmic re-rank) as the
+    // documented 100 TB route.
+    QueryDef("q_ann_lsh", annLsh, Some(annLshSql), headline = false),
     QueryDef("q_ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("q_ann_pq", annPq, Some(annPqSql)),
     QueryDef("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),

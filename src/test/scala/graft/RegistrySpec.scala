@@ -15,6 +15,7 @@ class RegistrySpec extends SparkSpec {
     // mirror Bench/Verify.
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
+    graft.queries.TextQueries.trainBpeMerges(spark, sf)
   }
 
   test("query names are unique and non-empty") {
