@@ -25,13 +25,34 @@ import graft.queries.SimilarityQueries
   *    Spark's spelling of the same conversion, `CAST(conv(x, 16, 10) AS
   *    BIGINT)` (Spark casts '0x…' strings to NULL instead of parsing);
   *  - `AS VARCHAR)` becomes `AS STRING)` (same type, Spark rejects the
-  *    unparameterized VARCHAR spelling).
+  *    unparameterized VARCHAR spelling);
+  *  - name-for-name function spellings: `string_split_regex`/
+  *    `string_split` → `split`, select-list `unnest` → `explode`,
+  *    `list_filter` → `filter`, `json_extract_string` →
+  *    `get_json_object`, `quantile_cont` → `percentile`, `epoch_us` →
+  *    `unix_micros`, `epoch(x)` → `(unix_micros(x) / 1e6)`, aggregate
+  *    `product` → the engine's registered `product_agg`, `len` → `size`,
+  *    `xor(a, b)` → `(a ^ b)`, 1-arg `encode(x)` → `encode(x, 'UTF-8')`;
+  *  - structural spellings with identical semantics: `strftime(x, '%…')`
+  *    → `date_format(x, '…')` (specifier map), 2-arg
+  *    `regexp_extract[_all](x, re)` → explicit group 0 (DuckDB's default;
+  *    Spark defaults to group 1), bare aggregate `FILTER (pred)` →
+  *    `FILTER (WHERE pred)`, `f(x IGNORE NULLS)` → `f(x) IGNORE NULLS`,
+  *    `date_diff('unit', …)` → `date_diff(unit, …)`,
+  *    `string_agg(x, sep ORDER BY o)` → `listagg(x, sep) WITHIN GROUP
+  *    (ORDER BY o)`, DuckDB 1-based `string_split(…)[i]` →
+  *    `element_at(split(…), i)`, `[lit, …]::DOUBLE[]` → `array(lit, …)`,
+  *    `col::DOUBLE[]` → `CAST(col AS ARRAY<DOUBLE>)`;
+  *  - `QUALIFY pred` (DuckDB's post-window filter) → the equivalent
+  *    subquery-plus-WHERE via [[rewriteQualify]], a depth/quote-aware
+  *    token transform (no regex guessing at nesting).
   * Everything else must parse as-is or the query is reported
-  * DIALECT-INCOMPATIBLE (DuckDB-only surface: QUALIFY, `::TYPE` casts,
-  * list lambdas, unnest-with-alias, …). No result is ever "fixed up" —
-  * rows either match exactly under the driver's own normalization
-  * (columns sorted by name, floats to 9 significant digits, rows
-  * sorted) or the query is a DISAGREE.
+  * DIALECT-INCOMPATIBLE (remaining DuckDB-only surface: FROM-clause
+  * `unnest(…) AS t(c)` lateral aliases, 1-based `list[i]` indexing,
+  * `ASOF JOIN`, struct literals, `list(x ORDER BY y)` in aggregate, …).
+  * No result is ever "fixed up" — rows either match exactly under the
+  * driver's own normalization (columns sorted by name, floats to 9
+  * significant digits, rows sorted) or the query is a DISAGREE.
   *
   * Usage: `sbt "runMain graft.SqlCrossCheck /root/testdata/sf0.01 SQL_CROSSCHECK.md"`
   */
@@ -52,6 +73,339 @@ object SqlCrossCheck {
         }
       }.mkString("")
     }.sorted.toSeq
+  }
+
+  /** Positions (offset, parenDepth) of word-token `tok` in `sql`,
+    * case-insensitive, skipping single-quoted strings. */
+  private def tokenPositions(sql: String, tok: String): Seq[(Int, Int)] = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val out = Seq.newBuilder[(Int, Int)]
+    val t = tok.toUpperCase
+    var depth = 0; var i = 0; var inQ = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { inQ = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (isWord(c) && (i == 0 || !isWord(sql(i - 1)))) {
+        var j = i
+        while (j < sql.length && isWord(sql(j))) j += 1
+        if (sql.substring(i, j).toUpperCase == t) out += ((i, depth))
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Rewrite the first `QUALIFY pred` clause into standard SQL and
+    * recurse until none remain. DuckDB's clause order puts only
+    * ORDER BY / LIMIT after QUALIFY, so the enclosing block is
+    * `SELECT proj FROM rest QUALIFY pred tail`:
+    *  - pred without a window call (it references a projected window
+    *    alias): `SELECT * FROM (SELECT proj FROM rest) __q WHERE pred
+    *    tail` — the outer WHERE sees the alias;
+    *  - pred containing OVER: the predicate becomes a projected boolean
+    *    (`(pred) AS __qp`, legal where WHERE isn't), filtered and then
+    *    dropped via `SELECT * EXCEPT (__qp)`.
+    * Block boundaries come from the depth/quote-aware token scan: the
+    * nearest SELECT/FROM at the QUALIFY's own paren depth, and the
+    * first ORDER/LIMIT-at-depth or enclosing `)` after it. */
+  private[graft] def rewriteQualify(sql: String): String = {
+    val quals = tokenPositions(sql, "QUALIFY")
+    if (quals.isEmpty) return sql
+    val (qPos, qDepth) = quals.head
+    val selPos = tokenPositions(sql, "SELECT")
+      .collect { case (p, d) if p < qPos && d == qDepth => p }.max
+    val fromPos = tokenPositions(sql, "FROM")
+      .collect { case (p, d) if p > selPos && p < qPos && d == qDepth => p }.min
+    // scan forward from the predicate start for its end and the block end
+    var i = qPos + "QUALIFY".length
+    var depth = qDepth; var inQ = false
+    var predEnd = -1; var blockEnd = sql.length
+    var scanning = true
+    while (i < sql.length && scanning) {
+      val c = sql(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { inQ = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth < qDepth) { // enclosing subquery closes
+          if (predEnd < 0) predEnd = i
+          blockEnd = i; scanning = false
+        } else i += 1
+      } else if (predEnd < 0 && depth == qDepth &&
+          (sql.regionMatches(true, i, "ORDER", 0, 5) ||
+           sql.regionMatches(true, i, "LIMIT", 0, 5)) &&
+          (i == 0 || !Character.isLetterOrDigit(sql(i - 1))) ) {
+        predEnd = i; i += 5
+      } else i += 1
+    }
+    if (predEnd < 0) predEnd = sql.length
+    val proj = sql.substring(selPos + "SELECT".length, fromPos)
+    val rest = sql.substring(fromPos, qPos)
+    val pred = sql.substring(qPos + "QUALIFY".length, predEnd).trim
+    val tail = sql.substring(predEnd, blockEnd)
+    val block =
+      if (tokenPositions(pred, "OVER").nonEmpty)
+        s"SELECT * EXCEPT (__qp) FROM (SELECT $proj, ($pred) AS __qp $rest) __q WHERE __qp $tail"
+      else
+        s"SELECT * FROM (SELECT $proj $rest) __q WHERE $pred $tail"
+    rewriteQualify(sql.substring(0, selPos) + block + sql.substring(blockEnd))
+  }
+
+  private val strftimeMap = Seq(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss")
+
+  /** The mechanical spelling rewrites of the Scaladoc's dialect policy,
+    * applied in order. Each regex targets a spelling no Spark-parseable
+    * oracle contains, so rewrites can't touch queries that already run. */
+  private val spellings: Seq[(String, scala.util.matching.Regex.Match => String)] = {
+    import java.util.regex.Matcher.quoteReplacement
+    def q(s: String) = quoteReplacement(s)
+    Seq(
+      // DuckDB list[i] is 1-based, like Spark's element_at (NOT [] )
+      ("""string_split\(([^,()]+), '([^']*)'\)\[(\d+)\]""",
+        m => q(s"element_at(split(${m.group(1)}, '${m.group(2)}'), ${m.group(3)})")),
+      ("""string_split_regex\(""", _ => "split("),
+      ("""string_split\(""", _ => "split("),
+      ("""\bunnest\(""", _ => "explode("),
+      ("""\blist_filter\(""", _ => "filter("),
+      ("""\bjson_extract_string\(""", _ => "get_json_object("),
+      ("""\bquantile_cont\(""", _ => "percentile("),
+      ("""\bepoch_us\(""", _ => "unix_micros("),
+      ("""\bepoch\(([A-Za-z_][A-Za-z0-9_.]*)\)""",
+        m => q(s"(unix_micros(${m.group(1)}) / 1e6)")),
+      ("""\bproduct\(""", _ => "product_agg("),
+      ("""\blen\(""", _ => "size("),
+      ("""\bencode\(([^(),]+)\)""", m => q(s"encode(${m.group(1)}, 'UTF-8')")),
+      ("""\bstrftime\(([^,]+), '([^']+)'\)""", m => {
+        val fmt = strftimeMap.foldLeft(m.group(2)) {
+          case (s, (from, to)) => s.replace(from, to) }
+        q(s"date_format(${m.group(1)}, '$fmt')")
+      }),
+      // DuckDB's default capture group is 0 (whole match); Spark's is 1
+      ("""\bregexp_extract_all\(([^,()]+(?:\([^()]*\))?[^,()]*), ('[^']*')\)""",
+        m => q(s"regexp_extract_all(${m.group(1)}, ${m.group(2)}, 0)")),
+      ("""\bregexp_extract\(([^,()]+(?:\([^()]*\))?[^,()]*), ('[^']*')\)""",
+        m => q(s"regexp_extract(${m.group(1)}, ${m.group(2)}, 0)")),
+      ("""FILTER \((?!WHERE)""", _ => "FILTER (WHERE "),
+      ("""\(([^()]+) IGNORE NULLS\)""", m => q(s"(${m.group(1)}) IGNORE NULLS")),
+      ("""\bdate_diff\('(\w+)', """, m => q(s"date_diff(${m.group(1)}, ")),
+      ("""\bstring_agg\(([^,()]+), ('[^']*') ORDER BY ([^()]+)\)""",
+        m => q(s"listagg(${m.group(1)}, ${m.group(2)}) WITHIN GROUP (ORDER BY ${m.group(3)})")),
+      ("""\[([^\[\]]+)\]::DOUBLE\[\]""", m => q(s"array(${m.group(1)})")),
+      ("""([A-Za-z_][A-Za-z0-9_.]*)::DOUBLE\[\]""",
+        m => q(s"CAST(${m.group(1)} AS ARRAY<DOUBLE>)")),
+      ("""\barray_to_string\(""", _ => "array_join("),
+      // DuckDB generate_series is inclusive both ends, like sequence
+      ("""\bgenerate_series\(""", _ => "sequence("),
+      // range(a, b) is the half-open [a, b)
+      ("""\brange\(((?:[^(),]|\([^()]*\))+), ((?:[^(),]|\([^()]*\))+)\)""",
+        m => q(s"sequence(${m.group(1)}, (${m.group(2)}) - 1)")),
+      // list_slice is 1-based inclusive both ends; slice takes a length
+      ("""\blist_slice\(((?:[^(),]|\([^()]*\))+), ((?:[^(),]|\([^()]*\))+), ((?:[^(),]|\([^()]*\))+)\)""",
+        m => q(s"slice(${m.group(1)}, ${m.group(2)}, (${m.group(3)}) - (${m.group(2)}) + 1)")),
+      (""" // """, _ => " div "),
+      ("""\blist_transform\(""", _ => "transform("),
+      ("""\blist_distinct\(""", _ => "array_distinct("),
+      ("""\blist_min\(""", _ => "array_min("),
+      ("""\blist_max\(""", _ => "array_max("),
+      ("""\blist_sort\(""", _ => "sort_array("),
+      // 2-field struct literal
+      ("""\{'(\w+)': ((?:[^,{}()]|\([^()]*\))+), '(\w+)': ((?:[^,{}()]|\([^()]*\))+)\}""",
+        m => q(s"named_struct('${m.group(1)}', ${m.group(2)}, '${m.group(3)}', ${m.group(4)})")),
+      // multi-argument GROUPING is Spark's grouping_id bitmask
+      ("""(?i)\bgrouping\(([^()]+,[^()]+)\)""", m => q(s"grouping_id(${m.group(1)})")),
+      // ordered list aggregate → sort-by-struct, project the payload field
+      ("""\blist\(((?:[^(),]|\([^()]*\))+?) ORDER BY ([^()]+)\)""",
+        m => q(s"transform(array_sort(collect_list(struct(${m.group(2)}, ${m.group(1)} AS __x))), s -> s.__x)")),
+      ("""\blist\(""", _ => "collect_list("),
+    )
+  }
+
+  /** Split a call's argument text at top-level commas (quote/paren aware). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]; var d = 0; var inQ = false
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (inQ) { if (c == '\'') inQ = false; cur.append(c) }
+      else c match {
+        case '\'' => inQ = true; cur.append(c)
+        case '(' | '[' => d += 1; cur.append(c)
+        case ')' | ']' => d -= 1; cur.append(c)
+        case ',' if d == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur.append(c)
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  /** Rewrite every `name(args…)` call via `f(args)`, innermost first, with
+    * real paren matching — for spellings whose arguments nest too deeply
+    * for a regex. `f`'s output must not itself contain `name(`. */
+  private def rewriteCall(sql: String, name: String, f: Seq[String] => String): String = {
+    tokenPositions(sql, name).collectFirst {
+      case (p, _) if p + name.length < sql.length && sql(p + name.length) == '(' => p
+    } match {
+      case None => sql
+      case Some(p) =>
+        var d = 0; var i = p + name.length; var inQ = false; var close = -1
+        while (i < sql.length && close < 0) {
+          val c = sql(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else if (c == '\'') inQ = true
+          else if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0) close = i }
+          i += 1
+        }
+        val inner = rewriteCall(sql.substring(p + name.length + 1, close), name, f)
+        rewriteCall(
+          sql.substring(0, p) + f(splitArgs(inner)) + sql.substring(close + 1),
+          name, f)
+    }
+  }
+
+  /** DuckDB's FROM-clause lateral `, explode(args) AS t(c)` (spelled
+    * `unnest` pre-rewrite) → Spark's `LATERAL VIEW explode(args) t AS c`. */
+  private def rewriteLateral(sql: String): String = {
+    val asAlias = """^\s+AS\s+(\w+)\((\w+)\)""".r
+    var out = sql
+    var from = 0
+    var going = true
+    while (going) {
+      val p = out.indexOf(", explode(", from)
+      if (p < 0) going = false
+      else {
+        var d = 0; var i = p + ", explode".length; var inQ = false; var close = -1
+        while (i < out.length && close < 0) {
+          val c = out(i)
+          if (inQ) { if (c == '\'') inQ = false }
+          else if (c == '\'') inQ = true
+          else if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0) close = i }
+          i += 1
+        }
+        asAlias.findFirstMatchIn(out.substring(close + 1)) match {
+          case Some(m) =>
+            val args = out.substring(p + ", explode(".length, close)
+            out = out.substring(0, p) +
+              s" LATERAL VIEW explode($args) ${m.group(1)} AS ${m.group(2)}" +
+              out.substring(close + 1 + m.end)
+            from = p + 1
+          case None => from = p + 1
+        }
+      }
+    }
+    out
+  }
+
+  /** Rewrite DuckDB's bracket syntax — `[lit, …]` list literals, 1-based
+    * `expr[i]` indexing (= `element_at`) and 1-based inclusive `expr[a:b]`
+    * slicing (= `slice(expr, a, b-a+1)`) — with a quote-aware scan:
+    * a `[` preceded by an identifier character, `)` or `]` is postfix
+    * (the expression is the preceding identifier chain or parenthesized
+    * call, found by backward paren matching); anything else opens a
+    * literal. Innermost brackets rewrite first via fixpoint iteration. */
+  private[graft] def rewriteBrackets(sql: String): String = {
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '.'
+    // locate the first innermost bracket pair outside quotes
+    var i = 0; var inQ = false
+    var open = -1
+    var found: Option[(Int, Int)] = None
+    while (i < sql.length && found.isEmpty) {
+      val c = sql(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '[') open = i
+      else if (c == ']' && open >= 0) found = Some((open, i))
+      i += 1
+    }
+    found match {
+      case None => sql
+      case Some((lb, rb)) =>
+        val inner = sql.substring(lb + 1, rb)
+        // top-level ':' inside the bracket → slice
+        var d = 0; var qq = false; var colon = -1
+        inner.zipWithIndex.foreach { case (c, k) =>
+          if (qq) { if (c == '\'') qq = false }
+          else if (c == '\'') qq = true
+          else if (c == '(') d += 1
+          else if (c == ')') d -= 1
+          else if (c == ':' && d == 0 && colon < 0) colon = k
+        }
+        val prev = sql.lastIndexWhere(!_.isWhitespace, lb - 1)
+        // a keyword before `[` means a literal follows (ELSE [] END …),
+        // as does an empty bracket pair
+        val keywords = Set("ELSE", "THEN", "WHEN", "IN", "AND", "OR", "NOT",
+          "SELECT", "WHERE", "ON", "USING", "CASE", "BY", "AS")
+        def prevWord: String = {
+          var s = prev
+          while (s > 0 && isIdent(sql(s - 1))) s -= 1
+          if (prev >= 0 && isIdent(sql(prev))) sql.substring(s, prev + 1).toUpperCase
+          else ""
+        }
+        val postfix = prev >= 0 && (isIdent(sql(prev)) || sql(prev) == ')') &&
+          inner.trim.nonEmpty && !keywords.contains(prevWord)
+        val rewritten =
+          if (!postfix) s"array($inner)"
+          else {
+            // expression start: identifier chain, or backward-matched parens
+            // plus any function name in front of them
+            var s = prev
+            if (sql(s) == ')') {
+              var depth = 0; var done = false
+              while (s >= 0 && !done) {
+                if (sql(s) == ')') depth += 1
+                else if (sql(s) == '(') { depth -= 1; if (depth == 0) done = true }
+                if (!done) s -= 1
+              }
+            }
+            while (s > 0 && isIdent(sql(s - 1))) s -= 1
+            val expr = sql.substring(s, lb)
+            val call =
+              if (colon < 0) s"element_at($expr, $inner)"
+              else {
+                val (a, b) = (inner.substring(0, colon), inner.substring(colon + 1))
+                s"slice($expr, $a, ($b) - ($a) + 1)"
+              }
+            return rewriteBrackets(sql.substring(0, s) + call + sql.substring(rb + 1))
+          }
+        rewriteBrackets(sql.substring(0, lb) + rewritten + sql.substring(rb + 1))
+    }
+  }
+
+  /** DuckDB string literals are verbatim; Spark's are escape-processed
+    * ('\s+' silently becomes 's+'). Doubling every backslash inside
+    * single-quoted literals preserves the DuckDB reading exactly. */
+  private def escapeLiteralBackslashes(sql: String): String = {
+    val sb = new StringBuilder; var inQ = false
+    sql.foreach { c =>
+      if (c == '\'') inQ = !inQ
+      if (c == '\\' && inQ) sb.append("\\\\") else sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[graft] def toSparkDialect(sql: String): String = {
+    val spelled = spellings.foldLeft(sql) { case (s, (re, f)) =>
+        re.r.replaceAllIn(s, f) }
+      // DuckDB's regexp_replace global flag; Spark replaces all by
+      // default (its own 4th arg is a start position, not a flag)
+      .replace(", 'g')", ")")
+    val called = rewriteCall(
+      rewriteCall(spelled, "xor", a => s"(${a(0)} ^ ${a(1)})"),
+      // only the fold-with-init composition is expressible in Spark
+      "list_reduce", a =>
+        if (a(0).toLowerCase.startsWith("list_prepend(")) {
+          val ia = splitArgs(a(0).substring("list_prepend(".length, a(0).length - 1))
+          s"aggregate(${ia(1)}, ${ia(0)}, ${a(1)})"
+        } else s"__list_reduce_no_init(${a.mkString(", ")})")
+    escapeLiteralBackslashes(rewriteQualify(rewriteLateral(
+      rewriteBrackets(called))))
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,23 +431,30 @@ object SqlCrossCheck {
     // which the STRING rewrite above has already renamed
     val hexCast = """(?s)CAST\(concat\('0x', (.*?)\) AS BIGINT\)""".r
     val hexCast2 = """(?s)CAST\('0x' \|\| (.*?) AS BIGINT\)""".r
+    def fullRewrite(sql0: String): String =
+      toSparkDialect(hexCast2.replaceAllIn(hexCast.replaceAllIn(
+        readParquet.replaceAllIn(
+          sql0.replace(eventsSnippet, "events")
+            .replace(SimilarityQueries.IvfCentroidsToken,
+              SimilarityQueries.ivfModelPath(sfDir))
+            .replace(SimilarityQueries.PqCodebooksToken,
+              SimilarityQueries.pqModelPath(sfDir))
+            .replace(graft.queries.TextQueries.BpeMergesToken,
+              graft.queries.TextQueries.bpeModelPath(sfDir))
+            .replace("list_dot_product", "dot_product")
+            .replace(" AS VARCHAR)", " AS STRING)"),
+          m => s"parquet.`${m.group(1)}`"),
+        m => s"CAST(conv(${java.util.regex.Matcher.quoteReplacement(m.group(1))}, 16, 10) AS BIGINT)"),
+        m => s"CAST(conv(${java.util.regex.Matcher.quoteReplacement(m.group(1))}, 16, 10) AS BIGINT)"))
+    // debug aid: print one query's rewritten SQL instead of checking
+    sys.env.get("SPARK_GRAFT_DUMP_SQL").foreach { n =>
+      println(fullRewrite(SparkEntry.oracleSql(n)))
+      spark.stop(); return
+    }
     var agree, differ, incompatible, planErr = 0
     val lines = SparkEntry.oracleSql.toSeq.sortBy(_._1).map {
       case (name, sql0) =>
-        val sql = hexCast2.replaceAllIn(hexCast.replaceAllIn(
-          readParquet.replaceAllIn(
-            sql0.replace(eventsSnippet, "events")
-              .replace(SimilarityQueries.IvfCentroidsToken,
-                SimilarityQueries.ivfModelPath(sfDir))
-              .replace(SimilarityQueries.PqCodebooksToken,
-                SimilarityQueries.pqModelPath(sfDir))
-              .replace(graft.queries.TextQueries.BpeMergesToken,
-                graft.queries.TextQueries.bpeModelPath(sfDir))
-              .replace("list_dot_product", "dot_product")
-              .replace(" AS VARCHAR)", " AS STRING)"),
-            m => s"parquet.`${m.group(1)}`"),
-          m => s"CAST(conv(${java.util.regex.Matcher.quoteReplacement(m.group(1))}, 16, 10) AS BIGINT)"),
-          m => s"CAST(conv(${java.util.regex.Matcher.quoteReplacement(m.group(1))}, 16, 10) AS BIGINT)")
+        val sql = fullRewrite(sql0)
         def firstLine(e: Throwable): String = {
           val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
           m.linesIterator.find(_.trim.nonEmpty).getOrElse("").take(120)

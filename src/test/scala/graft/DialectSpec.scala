@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the DuckDB→Spark dialect rewriters in [[SqlCrossCheck]]. These
+  * are pure string transforms, so no SparkSession is needed; the
+  * cross-check main is the end-to-end proof (116/132 AGREE, 0
+  * DISAGREE), while this spec pins the tricky token-scanner edges a
+  * future rewrite could silently regress. */
+class DialectSpec extends AnyFunSuite {
+
+  test("QUALIFY on a projected window alias becomes an outer WHERE") {
+    val in = "SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t QUALIFY rn <= 3 ORDER BY a"
+    val out = SqlCrossCheck.rewriteQualify(in)
+    assert(out.contains("WHERE rn <= 3"))
+    assert(out.contains("SELECT * FROM (SELECT"))
+    // the tail ORDER BY stays outside the subquery
+    assert(out.endsWith("ORDER BY a"))
+  }
+
+  test("QUALIFY with an inline OVER projects the predicate then drops it") {
+    val in = "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    val out = SqlCrossCheck.rewriteQualify(in)
+    assert(out.contains("EXCEPT (__qp)"))
+    assert(out.contains("AS __qp"))
+  }
+
+  test("nested QUALIFY inside a CTE subquery rewrites at its own depth") {
+    val in = "WITH c AS (SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 2) SELECT * FROM c"
+    val out = SqlCrossCheck.rewriteQualify(in)
+    assert(!out.toUpperCase.contains("QUALIFY"))
+    // the CTE's closing paren survives the rewrite
+    assert(out.count(_ == '(') == out.count(_ == ')'))
+  }
+
+  test("bracket literal vs 1-based postfix indexing vs slicing") {
+    assert(SqlCrossCheck.rewriteBrackets("SELECT [1, 2, 3] AS xs") ==
+      "SELECT array(1, 2, 3) AS xs")
+    assert(SqlCrossCheck.rewriteBrackets("SELECT xs[2] FROM t") ==
+      "SELECT element_at(xs, 2) FROM t")
+    assert(SqlCrossCheck.rewriteBrackets("SELECT f(x)[1] FROM t") ==
+      "SELECT element_at(f(x), 1) FROM t")
+    // 1-based inclusive slice → slice(expr, a, b-a+1)
+    assert(SqlCrossCheck.rewriteBrackets("SELECT xs[2:5] FROM t") ==
+      "SELECT slice(xs, 2, (5) - (2) + 1) FROM t")
+    // ELSE [] is a literal, not indexing into the keyword
+    assert(SqlCrossCheck.rewriteBrackets("CASE WHEN p THEN xs ELSE [] END") ==
+      "CASE WHEN p THEN xs ELSE array() END")
+    // brackets inside string literals are untouched
+    assert(SqlCrossCheck.rewriteBrackets("SELECT '[1]' AS s") ==
+      "SELECT '[1]' AS s")
+  }
+
+  test("full dialect pass keeps regex literals verbatim") {
+    // Spark escape-processes '\s+' to 's+'; the rewriter must double it
+    val out = SqlCrossCheck.toSparkDialect("SELECT regexp_extract(x, '\\s+') FROM t")
+    assert(out.contains("'\\\\s+'"))
+    // and DuckDB's default group 0 is made explicit (Spark defaults to 1)
+    assert(out.contains(", 0)"))
+  }
+
+  test("strftime, epoch, and len spellings map name-for-name") {
+    val out = SqlCrossCheck.toSparkDialect(
+      "SELECT strftime(ts, '%Y-%m-%d %H:%M'), epoch(ts), len(xs) FROM t")
+    assert(out.contains("date_format(ts, 'yyyy-MM-dd HH:mm')"))
+    assert(out.contains("unix_micros(ts) / 1e6"))
+    assert(out.contains("size(xs)"))
+  }
+}
