@@ -1,0 +1,36 @@
+package graft
+
+import graft.queries.Registry
+
+/** Times the named queries only — the per-query A/B loop Bench is too
+  * coarse for (Bench always runs the whole headline set). Same
+  * discipline: warmup rep, then rep-major measured reps, median
+  * reported.
+  * Usage: `SPARK_GRAFT_SF_DIR=… sbt "runMain graft.QBench q_basket_pairs [reps]"` */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val (names, reps) = args.partition(!_.forall(_.isDigit)) match {
+      case (ns, Array(r)) => (ns.toSeq, r.toInt)
+      case (ns, _)        => (ns.toSeq, 5)
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
+    graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
+    graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
+    val qs = names.map(Registry.byName)
+    qs.foreach(_.fn(spark, sfDir).count()) // warmup: codegen + page cache
+    val times = Array.fill(qs.size, reps)(0.0)
+    for (r <- 0 until reps; (q, i) <- qs.zipWithIndex) {
+      val t0 = System.nanoTime()
+      q.fn(spark, sfDir).count()
+      times(i)(r) = (System.nanoTime() - t0) / 1e9
+    }
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val sorted = times(i).sorted
+      val med = sorted(reps / 2)
+      println(f"QBENCH ${q.name}%-24s median=$med%.3f reps=${times(i).map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -454,24 +454,31 @@ object RelationalQueries {
     * tiny aggregates. The classic retail affinity query at 100 TB:
     * shuffle on orderkey once, aggregate pairs with map-side partials. */
   private def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    // the explicit not-null filter makes all four consumers of `items`
-    // (pair side a, pair side b, freq for a, freq for b) push the SAME
-    // predicate set into the scan, so all four distinct subtrees
-    // canonicalize identically and exchange reuse collapses them to ONE
-    // scan+shuffle+aggregate (final AQE plan: 3 ReusedExchange nodes;
-    // without the uniform filter the freq branches' scans differ and
-    // only 2 reuse)
-    val items = Tables(spark, dir, "lineitem")
+    // Pairs come from a per-order COLLECTED basket, not an items×items
+    // self-join: one shuffle on orderkey builds the sorted distinct part
+    // set per order (collect_set partials map-side), then pair
+    // generation is array-local with no join at all. Generation is TWO
+    // chained explodes (posexplode for (i, part_a), explode of the
+    // tail slice for part_b) rather than one nested transform lambda —
+    // Generate+slice stay inside whole-stage codegen while higher-order
+    // lambdas run interpreted (A/B at sf0.1: 0.84 s vs 1.26 s to the
+    // same 1.196 M aggregated pairs; full query 1.32 s → 1.09 s vs the
+    // self-join). The freq branch consumes the same baskets aggregate
+    // (AQE reuses its exchange), so lineitem is scanned and shuffled
+    // exactly once.
+    val baskets = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey")
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .distinct()
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
     val nOrders = Tables(spark, dir, "orders")
       .agg(countDistinct("o_orderkey").as("n_orders"))
-    val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("pf"))
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    val freq = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("pf"))
+    val pairs = baskets
+      .select(col("parts"), posexplode(col("parts")).as(Seq("i", "part_a")))
+      .select(col("part_a"),
+        explode(expr("slice(parts, i + 2, size(parts) - i - 1)")).as("part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("support"))
     val w = org.apache.spark.sql.expressions.Window
@@ -567,30 +574,58 @@ object RelationalQueries {
     ORDER BY n_name"""
 
   /** Equi-depth (decile) histogram of lineitem prices. Boundaries are
-    * EXACT type-7 percentiles computed from the grouped cents
-    * distribution: one map-side-partial count per distinct price, a
-    * cumulative sum over that table (single-task, but VALUE-DOMAIN
-    * bounded — 2-decimal prices have ≤ a few million possible cents no
-    * matter the corpus size), then 9 interpolated lookups in one tiny
-    * aggregate. This replaces Spark's holistic `percentile` aggregate,
-    * which buffers per-partition value maps and merged 3.0 s at sf0.1
-    * vs ~0.6 s for this plan (measured). Boundaries land on the
-    * 2-decimal grid (+ nudge) so bucket-edge comparisons are exact on
-    * both engines; the oracle states the same semantics directly with
-    * quantile_cont. */
+    * EXACT type-7 percentiles via the classic two-pass distributed
+    * quantile shape:
+    *
+    *  1. COARSE pass: count rows per $100 cents-range — map-side
+    *     combinable to ~1 000 groups no matter the corpus size, then a
+    *     window over that tiny table locates, fully plan-side (no
+    *     driver collect), the ≤ 18 "hot" ranges holding a decile
+    *     boundary index (type-7 percentile p needs the rows at 0-based
+    *     indices floor/ceil of p·(n−1)).
+    *  2. REFINE pass: exact per-cent cumulative counts over ONLY the
+    *     hot ranges (a broadcast semi-join keeps ~2% of rows; windows
+    *     partition by range, so no single-task global sort anywhere),
+    *     then 9 interpolated lookups in one tiny aggregate.
+    *
+    * This replaces both Spark's holistic `percentile` aggregate (3.0 s
+    * at sf0.1 — buffers per-partition value maps) and the round-6
+    * full-domain cumsum (1.33 s — sf0.1 already shows 583 k distinct
+    * cents in 600 k rows, so the "domain-bounded" grouped table neither
+    * compresses nor keeps its single-task window safe at scale);
+    * measured ~0.95 s. Boundaries land on the 2-decimal grid (+ nudge)
+    * so bucket-edge comparisons are exact on both engines; the oracle
+    * states the same semantics directly with quantile_cont. */
   private def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables(spark, dir, "lineitem").select("l_extendedprice")
-    val dist = li
-      .groupBy(round(col("l_extendedprice") * 100).cast("long").as("c"))
-      .agg(count(lit(1)).as("cnt"))
-    val cum = dist
-      .withColumn("cum", sum("cnt").over(
-        Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val cents = li.select(round(col("l_extendedprice") * 100).cast("long").as("c"))
     val ps = (1 to 9).map(_ / 10.0)
-    // value at 0-based sorted index i = min c with cum > i; type-7
-    // percentile p interpolates indices floor/ceil of p*(n-1)
+    val coarse = cents.groupBy(expr("c DIV 10000").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+    val coarseCum = coarse
+      .withColumn("cumBefore", coalesce(sum("cnt").over(
+        Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    // range r holds target index t iff cumBefore <= t < cumBefore+cnt;
+    // the exists() lambda runs interpreted but over ~1 000 rows only
+    val targets = array(ps.flatMap { p =>
+      val pos = lit(p) * (col("n") - 1)
+      Seq(floor(pos), ceil(pos))
+    }: _*)
+    val hot = coarseCum
+      .filter(exists(targets,
+        t => col("cumBefore") <= t && t < col("cumBefore") + col("cnt")))
+      .select("r", "cumBefore", "n")
+    val cum = cents.join(broadcast(hot), expr("c DIV 10000") === col("r"))
+      .groupBy("r", "cumBefore", "n", "c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", col("cumBefore") + sum("cnt").over(
+        Window.partitionBy("r").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    // value at 0-based sorted index i = min c with cum > i — the
+    // crossing cent is in the hot set by construction, and every other
+    // hot row with cum > i has a larger c, so the min over hot rows IS
+    // the global min
     val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
       val pos = lit(p) * (col("n") - 1)
       Seq(
@@ -607,7 +642,8 @@ object RelationalQueries {
     val bounds = looked.select(array(bElems: _*).as("bs"))
     // bucket = 1 + #boundaries crossed, as NINE codegen'd comparisons —
     // the equivalent higher-order filter() runs interpreted per row and
-    // measured ~3× slower on the scan pass
+    // measured ~3× slower on the scan pass; 10 output groups make the
+    // final aggregate map-side-combining, so the shuffle is trivial
     val crossed = (1 to 9)
       .map(i => when(col("l_extendedprice") > element_at(col("bs"), i), 1)
         .otherwise(0))

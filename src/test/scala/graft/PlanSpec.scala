@@ -84,6 +84,24 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan("q_basket_pairs")
     assert(plan.contains("TakeOrderedAndProject"),
       s"q_basket_pairs top-20 must be TakeOrderedAndProject:\n$plan")
+    // pairs are generated array-locally from each collected basket —
+    // the round-6 items×items sort-merge self-join must stay gone
+    assert(plan.contains("posexplode") && !plan.contains("SortMergeJoin"),
+      s"q_basket_pairs pairs must come from basket explodes, not a join:\n$plan")
+  }
+
+  test("equidepth hist: refinement joins broadcast and windows by range") {
+    // the decile-boundary refinement must (a) reach the hot ranges via a
+    // BROADCAST of the tiny coarse table — a shuffle join here would
+    // move the whole fact side — and (b) never run a row-level window
+    // without a partition key (the coarse ~1k-row window is the only
+    // global one); a single-task cumsum over the full cents domain was
+    // the round-6 shape this replaced
+    val plan = finalPlan("q_equidepth_hist")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_equidepth_hist hot-range membership must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_equidepth_hist must not shuffle-join the fact side:\n$plan")
   }
 
   test("dup spans: duplicate marking is a semi join, never a pair join") {
