@@ -63,6 +63,90 @@ class MediaSpec extends SparkSpec {
     assert(f.px_sum > 0) // lossy pixels, but decoded content is real
   }
 
+  test("color JPEG round-trip pins the Rec.601 luma branch: analytic aHash survives lossy coding") {
+    // 64×64, each 8×8 aHash cell a SOLID color: checkerboard of pure
+    // green (Rec.601 luma ⌊587·255/1000⌋ = 149) and pure blue (luma 38).
+    // The ~111-level separation dwarfs JPEG quantization error (solid
+    // blocks aligned to JPEG's own 8×8 DCT grid), so the aHash computed
+    // from DECODED JPEG pixels must equal the hash derived analytically
+    // from the Rec.601 weights. A wrong color branch — red channel (both
+    // colors → 0), blue channel (inverts the board), unweighted mean
+    // (85 vs 85, tie) — each yields a different hash, so this is a
+    // bit-exact witness of the (299, 587, 114)/1000 integer weighting.
+    def colorJpeg(swap: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val greenCell = ((x / 8) + (y / 8)) % 2 == 0
+        val rgb = if (greenCell != swap) 0x00ff00 else 0x0000ff
+        img.setRGB(x, y, rgb)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    // analytic expectation from the Rec.601 integer formula
+    val lumaGreen = 255 * 587 / 1000 // 149
+    val lumaBlue = 255 * 114 / 1000 // 38
+    var hi = 0L; var lo = 0L
+    var totalAnalytic = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = if ((cx + cy) % 2 == 0) lumaGreen else lumaBlue
+      totalAnalytic += v.toLong * 64
+      // 32 cells each color → mean = (149 + 38) / 2 = 93.5; green above
+      if (v >= (lumaGreen + lumaBlue) / 2.0) {
+        val b = cy * 8 + cx
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+    }
+    val f = Multimodal.imageFeature(11L, colorJpeg(swap = false))
+    assert(f.ok && f.width == 64 && f.height == 64)
+    assert(f.phash_hi == hi && f.phash_lo == lo,
+      f"JPEG-decoded aHash ${f.phash_hi}%08x:${f.phash_lo}%08x != analytic " +
+        f"Rec.601 hash $hi%08x:$lo%08x — color luma branch drifted")
+    // luma sum: lossy, but must sit within a few percent of analytic
+    assert(math.abs(f.px_sum - totalAnalytic) < totalAnalytic / 20,
+      s"px_sum ${f.px_sum} too far from analytic $totalAnalytic")
+    // stability: same bytes decode to the same signature every time
+    val again = Multimodal.imageFeature(11L, colorJpeg(swap = false))
+    assert(again.phash_hi == f.phash_hi && again.phash_lo == f.phash_lo &&
+      again.px_sum == f.px_sum)
+    // channel sensitivity witness: swapping green↔blue inverts the board,
+    // so every cell's decision flips — complement hash, much lower sum
+    val sw = Multimodal.imageFeature(12L, colorJpeg(swap = true))
+    assert(sw.ok && sw.phash_hi == (~hi & 0xffffffffL) &&
+      sw.phash_lo == (~lo & 0xffffffffL),
+      "green↔blue swap must complement the aHash under Rec.601 weights")
+  }
+
+  test("color JPEG signatures flow stably through the partitioned decode path") {
+    import spark.implicits._
+    // the SAME JPEG bytes decoded in different partitions must produce
+    // identical feature rows (no per-task codec state leaks into results)
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        48, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 48) {
+        val c = if (((x / 6) + (y / 6) + seed) % 3 == 0) 0xff8000
+          else if (((x / 6) + (y / 6) + seed) % 3 == 1) 0x00ff80 else 0x0080ff
+        img.setRGB(x, y, c)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val rows = (0 until 24).map(i => (i.toLong, jpeg(i % 3))).toDF("media_id", "bytes")
+    val feats = Multimodal.decodeImagePartitioned(rows.repartition(8))
+      .collect().map(f => (f.media_id, (f.ok, f.px_sum, f.phash_hi, f.phash_lo)))
+      .toMap
+    assert(feats.size == 24 && feats.values.forall(_._1))
+    // ids with identical source bytes → identical signatures, regardless
+    // of which partition decoded them
+    for (i <- 0 until 24)
+      assert(feats(i.toLong) == feats((i % 3).toLong),
+        s"media $i decoded differently from its byte-identical sibling ${i % 3}")
+  }
+
   test("malformed blobs produce the ok=false sentinel, never an exception") {
     // crawler reality: headers that promise an image whose body lies.
     // JDK readers throw RUNTIME exceptions (not just IOException) on

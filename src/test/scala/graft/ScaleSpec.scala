@@ -199,6 +199,104 @@ class ScaleSpec extends SparkSpec {
       "— LSH candidate generation is superlinear")
   }
 
+  /** Per-stage (max task records, total records, task count) from
+    * shuffle-read metrics — the quantity a hot-key pile-up inflates. */
+  private class StageSkewListener extends org.apache.spark.scheduler.SparkListener {
+    val perStage = scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, Long)]
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        val rec = m.shuffleReadMetrics.recordsRead
+        perStage.updateWith(te.stageId) {
+          case Some((mx, s, n)) => Some((math.max(mx, rec), s + rec, n + 1))
+          case None => Some((rec, rec, 1L))
+        }
+      }
+    }
+  }
+
+  test("adversarial span dedup: one license block in 50% of docs — linear marks, no task holds the hot posting list") {
+    import graft.queries.DedupQueries
+    // the classic worst case for substring dedup: an IDENTICAL ~40-token
+    // license block pasted into half the corpus. Every one of its 33
+    // 8-grams is a hot key whose posting list grows with the corpus; a
+    // pair-join formulation explodes quadratically on it, and a plan that
+    // shuffles gram positions BY k-gram hash piles the whole posting list
+    // into single tasks. The shipped shape (map-side-combined dup count +
+    // broadcast LEFT SEMI membership + per-doc islands window) must show
+    // neither: marks linear in docs, per-task records near-uniform.
+    val lic = (1 to 40).map(i => s"licterm$i").mkString(" ")
+    def corpus(m: Int) = (0 until m).map { r =>
+      // body tokens suffixed per replica: within-replica dup structure
+      // replicates (linear), cross-replica duplication is ONLY the block
+      val body = expr(
+        s"""concat_ws(' ', transform(split(trim(text), '\\\\s+'),
+             t -> concat(t, '_a$r')))""")
+      Tables(spark, "/root/testdata/sf0.01", "documents")
+        .select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, concat(lit(lic + " "), body))
+            .otherwise(body).as("text"))
+    }.reduce(_ unionByName _)
+    def marks(m: Int): Long = DedupQueries.spansOf(corpus(m))
+      .selectExpr("sum(e - s + 1) AS covered").collect()(0).getLong(0)
+
+    val m1 = marks(1)
+    val m4 = marks(4)
+    val e = growthExponent(m1, m4)
+    assert(e < 1.3, s"license-block mark growth exponent $e (m1=$m1, m4=$m4)" +
+      " — span marking went superlinear on the hot block")
+
+    // instrumented re-run at m=4: fixed partitioning (no AQE coalesce) so
+    // the fair-share bound is meaningful, listener measures per-task load
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val listener = new StageSkewListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val q = DedupQueries.spansOf(corpus(4))
+        .groupBy().agg(sum(col("e") - col("s") + 1).as("covered"))
+      q.collect()
+      // the dup-kh membership must be a broadcast semi join: gram
+      // positions then never co-locate by k-gram hash anywhere in the plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"dup-kh membership is not a broadcast semi join:\n$plan")
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.nanoTime() + 10000000000L
+      var snapshot = listener.perStage.readOnlySnapshot().toMap
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val next = listener.perStage.readOnlySnapshot().toMap
+        settled = next == snapshot
+        snapshot = next
+      }
+      // measured task-size bound: in every shuffle-consuming stage, the
+      // biggest task reads ≤ 6× its fair share (hash-uniform expectation);
+      // the hot block's ~33k postings landing on one task would blow this
+      // by an order of magnitude
+      val violations = snapshot.toSeq.collect {
+        case (sid, (mx, sum, n)) if sum > 4000 &&
+            mx > math.max(6.0 * sum / n, 4000.0) =>
+          s"stage $sid: max task read $mx of $sum records over $n tasks"
+      }
+      assert(violations.isEmpty,
+        s"hot-key pile-up in span-dedup stages:\n${violations.mkString("\n")}")
+      // sanity: the instrumented run actually exercised real shuffle volume
+      assert(snapshot.values.map(_._2).sum > 10000,
+        s"instrumented run moved too few records to be meaningful: $snapshot")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        savedCoalesce)
+    }
+  }
+
   test("dup-span total grows ~linearly in corpus size (semi-join marking, no pair blowup)") {
     import graft.queries.DedupQueries
     // span-level dedup work is the marked-position volume (what the semi
