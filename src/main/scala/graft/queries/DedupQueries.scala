@@ -99,11 +99,15 @@ object DedupQueries {
       shingleHashes(spark, dir).cache())
   }
 
-  /** Unpersist and forget every cached shingle table. */
+  /** Unpersist and forget every cached shingle table (and the cluster
+    * label tables derived from them). */
   def clearShingleCache(): Unit = {
     shingleCacheMap.values.foreach(df =>
       try df.unpersist() catch { case _: Throwable => () })
     shingleCacheMap.clear()
+    clusterLabelCacheMap.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    clusterLabelCacheMap.clear()
   }
 
   private val shingleHashesSql = s"""
@@ -444,9 +448,26 @@ object DedupQueries {
     * result. */
   private[graft] val MaxClusterIters = 50
 
+  /** One cluster-label table per (session, dir) — the same derived-
+    * artifact discipline as [[shingleHashesCached]]: clusters, canonical
+    * dedup and the leak-free split are three views over ONE clustering
+    * of an immutable lake snapshot, so the iterative propagation (the
+    * expensive part: per-iteration join + convergence action) runs once
+    * and its result — a tiny (doc_id, cluster_id) table — is
+    * localCheckpoint'ed, cutting the whole iterative lineage for every
+    * consumer. Evicted alongside the shingle cache. */
+  private val clusterLabelCacheMap =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def clusterLabelsCached(spark: SparkSession, dir: String): DataFrame = {
+    clusterLabelCacheMap.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) clusterLabelCacheMap.remove(k)
+    }
+    clusterLabelCacheMap.getOrElseUpdate((spark, dir),
+      clusterLabels(ngramJaccard(spark, dir).select("doc_a", "doc_b")))
+  }
+
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterLabels(ngramJaccard(spark, dir).select("doc_a", "doc_b"))
-      .orderBy("doc_id")
+    clusterLabelsCached(spark, dir).orderBy("doc_id")
 
   /** Min-label propagation over an undirected pair graph: every node's
     * cluster id becomes the smallest doc_id reachable from it. Factored
@@ -493,7 +514,14 @@ object DedupQueries {
             s"($changed labels still changing) — raise MaxClusterIters; " +
             "returning partial cluster ids would silently diverge from the " +
             "exact transitive closure")
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      // eager localCheckpoint: the tiny label table is materialized free
+      // of the whole iterative lineage, and the loop's final cached
+      // generation can be released instead of leaking per call
+      val out = labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint()
+      labels.unpersist()
+      out
     } finally {
       edges.unpersist()
     }
@@ -535,7 +563,7 @@ object DedupQueries {
     * cluster members removed (keep the min-doc_id representative of each
     * cluster), plus survivor accounting per source. */
   private def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val dropList = dedupClusters(spark, dir)
+    val dropList = clusterLabelsCached(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     Tables(spark, dir, "documents")
@@ -567,8 +595,7 @@ object DedupQueries {
     * label table (|clustered docs| rows) on top of the clustering cost
     * itself; the split hash is the same portable md5 as q_split_assign. */
   private def splitLeakfree(spark: SparkSession, dir: String): DataFrame = {
-    val labels = clusterLabels(ngramJaccard(spark, dir)
-      .select("doc_a", "doc_b"))
+    val labels = clusterLabelsCached(spark, dir)
     Tables(spark, dir, "documents").select("doc_id", "source")
       .join(labels.withColumnRenamed("cluster_id", "gid"),
         Seq("doc_id"), "left")

@@ -400,6 +400,70 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model scoring with stupid backoff (Brants et al.,
+    * EMNLP'07) — the perplexity-filter shape of CCNet/LLaMA data
+    * cleaning, one order up from [[unigramLogprob]]: each document's
+    * mean log10-probability of its adjacent token pairs under the
+    * corpus's own top-K bigram model, backing off to α·P_unigram(cur)
+    * (α = 0.4, the stupid-backoff constant) when the pair is outside
+    * the model, with the same 0.5-count OOV floor as the unigram LM.
+    *
+    * Scale shape: bigram pairs are built ARRAY-LOCALLY per document
+    * (arrays_zip of two slices — no position join, no second explode
+    * pass); pair counting is a map-side-combinable aggregate; and the
+    * model cap is a distributed top-K heap (orderBy + limit =
+    * TakeOrderedAndProject, each partition keeps K candidates) — NOT
+    * the global row_number sort the unigram model uses, because the
+    * distinct-bigram domain grows ~quadratically faster than the vocab
+    * and a single-task rank over it would be the 100 TB straggler. The
+    * conditional probability c2/c1(prev) is materialized INTO the
+    * K-row model before scoring, so the token stream takes exactly two
+    * broadcast left joins and one per-doc aggregate. Determinism: both
+    * model cuts are total-ordered (count desc, then lexicographic);
+    * per-pair logprobs are rounded then summed as scaled BIGINTs, so
+    * doc scores are partition- and engine-independent. */
+  private val BigramK = 2000
+  private def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toksDf = docs.selectExpr("doc_id", s"$toks AS t")
+    val bigrams = toksDf.filter(size(col("t")) >= 2)
+      .selectExpr("doc_id",
+        """explode(arrays_zip(slice(t, 1, size(t) - 1),
+                              slice(t, 2, size(t) - 1))) AS z""")
+      .selectExpr("doc_id", "z['0'] AS prev", "z['1'] AS cur")
+    val tokStream = docs.selectExpr(s"explode($toks) AS token")
+    val uniFreq = tokStream.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = tokStream.agg(count(lit(1)).as("total"))
+    val wU = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val uniTop = uniFreq.withColumn("rnk", row_number().over(wU))
+      .filter(col("rnk") <= VocabK).drop("rnk")
+    val bgModel = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("prev"), col("cur")).limit(BigramK)
+      .join(uniFreq.select(col("token").as("prev"), col("freq").as("c1")),
+        "prev")
+      .select(col("prev"), col("cur"),
+        Num.rExp(log10(col("c2").cast("double") / col("c1")), 6).as("lp_bg"))
+    val perDoc = bigrams
+      .join(broadcast(bgModel), Seq("prev", "cur"), "left")
+      .join(broadcast(uniTop.select(col("token").as("cur"),
+        col("freq").as("cfreq"))), Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", coalesce(col("lp_bg"), Num.rExp(
+        log10(lit(0.4)) +
+          log10(coalesce(col("cfreq").cast("double"), lit(0.5)) / col("total")),
+        6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
+          .as("logprob"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Edit-distance similarity over the distinct source labels — the
     * small-domain string-similarity shape (typo clustering). */
   private def editDistance(spark: SparkSession, dir: String): DataFrame = {
@@ -1398,6 +1462,45 @@ object TextQueries {
       FROM lp
       GROUP BY doc_id
       ORDER BY doc_id""")),
+    QueryDef("q_bigram_logprob", bigramLogprob, Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        FROM t, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2),
+      uni AS (SELECT token, count(*) AS freq
+              FROM (SELECT unnest(t) AS token FROM t) GROUP BY token),
+      tot AS (SELECT count(*) AS total
+              FROM (SELECT unnest(t) AS token FROM t)),
+      topv AS (SELECT token, freq FROM (
+                 SELECT token, freq,
+                        row_number() OVER (ORDER BY freq DESC, token) AS rnk
+                 FROM uni) WHERE rnk <= $VocabK),
+      bgtop AS (SELECT prev, cur, c2 FROM (
+                  SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur)
+                ORDER BY c2 DESC, prev, cur LIMIT $BigramK),
+      bgm AS (SELECT b.prev, b.cur,
+                     round(log10(CAST(b.c2 AS DOUBLE) / u.freq) + 1e-8, 6) AS lp_bg
+              FROM bgtop b JOIN uni u ON u.token = b.prev),
+      lp AS (SELECT g.doc_id,
+                    coalesce(m.lp_bg,
+                      round(log10(0.4) +
+                        log10(coalesce(CAST(v.freq AS DOUBLE), 0.5) / total)
+                        + 1e-8, 6)) AS lp
+             FROM bg g LEFT JOIN bgm m ON m.prev = g.prev AND m.cur = g.cur
+               LEFT JOIN topv v ON v.token = g.cur
+               CROSS JOIN tot),
+      per AS (SELECT doc_id, count(*) AS n_bigrams,
+                     round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
+                       / 1000000.0 / count(*) + 1e-9, 4) AS logprob
+              FROM lp GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             coalesce(p.logprob, 0.0) AS logprob
+      FROM documents d LEFT JOIN per p USING (doc_id)
+      ORDER BY d.doc_id""")),
     QueryDef("q_edit_distance", editDistance, Some("""
       WITH s AS (SELECT DISTINCT source FROM documents)
       SELECT a.source AS src_a, b.source AS src_b,

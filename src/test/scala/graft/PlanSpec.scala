@@ -116,6 +116,35 @@ class PlanSpec extends SparkSpec {
       s"q_dup_spans must not contain a product join:\n$plan")
   }
 
+  test("bigram LM: pair model cut is a top-K heap; scoring joins broadcast") {
+    val plan = finalPlan("q_bigram_logprob")
+    // the top-BigramK model cut must be TakeOrderedAndProject (distributed
+    // per-partition heaps) — a row_number window over the distinct-bigram
+    // domain would be a single-task global sort, the 100 TB straggler
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_bigram_logprob model cut lost its top-K heap:\n$plan")
+    // both model joins onto the pair stream must broadcast (K-row and
+    // VocabK-row sides); the stream must never shuffle by pair key
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_bigram_logprob scoring joins must broadcast the models:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_bigram_logprob must not sort-merge the token stream:\n$plan")
+  }
+
+  test("cluster labels are a shared per-(session,dir) artifact") {
+    import graft.queries.{DedupQueries, Registry}
+    DedupQueries.clearShingleCache()
+    val a = Registry.byName("q_dedup_clusters").fn(spark, sf)
+    a.count()
+    val b = Registry.byName("q_split_leakfree").fn(spark, sf)
+    // the second consumer must NOT re-run min-label propagation: its plan
+    // reads the checkpointed label RDD, so no iterative join appears
+    val planB = b.queryExecution.optimizedPlan.toString
+    assert(planB.contains("LogicalRDD") || planB.contains("Scan ExistingRDD"),
+      s"q_split_leakfree did not reuse the checkpointed cluster labels:\n$planB")
+    DedupQueries.clearShingleCache()
+  }
+
   test("as-of queries execute through the native merge operator") {
     Seq("q_asof_exec", "q_asof_forward", "q_asof_tolerance", "q_pit_join")
       .foreach { q =>
