@@ -287,15 +287,17 @@ object AnalyticsQueries {
     WITH day_users AS (
       SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM $E),
     dau AS (SELECT day, count(*) AS dau FROM day_users GROUP BY day),
-    wau AS (
-      SELECT CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS day,
+    wau0 AS (
+      SELECT unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS dayts,
              user_id
       FROM day_users),
+    wau AS (SELECT CAST(dayts AS DATE) AS day, user_id FROM wau0),
     wau_c AS (SELECT day, count(DISTINCT user_id) AS wau FROM wau GROUP BY day),
-    mau AS (
-      SELECT CAST(unnest(generate_series(day, day + 29, INTERVAL 1 DAY)) AS DATE) AS day,
+    mau0 AS (
+      SELECT unnest(generate_series(day, day + 29, INTERVAL 1 DAY)) AS dayts,
              user_id
       FROM day_users),
+    mau AS (SELECT CAST(dayts AS DATE) AS day, user_id FROM mau0),
     mau_c AS (SELECT day, count(DISTINCT user_id) AS mau FROM mau GROUP BY day)
     SELECT dau.day, dau.dau, wau_c.wau, mau_c.mau,
            round(dau.dau / CAST(mau_c.mau AS DOUBLE) + 1e-9, 4) AS stickiness
@@ -636,12 +638,13 @@ object AnalyticsQueries {
     bounds AS (
       SELECT event_type, min(day) AS d0, max(day) AS d1
       FROM daily GROUP BY 1),
-    spine AS (
+    spine0 AS (
       SELECT event_type,
-             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-                                         CAST(d1 AS TIMESTAMP),
-                                         INTERVAL 1 DAY)) AS DATE) AS day
-      FROM bounds)
+             unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                    CAST(d1 AS TIMESTAMP),
+                                    INTERVAL 1 DAY)) AS dayts
+      FROM bounds),
+    spine AS (SELECT event_type, CAST(dayts AS DATE) AS day FROM spine0)
     SELECT s.event_type, s.day, d.total,
            last_value(d.total IGNORE NULLS)
              OVER (PARTITION BY s.event_type ORDER BY s.day

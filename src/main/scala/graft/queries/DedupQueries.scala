@@ -111,12 +111,13 @@ object DedupQueries {
   }
 
   private val shingleHashesSql = s"""
+    shtoks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
     shing0 AS (
       SELECT DISTINCT doc_id,
              CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-            FROM documents),
-           unnest(range(1, len(t) - 1)) AS u(i)
+      FROM shtoks, unnest(range(1, len(t) - 1)) AS u(i)
       WHERE i + 2 <= len(t)),
     shing AS (
       SELECT doc_id, h
@@ -685,12 +686,13 @@ object DedupQueries {
     batch AS (SELECT * FROM docs WHERE src_num >= 10),
     exact_surv AS (
       SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM existing)),
+    sh0toks AS (
+      SELECT doc_id, src_num, string_split_regex(trim(text), '\\s+') AS t
+      FROM docs),
     sh0 AS (
       SELECT DISTINCT doc_id, src_num,
              CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, src_num, string_split_regex(trim(text), '\\s+') AS t
-            FROM docs),
-           unnest(range(1, len(t) - 1)) AS u(i)
+      FROM sh0toks, unnest(range(1, len(t) - 1)) AS u(i)
       WHERE i + 2 <= len(t)),
     sh AS (
       SELECT doc_id, src_num, h
@@ -756,12 +758,13 @@ object DedupQueries {
     WITH docs AS (
       SELECT *, CAST(substr(source, 4) AS INT) AS src_num FROM documents),
     corpus AS (SELECT * FROM docs WHERE src_num < 18),
+    sh0toks AS (
+      SELECT doc_id, src_num, string_split_regex(trim(text), '\\s+') AS t
+      FROM docs),
     sh0 AS (
       SELECT DISTINCT doc_id, src_num,
              CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, src_num, string_split_regex(trim(text), '\\s+') AS t
-            FROM docs),
-           unnest(range(1, len(t) - 1)) AS u(i)
+      FROM sh0toks, unnest(range(1, len(t) - 1)) AS u(i)
       WHERE i + 2 <= len(t)),
     sh AS (
       SELECT doc_id, src_num, h

@@ -962,9 +962,9 @@ object SimilarityQueries {
   private val labelCentroidsSql = """
     WITH flat AS (
       SELECT CAST(label AS BIGINT) AS label,
-             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings)
+             CAST(i - 1 AS BIGINT) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
     SELECT label, dim, round(avg(v) + 1e-9, 6) AS centroid
     FROM flat
     GROUP BY label, dim

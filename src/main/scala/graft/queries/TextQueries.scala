@@ -730,7 +730,7 @@ object TextQueries {
   private val tfidfSql = """
     WITH terms AS (
       SELECT doc_id,
-             lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
