@@ -335,6 +335,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Serving-shape tokenizer: ONE SQL expression computing `textCol`'s
+    * total BPE token count with the trained merge list baked in as an
+    * array literal — per-arriving-row enrichment with no join and no
+    * streaming state, the exact analogue of the IVF literal-quantizer
+    * serving shape (StreamingSpec proves stream ≡ batch). The fold is
+    * the same sentinel-encoded replace chain as [[bpeTokenize]], applied
+    * per word inside the row (serving can't pre-tokenize a vocab it
+    * hasn't seen yet — unseen words fold from characters, exactly as BPE
+    * inference should). */
+  def bpeTokenCountExpr(spark: SparkSession, dir: String,
+      textCol: String): String = {
+    val pats = readBpeMerges(spark, dir)
+      .orderBy("merge_rank")
+      .selectExpr(s"concat('$SOT', lhs, '$EOT$SOT', rhs, '$EOT') AS m")
+      .collect().map(_.getString(0))
+    val lits = pats.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+    s"""aggregate(
+         transform(
+           transform(split(trim($textCol), '\\\\s+'),
+             w -> IF(length(w) = 0, '',
+               aggregate(array($lits),
+                 array_join(transform(sequence(1, length(w)),
+                   i -> concat('$SOT', substr(w, i, 1), '$EOT')), ''),
+                 (acc, m) -> replace(acc, m, replace(m, '$EOT$SOT', ''))))),
+           enc -> CAST(length(enc) - length(replace(enc, '$SOT', ''))
+                       AS BIGINT)),
+         0L, (a, x) -> a + x)"""
+  }
+
   private val bpeTokenizeSql = s"""
     WITH occ AS (
       SELECT doc_id, token AS word, CAST(count(*) AS BIGINT) AS c

@@ -328,6 +328,35 @@ class StreamingSpec extends SparkSpec {
     assert(!served.queryExecution.analyzed.toString.contains("Aggregate"))
   }
 
+  test("streaming model serving: BPE tokenization over a stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.{Registry, TextQueries}
+    val dir = "/root/testdata/sf0.001"
+    TextQueries.trainBpeMerges(spark, dir)
+    // trained merge table baked into ONE expression: each arriving
+    // document tokenizes row-locally (unseen words fold up from
+    // characters — real BPE inference), no join, no streaming state
+    val servedExpr =
+      TextQueries.bpeTokenCountExpr(spark, dir, "text") + " AS n_bpe_tokens"
+    val batch = Registry.byName("q_bpe_tokenize").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val mem = MemoryStream[(Long, String)]
+    Tables(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().grouped(64)
+      .foreach(c => mem.addData(c.toSeq))
+    val served = mem.toDF.toDF("doc_id", "text")
+      .selectExpr("doc_id", servedExpr)
+    StreamingPipeline.drainAvailableNow(served, "bpe_serve")
+    val streamed = spark.table("bpe_serve")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // stateless serving: no Aggregate operator in the plan (the SQL
+    // `aggregate(...)` higher-order fold prints lowercase — row-local,
+    // not a state store)
+    assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
+  }
+
   test("H4 durable offsets: checkpointed file stream processes each file once") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_ckpt").toString
