@@ -9,16 +9,18 @@ import graft.queries.Registry
   * Usage: `SPARK_GRAFT_SF_DIR=… sbt "runMain graft.QBench q_basket_pairs [reps]"` */
 object QBench {
   def main(args: Array[String]): Unit = {
-    val (names, reps) = args.partition(!_.forall(_.isDigit)) match {
-      case (ns, Array(r)) => (ns.toSeq, r.toInt)
-      case (ns, _)        => (ns.toSeq, 5)
-    }
+    // query names are never all-digit; the LAST numeric arg (if any) is
+    // the rep count, floored at 1 so `0` can't crash the median index
+    // after the expensive warmup
+    val (numeric, names) =
+      args.partition(a => a.nonEmpty && a.forall(_.isDigit))
+    val reps = numeric.lastOption.map(_.toInt).getOrElse(5).max(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
-    val qs = names.map(Registry.byName)
+    val qs = names.toSeq.map(Registry.byName)
     qs.foreach(_.fn(spark, sfDir).count()) // warmup: codegen + page cache
     val times = Array.fill(qs.size, reps)(0.0)
     for (r <- 0 until reps; (q, i) <- qs.zipWithIndex) {

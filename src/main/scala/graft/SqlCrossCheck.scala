@@ -138,7 +138,13 @@ object SqlCrossCheck {
       } else if (predEnd < 0 && depth == qDepth &&
           (sql.regionMatches(true, i, "ORDER", 0, 5) ||
            sql.regionMatches(true, i, "LIMIT", 0, 5)) &&
-          (i == 0 || !Character.isLetterOrDigit(sql(i - 1))) ) {
+          // whole-word match on BOTH sides: `order_cap`/`cap_order`-style
+          // identifiers must not truncate the predicate ('_' counts as a
+          // word char, which isLetterOrDigit alone misses)
+          (i == 0 || (!Character.isLetterOrDigit(sql(i - 1)) &&
+            sql(i - 1) != '_')) &&
+          (i + 5 >= sql.length || (!Character.isLetterOrDigit(sql(i + 5)) &&
+            sql(i + 5) != '_')) ) {
         predEnd = i; i += 5
       } else i += 1
     }
@@ -454,17 +460,22 @@ object SqlCrossCheck {
     var agree, differ, incompatible, planErr = 0
     val lines = SparkEntry.oracleSql.toSeq.sortBy(_._1).map {
       case (name, sql0) =>
-        val sql = fullRewrite(sql0)
         def firstLine(e: Throwable): String = {
           val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
           m.linesIterator.find(_.trim.nonEmpty).getOrElse("").take(120)
         }
+        // the rewriter itself may choke on a future oracle's shape — that
+        // must tabulate as this query's row, never abort the whole run
+        val rewritten =
+          try Right(fullRewrite(sql0))
+          catch { case e: Throwable => Left(s"rewrite: ${firstLine(e)}") }
         val planned =
           try Right(norm(SparkEntry.queries(name)(spark, sfDir)))
           catch { case e: Throwable => Left(firstLine(e)) }
-        val viaSql =
+        val viaSql = rewritten.flatMap { sql =>
           try Right(norm(spark.sql(sql)))
           catch { case e: Throwable => Left(firstLine(e)) }
+        }
         (planned, viaSql) match {
           case (Left(e), _) =>
             planErr += 1

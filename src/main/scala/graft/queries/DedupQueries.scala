@@ -99,8 +99,12 @@ object DedupQueries {
       shingleHashes(spark, dir).cache())
   }
 
-  /** Unpersist and forget every cached shingle table (and the cluster
-    * label tables derived from them). */
+  /** Unpersist and forget every cached shingle table, and drop the
+    * references to the cluster label tables derived from them. Label
+    * tables are localCheckpoint'ed (not CacheManager-cached), so their
+    * blocks are reclaimed by the ContextCleaner once GC collects the
+    * checkpoint RDD — clearing here guarantees no STALE result can ever
+    * be served, not instant memory release (the tables are tiny). */
   def clearShingleCache(): Unit = {
     shingleCacheMap.values.foreach(df =>
       try df.unpersist() catch { case _: Throwable => () })

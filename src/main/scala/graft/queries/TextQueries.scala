@@ -252,8 +252,15 @@ object TextQueries {
       .selectExpr(s"explode($toks) AS token")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .as[(String, Long)].collect()
+    // split by CODE POINTS, not UTF-16 units: Spark's substr and DuckDB's
+    // substr both index code points, so a surrogate-pair character must be
+    // ONE trainer symbol or the learned merges could never match the
+    // symbols the SQL tokenizers build (and lone surrogates don't survive
+    // the UTF-8 parquet round-trip)
     var words: Array[(Array[String], Long)] =
-      vocabFreqs.map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+      vocabFreqs.map { case (w, f) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
     var done = false
@@ -350,7 +357,12 @@ object TextQueries {
       .orderBy("merge_rank")
       .selectExpr(s"concat('$SOT', lhs, '$EOT$SOT', rhs, '$EOT') AS m")
       .collect().map(_.getString(0))
-    val lits = pats.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+    // literal escaping: backslashes FIRST (Spark's parser processes \x
+    // escapes inside string literals), then single quotes — a merge
+    // learned from backslash-bearing tokens must reach the fold as the
+    // same bytes the batch tokenizer's column-built pattern carries
+    val lits = pats.map(p =>
+      "'" + p.replace("\\", "\\\\").replace("'", "''") + "'").mkString(", ")
     s"""aggregate(
          transform(
            transform(split(trim($textCol), '\\\\s+'),
