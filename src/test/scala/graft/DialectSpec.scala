@@ -25,6 +25,21 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("AS __qp"))
   }
 
+  test("QUALIFY predicate-end scan requires whole-word ORDER/LIMIT") {
+    // identifiers CONTAINING the keywords must not truncate the predicate
+    val in = "SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t " +
+      "QUALIFY rn <= order_cap ORDER BY a"
+    val out = SqlCrossCheck.rewriteQualify(in)
+    assert(out.contains("WHERE rn <= order_cap"),
+      s"predicate truncated mid-identifier:\n$out")
+    assert(out.endsWith("ORDER BY a"))
+    val in2 = "SELECT a, rank() OVER (ORDER BY a) AS rk FROM t " +
+      "QUALIFY rk < limit_n"
+    val out2 = SqlCrossCheck.rewriteQualify(in2)
+    assert(out2.contains("WHERE rk < limit_n"),
+      s"predicate truncated mid-identifier:\n$out2")
+  }
+
   test("nested QUALIFY inside a CTE subquery rewrites at its own depth") {
     val in = "WITH c AS (SELECT a FROM t QUALIFY rank() OVER (ORDER BY a) <= 2) SELECT * FROM c"
     val out = SqlCrossCheck.rewriteQualify(in)
