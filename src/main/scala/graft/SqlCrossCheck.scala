@@ -58,20 +58,24 @@ import graft.queries.SimilarityQueries
   */
 object SqlCrossCheck {
 
-  private def norm(df: DataFrame): Seq[String] = {
+  private[graft] def norm(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
     val proj = df.select(cols.map(c => col(s"`$c`")): _*)
     proj.collect().map { r =>
       cols.indices.map { i =>
         r.get(i) match {
-          // control-char marker (U+0001): a NULL must not collide with a data string
+          // control-char marker U+0001, escape-spelled so the source
+          // survives display tools that strip raw control bytes: a NULL
+          // must not collide with the empty string or a data string
           // "null" — that collision would mask a real drift as AGREE
-          case null => ""
+          case null => "\u0001"
           case d: java.lang.Double => f"${d.doubleValue()}%.9g"
           case f: java.lang.Float => f"${f.floatValue()}%.9g"
           case x => x.toString
         }
-      }.mkString("")
+      // unit-separator between cells: without one, boundary aliasing
+      // makes distinct rows ("ab","c") and ("a","bc") normalize identically
+      }.mkString("\u001f")
     }.sorted.toSeq
   }
 

@@ -2,10 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the DuckDB→Spark dialect rewriters in [[SqlCrossCheck]]. These
-  * are pure string transforms, so no SparkSession is needed; the
-  * cross-check main is the end-to-end proof (116/132 AGREE, 0
-  * DISAGREE), while this spec pins the tricky token-scanner edges a
+/** Pins the DuckDB→Spark dialect rewriters in [[SqlCrossCheck]] (pure
+  * string transforms) plus the row normalizer `norm` (needs the shared
+  * test session). The cross-check main is the end-to-end proof, while
+  * this spec pins the tricky token-scanner edges — and the two norm
+  * collision classes (NULL vs '' and cell-boundary aliasing) — that a
   * future rewrite could silently regress. */
 class DialectSpec extends AnyFunSuite {
 
@@ -80,5 +81,26 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("date_format(ts, 'yyyy-MM-dd HH:mm')"))
     assert(out.contains("unix_micros(ts) / 1e6"))
     assert(out.contains("size(xs)"))
+  }
+
+  test("norm distinguishes NULL from empty string (planted drift → DISAGREE)") {
+    val spark = TestSession.spark
+    // a real drift where one engine returns NULL and the other '' must
+    // not normalize to the same row text — that would report AGREE
+    val a = SqlCrossCheck.norm(spark.sql("SELECT CAST(NULL AS STRING) AS c, 'x' AS d"))
+    val b = SqlCrossCheck.norm(spark.sql("SELECT '' AS c, 'x' AS d"))
+    assert(a != b, s"NULL and '' collided under norm: $a")
+    // and NULL must not collide with the literal string "null" either
+    val c = SqlCrossCheck.norm(spark.sql("SELECT 'null' AS c, 'x' AS d"))
+    assert(a != c, s"NULL and 'null' collided under norm: $a")
+  }
+
+  test("norm separator kills cell-boundary aliasing") {
+    val spark = TestSession.spark
+    // ("ab","c") vs ("a","bc"): distinct rows whose concatenation is
+    // identical without a separator
+    val a = SqlCrossCheck.norm(spark.sql("SELECT 'ab' AS c, 'c' AS d"))
+    val b = SqlCrossCheck.norm(spark.sql("SELECT 'a' AS c, 'bc' AS d"))
+    assert(a != b, s"boundary aliasing under norm: $a")
   }
 }
