@@ -30,22 +30,38 @@ object Tables {
     // skips both sort passes; AQE still rewrites per-stage from runtime
     // stats, and Spark falls back to SMJ when a build side can't fit.
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively;
-    // read the raw int64 and truncate to the engine's microsecond timestamps.
+    // Older driver-generated events.ts was parquet TIMESTAMP(NANOS), which
+    // Spark cannot read natively; surface it as the raw int64 so the reader
+    // below can truncate it. Current testdata writes plain TIMESTAMP(MICROS),
+    // for which this conf is a no-op.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
-  /** Read one testdata table from a scale-factor directory. `events.ts`
-    * (ns precision) is truncated to Spark's microsecond TimestampType; the
-    * DuckDB oracle applies the identical truncation (see
+  /** Read one testdata table from a scale-factor directory. `events.ts` is
+    * normalized to Spark's microsecond TimestampType whichever way the
+    * driver generated it: TIMESTAMP(NANOS) parquet surfaces as LongType
+    * (via `nanosAsLong`) and is truncated ns→µs; TIMESTAMP(MICROS) reads
+    * as TimestampType and passes through. The DuckDB oracle reads the same
+    * column with a plain `CAST(ts AS TIMESTAMP)` (see
     * [[graft.queries.OracleSources]]) so ordering/equality agree. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureConf(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet, surfaced as int64 via nanosAsLong
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      // TIMESTAMP(MICROS) without tz metadata infers as TIMESTAMP_NTZ;
+      // the engine's contract (and what unix_micros & friends need) is
+      // TimestampType, and the session tz is pinned UTC so the NTZ→LTZ
+      // cast is the identity on the wall-clock values DuckDB sees
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }
