@@ -189,6 +189,20 @@ object TextQueries {
     * early once the best remaining pair occurs fewer than twice. */
   private val BpeMergeCount = 100
 
+  /** Hard bound on how many (word, freq) vocabulary rows the BPE trainer
+    * collects to the driver. Heaps' law keeps the vocabulary FAR below the
+    * corpus size but it still grows without bound (~K·N^β, β≈0.5), so an
+    * uncapped collect is a driver OOM at 100 TB; the cap makes the driver
+    * footprint a constant. The cut is a deterministic distributed top-K
+    * heap (freq DESC, word ASC — `TakeOrderedAndProject`, never a global
+    * sort), the same frequency-truncated word table production trainers
+    * (SentencePiece, HF tokenizers) feed their merge loops: dropping the
+    * rarest tail perturbs pair counts by at most the tail's total mass,
+    * which is exactly the mass the `n < 2` merge-stop already treats as
+    * noise. At test scale factors the vocabulary is ~10³ words, far under
+    * the cap, so the trained model is bit-for-bit unchanged. */
+  private[graft] val BpeVocabCap = 4000000
+
   /** Placeholder the q_bpe_merges / q_bpe_tokenize oracle SQL carries for
     * the trained merge-table parquet; [[graft.Verify]] substitutes the
     * concrete [[bpeModelPath]] (the path depends on the sf dir, which
@@ -233,25 +247,41 @@ object TextQueries {
     * parquet. Idempotent: returns immediately when a complete model
     * exists.
     *
-    * Scale shape: only the VOCABULARY ever reaches the driver — bounded
-    * by Heaps' law, not corpus size (the same single-node merge-loop
-    * discipline production BPE trainers use after their distributed
-    * word-count pass); 100 TB of text and 1 GB of text hand the loop the
-    * same table once their vocabularies match. Each iteration is
-    * O(total vocab symbols) in memory; nothing re-touches the corpus.
+    * Scale shape: only the VOCABULARY ever reaches the driver — slowed
+    * by Heaps' law and then HARD-BOUNDED by [[BpeVocabCap]] via a
+    * distributed top-K heap cut (freq DESC, word ASC), the same
+    * frequency-truncated word table production BPE trainers feed their
+    * merge loops after the distributed word-count pass; 100 TB of text
+    * and 1 GB of text hand the loop the same table once their (capped)
+    * vocabularies match. Each iteration is O(total vocab symbols) in
+    * memory; nothing re-touches the corpus.
     *
     * Determinism: pair counts are exact integers; the best pair is
     * (max count, then lexicographically smallest (lhs, rhs)) — no float,
     * no hash-order dependence, so retraining reproduces the model
     * bit-for-bit and cross-engine reads agree. */
+  /** The trainer's driver-bound word table: distributed word count, then
+    * a deterministic top-K heap cut (freq DESC, word ASC) at `cap`. What
+    * reaches the driver is min(vocabulary, cap) rows — vocabulary-bounded
+    * at test scale, constant-bounded at any scale. ScaleSpec measures
+    * both properties. */
+  private[graft] def bpeVocabTopK(docs: DataFrame,
+      cap: Int = BpeVocabCap): DataFrame =
+    docs.selectExpr(s"explode($toks) AS token")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(cap)
+
   def trainBpeMerges(spark: SparkSession, dir: String): Unit = {
     val path = bpeModelPath(dir)
     if (bpeModelTrained(spark, dir)) return
     import spark.implicits._
-    val vocabFreqs: Array[(String, Long)] = Tables(spark, dir, "documents")
-      .selectExpr(s"explode($toks) AS token")
-      .groupBy("token").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].collect()
+    // The collect is CAPPED (see [[BpeVocabCap]]): orderBy+limit plans as
+    // a distributed top-K heap, so the driver never holds more than the
+    // cap even when Heaps-law vocabulary growth would exceed it at 100 TB.
+    val vocabFreqs: Array[(String, Long)] =
+      bpeVocabTopK(Tables(spark, dir, "documents"))
+        .as[(String, Long)].collect()
     // split by CODE POINTS, not UTF-16 units: Spark's substr and DuckDB's
     // substr both index code points, so a surrogate-pair character must be
     // ONE trainer symbol or the learned merges could never match the
@@ -502,6 +532,79 @@ object TextQueries {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared DuckDB CTE chain ending in `lpd` = (doc_id, n_bigrams,
+    * logprob): the stupid-backoff bigram-LM per-doc score, used verbatim
+    * by the q_bigram_logprob oracle and composed by q_ccnet_filter —
+    * one spelling, so the two oracles can never drift apart. */
+  private def bigramLpdCtes: String = s"""t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        FROM t, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2),
+      uni AS (SELECT token, count(*) AS freq
+              FROM (SELECT unnest(t) AS token FROM t) GROUP BY token),
+      tot AS (SELECT count(*) AS total
+              FROM (SELECT unnest(t) AS token FROM t)),
+      topv AS (SELECT token, freq FROM (
+                 SELECT token, freq,
+                        row_number() OVER (ORDER BY freq DESC, token) AS rnk
+                 FROM uni) WHERE rnk <= $VocabK),
+      bgtop AS (SELECT prev, cur, c2 FROM (
+                  SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur)
+                ORDER BY c2 DESC, prev, cur LIMIT $BigramK),
+      bgm AS (SELECT b.prev, b.cur,
+                     round(log10(CAST(b.c2 AS DOUBLE) / u.freq) + 1e-8, 6) AS lp_bg
+              FROM bgtop b JOIN uni u ON u.token = b.prev),
+      lp AS (SELECT g.doc_id,
+                    coalesce(m.lp_bg,
+                      round(log10(0.4) +
+                        log10(coalesce(CAST(v.freq AS DOUBLE), 0.5) / total)
+                        + 1e-8, 6)) AS lp
+             FROM bg g LEFT JOIN bgm m ON m.prev = g.prev AND m.cur = g.cur
+               LEFT JOIN topv v ON v.token = g.cur
+               CROSS JOIN tot),
+      per AS (SELECT doc_id, count(*) AS n_bigrams,
+                     round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
+                       / 1000000.0 / count(*) + 1e-9, 4) AS logprob
+              FROM lp GROUP BY doc_id),
+      lpd AS (SELECT d.doc_id,
+                     CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                     coalesce(p.logprob, 0.0) AS logprob
+              FROM documents d LEFT JOIN per p USING (doc_id))"""
+
+  /** CCNet-style LM quality filter (Wenzek et al. LREC'20): bucket every
+    * document into head/middle/tail thirds of the corpus bigram-LM
+    * score distribution, cross with the heuristic quality score, and
+    * keep head∪middle docs that also clear the quality bar — the
+    * standard perplexity-filter step of an LLM pretraining pipeline.
+    *
+    * Scale shape: the two tercile cut points are ONE exact `percentile`
+    * aggregate over per-doc scalars (the rounded 4-dp logprob domain is
+    * value-bounded, so the exact aggregator's state stays small at any
+    * corpus size; CCNet itself fits its cuts on a sample) broadcast back
+    * as a 1-row scalar — every per-doc verdict is then map-side. The LM
+    * scoring underneath reuses [[bigramLogprob]]'s pinned heap-cut model
+    * + broadcast-join shape unchanged. */
+  private def ccnetFilter(spark: SparkSession, dir: String): DataFrame = {
+    val lp = bigramLogprob(spark, dir).select("doc_id", "logprob")
+    val q = textQuality(spark, dir).select("doc_id", "quality_score")
+    val cuts = lp.agg(
+      Num.r(expr("percentile(logprob, 2.0D / 3.0D)"), 6).as("c_head"),
+      Num.r(expr("percentile(logprob, 1.0D / 3.0D)"), 6).as("c_tail"))
+    lp.crossJoin(broadcast(cuts))
+      .join(q, "doc_id")
+      .select(col("doc_id"), col("logprob"),
+        when(col("logprob") >= col("c_head"), lit("head"))
+          .when(col("logprob") >= col("c_tail"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"),
+        col("quality_score"),
+        (col("logprob") >= col("c_tail") && col("quality_score") >= 0.5)
+          .as("keep"))
       .orderBy("doc_id")
   }
 
@@ -1504,44 +1607,43 @@ object TextQueries {
       GROUP BY doc_id
       ORDER BY doc_id""")),
     QueryDef("q_bigram_logprob", bigramLogprob, Some(s"""
-      WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-        FROM documents),
-      bg AS (
-        SELECT doc_id, t[i] AS prev, t[i+1] AS cur
-        FROM t, unnest(range(1, len(t))) AS u(i)
-        WHERE len(t) >= 2),
-      uni AS (SELECT token, count(*) AS freq
-              FROM (SELECT unnest(t) AS token FROM t) GROUP BY token),
-      tot AS (SELECT count(*) AS total
-              FROM (SELECT unnest(t) AS token FROM t)),
-      topv AS (SELECT token, freq FROM (
-                 SELECT token, freq,
-                        row_number() OVER (ORDER BY freq DESC, token) AS rnk
-                 FROM uni) WHERE rnk <= $VocabK),
-      bgtop AS (SELECT prev, cur, c2 FROM (
-                  SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur)
-                ORDER BY c2 DESC, prev, cur LIMIT $BigramK),
-      bgm AS (SELECT b.prev, b.cur,
-                     round(log10(CAST(b.c2 AS DOUBLE) / u.freq) + 1e-8, 6) AS lp_bg
-              FROM bgtop b JOIN uni u ON u.token = b.prev),
-      lp AS (SELECT g.doc_id,
-                    coalesce(m.lp_bg,
-                      round(log10(0.4) +
-                        log10(coalesce(CAST(v.freq AS DOUBLE), 0.5) / total)
-                        + 1e-8, 6)) AS lp
-             FROM bg g LEFT JOIN bgm m ON m.prev = g.prev AND m.cur = g.cur
-               LEFT JOIN topv v ON v.token = g.cur
-               CROSS JOIN tot),
-      per AS (SELECT doc_id, count(*) AS n_bigrams,
-                     round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
-                       / 1000000.0 / count(*) + 1e-9, 4) AS logprob
-              FROM lp GROUP BY doc_id)
-      SELECT d.doc_id,
-             CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-             coalesce(p.logprob, 0.0) AS logprob
-      FROM documents d LEFT JOIN per p USING (doc_id)
-      ORDER BY d.doc_id""")),
+      WITH $bigramLpdCtes
+      SELECT doc_id, n_bigrams, logprob
+      FROM lpd
+      ORDER BY doc_id""")),
+    QueryDef("q_ccnet_filter", ccnetFilter, Some(s"""
+      WITH $bigramLpdCtes,
+      q AS (
+        SELECT doc_id,
+               round((CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END) +
+                     (CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END) +
+                     (CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END)
+                     + 1e-9, 2) AS quality_score
+        FROM (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t IN ${sqlSet(stopwords)}))
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   + 1e-9, 4) AS stopword_ratio,
+                 round((length(text) -
+                     length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio
+          FROM documents)),
+      cuts AS (
+        SELECT ${Num.sqlR("quantile_cont(logprob, 2.0/3.0)", 6)} AS c_head,
+               ${Num.sqlR("quantile_cont(logprob, 1.0/3.0)", 6)} AS c_tail
+        FROM lpd)
+      SELECT l.doc_id, l.logprob,
+             CASE WHEN l.logprob >= c.c_head THEN 'head'
+                  WHEN l.logprob >= c.c_tail THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket,
+             q.quality_score,
+             (l.logprob >= c.c_tail AND q.quality_score >= 0.5) AS keep
+      FROM lpd l
+      CROSS JOIN cuts c
+      JOIN q ON q.doc_id = l.doc_id
+      ORDER BY l.doc_id""")),
     QueryDef("q_edit_distance", editDistance, Some("""
       WITH s AS (SELECT DISTINCT source FROM documents)
       SELECT a.source AS src_a, b.source AS src_b,

@@ -131,6 +131,22 @@ class PlanSpec extends SparkSpec {
       s"q_bigram_logprob must not sort-merge the token stream:\n$plan")
   }
 
+  test("ccnet filter: tercile cuts are one broadcast scalar row; LM shape survives the composition") {
+    val plan = finalPlan("q_ccnet_filter")
+    // the perplexity cut points join every doc as a broadcast 1-row
+    // scalar (nested-loop on a singleton is the cheap, correct shape);
+    // a sort-merge or repartition against the doc stream would make the
+    // corpus shuffle for two constants
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q_ccnet_filter cut points must broadcast as a scalar row:\n$plan")
+    // the underlying bigram-LM shapes must survive composition: heap-cut
+    // model + broadcast scoring joins, never a token-stream sort-merge
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_ccnet_filter lost the LM model's top-K heap:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ccnet_filter must not sort-merge any stream:\n$plan")
+  }
+
   test("cluster labels are a shared per-(session,dir) artifact") {
     import graft.queries.{DedupQueries, Registry}
     DedupQueries.clearShingleCache()

@@ -315,4 +315,113 @@ class ScaleSpec extends SparkSpec {
     assert(e < 1.3, s"dup-span growth exponent $e (m1=$m1, m4=$m4) " +
       "— span marking is superlinear")
   }
+
+  test("adversarial LSH banding: boilerplate block in 2/3 of docs — df cap kills the cross-corpus clique, tasks stay fair-share") {
+    import graft.queries.DedupQueries
+    // worst case for minhash banding: an IDENTICAL block pasted into most
+    // docs correlates their signatures, melting the corpus into one giant
+    // band bucket whose self-join is quadratic in corpus size. The df cap
+    // must delete the block's shingles BEFORE signatures exist (at m=4
+    // the block's df ≈ 1332 > the 1000 cap), so cross-replica block pairs
+    // can't form at all, and no shuffle stage may pile a hot key onto one
+    // task. Bodies are replica-suffixed: legitimate near-dup structure
+    // replicates linearly, the block is the only cross-replica content.
+    val block = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    def corpus(m: Int) = (0 until m).map { r =>
+      val body = expr(
+        s"""concat_ws(' ', transform(split(trim(text), '\\\\s+'),
+             t -> concat(t, '_b$r')))""")
+      Tables(spark, "/root/testdata/sf0.01", "documents")
+        .select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) < 2, concat(lit(block + " "), body))
+            .otherwise(body).as("text"))
+    }.reduce(_ unionByName _)
+    def cands(m: Int) = DedupQueries.minhashCandidatesOf(
+      DedupQueries.shingleHashesOf(corpus(m), DedupQueries.StopShingleDf))
+
+    val c1 = cands(1).count()
+    assert(c1 > 0)
+    // instrumented m=4 run: fixed partitioning so fair-share is meaningful
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val listener = new StageSkewListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val c4df = cands(4)
+      val c4 = c4df.count()
+      val e = growthExponent(c1, c4)
+      assert(e < 1.3, s"LSH candidate growth exponent $e (c1=$c1, c4=$c4) " +
+        "— the boilerplate block went quadratic through banding")
+      // the quadratic failure mode, measured directly: bodies share zero
+      // shingles across replicas and the block is capped away, so not one
+      // candidate pair may span replicas
+      val cross = c4df
+        .filter(expr("doc_a div 1000000") =!= expr("doc_b div 1000000"))
+        .count()
+      assert(cross == 0L,
+        s"$cross cross-replica candidate pairs — the df cap failed to kill the block clique")
+      // listener events are async; let the bus drain
+      val deadline = System.nanoTime() + 10000000000L
+      var snapshot = listener.perStage.readOnlySnapshot().toMap
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val next = listener.perStage.readOnlySnapshot().toMap
+        settled = next == snapshot
+        snapshot = next
+      }
+      // in every shuffle-consuming stage of the banding pipeline the
+      // biggest task reads ≤ 6× its hash-uniform fair share — a hot band
+      // bucket or hot shingle would exceed this by an order of magnitude
+      val violations = snapshot.toSeq.collect {
+        case (sid, (mx, sum, n)) if sum > 4000 &&
+            mx > math.max(6.0 * sum / n, 4000.0) =>
+          s"stage $sid: max task read $mx of $sum records over $n tasks"
+      }
+      assert(violations.isEmpty,
+        s"hot-key pile-up in LSH banding stages:\n${violations.mkString("\n")}")
+      assert(snapshot.values.map(_._2).sum > 10000,
+        s"instrumented run moved too few records to be meaningful: $snapshot")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        savedCoalesce)
+    }
+  }
+
+  test("BPE trainer collect is vocabulary-bounded and hard-capped, never corpus-bounded") {
+    import graft.queries.TextQueries
+    val base = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    // 4x the corpus ROWS (verbatim replicas: same vocabulary) — what the
+    // driver would collect must not move at all, because the trainer's
+    // driver-bound table is the word VOCABULARY, not the token stream
+    val rep4 = (0 until 4).map(r =>
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        col("text"))).reduce(_ unionByName _)
+    val v1 = TextQueries.bpeVocabTopK(base).count()
+    val v4 = TextQueries.bpeVocabTopK(rep4).count()
+    assert(v1 > 0)
+    assert(v4 == v1, s"vocab rows moved under corpus replication: $v1 -> $v4")
+    // and when Heaps-law growth would exceed the cap, the top-K heap cut
+    // bounds the driver to exactly `cap` rows — the most frequent ones
+    // (the synthetic corpus vocabulary is 31 words, so cap=10 exercises
+    // a real truncation)
+    val capped = TextQueries.bpeVocabTopK(base, cap = 10)
+    assert(capped.count() == 10)
+    val keptMin = capped.agg(min("freq")).head.getLong(0)
+    val full = TextQueries.bpeVocabTopK(base)
+    val dropped = full.orderBy(col("freq").desc, col("token").asc)
+      .limit(11).orderBy(col("freq").asc).limit(1)
+      .head.getAs[Long]("freq")
+    assert(keptMin >= dropped, "cap cut is not frequency-ordered")
+    // the cut must plan as a distributed top-K heap, not a global sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cap is not a heap cut:\n$plan")
+  }
 }
