@@ -71,7 +71,9 @@ object AnalyticsQueries {
     * own natural width instead of through the union's padded schema.
     * The view side is pre-aggregated to one row per (user, ts) so the
     * equal-timestamp tie is deterministic on both engines. Oracle is
-    * DuckDB's own ASOF LEFT JOIN. */
+    * the same backward as-of spelled dialect-portably (latest
+    * qualifying view per purchase + unique join-back), equivalent to
+    * DuckDB's ASOF LEFT JOIN and runnable on both engines. */
   private def asofExec(spark: SparkSession, dir: String): DataFrame = {
     val purchases = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -86,20 +88,31 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  // Dialect-portable as-of spelling (runs on DuckDB AND Spark, so the
+  // SqlCrossCheck third-engine pass can execute it): the backward as-of
+  // is "latest qualifying view_ts per purchase, join the row back" — the
+  // join-back is exact because v is grouped unique on (v_user, view_ts).
   private val asofExecSql = s"""
     WITH p AS (
       SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase'),
     v AS (
       SELECT user_id AS v_user, ts AS view_ts, round(max(value), 2) AS view_value
-      FROM $E WHERE event_type = 'view' GROUP BY 1, 2)
+      FROM $E WHERE event_type = 'view' GROUP BY 1, 2),
+    m AS (
+      SELECT p.event_id AS m_event, max(v.view_ts) AS m_ts
+      FROM p JOIN v ON p.user_id = v.v_user AND p.ts >= v.view_ts
+      GROUP BY 1)
     SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value
-    FROM p ASOF LEFT JOIN v
-      ON p.user_id = v.v_user AND p.ts >= v.view_ts
+    FROM p
+    LEFT JOIN m ON p.event_id = m.m_event
+    LEFT JOIN v ON v.v_user = p.user_id AND v.view_ts = m.m_ts
     ORDER BY p.event_id"""
 
   /** Forward as-of via the native operator: each purchase picks the same
     * user's EARLIEST view at or after it (next-touch attribution).
-    * Oracle is DuckDB's ASOF LEFT JOIN with the inequality flipped. */
+    * Oracle is the portable forward as-of (earliest qualifying
+    * view + unique join-back), equivalent to DuckDB's ASOF with the
+    * inequality flipped. */
   private def asofForward(spark: SparkSession, dir: String): DataFrame = {
     val purchases = Tables(spark, dir, "events")
       .filter(col("event_type") === "purchase")
@@ -114,15 +127,22 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  // Portable forward as-of: EARLIEST qualifying view per purchase, row
+  // joined back on the unique (v_user, view_ts) key (see asofExecSql).
   private val asofForwardSql = s"""
     WITH p AS (
       SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase'),
     v AS (
       SELECT user_id AS v_user, ts AS view_ts, round(max(value), 2) AS view_value
-      FROM $E WHERE event_type = 'view' GROUP BY 1, 2)
+      FROM $E WHERE event_type = 'view' GROUP BY 1, 2),
+    m AS (
+      SELECT p.event_id AS m_event, min(v.view_ts) AS m_ts
+      FROM p JOIN v ON p.user_id = v.v_user AND p.ts <= v.view_ts
+      GROUP BY 1)
     SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_value
-    FROM p ASOF LEFT JOIN v
-      ON p.user_id = v.v_user AND p.ts <= v.view_ts
+    FROM p
+    LEFT JOIN m ON p.event_id = m.m_event
+    LEFT JOIN v ON v.v_user = p.user_id AND v.view_ts = m.m_ts
     ORDER BY p.event_id"""
 
   /** Tolerance-bounded backward as-of (pandas merge_asof tolerance): the
@@ -215,10 +235,15 @@ object AnalyticsQueries {
                                     ORDER BY valid_from) AS valid_to
       FROM changes),
     p AS (
-      SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase')
+      SELECT event_id, user_id, ts FROM $E WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id AS m_event, max(dim.valid_from) AS m_from
+      FROM p JOIN dim ON p.user_id = dim.d_user AND p.ts >= dim.valid_from
+      GROUP BY 1)
     SELECT p.event_id, p.user_id, p.ts, dim.state, dim.valid_from
-    FROM p ASOF LEFT JOIN dim
-      ON p.user_id = dim.d_user AND p.ts >= dim.valid_from
+    FROM p
+    LEFT JOIN m ON p.event_id = m.m_event
+    LEFT JOIN dim ON dim.d_user = p.user_id AND dim.valid_from = m.m_from
     WHERE dim.state IS NULL OR dim.valid_to IS NULL OR p.ts < dim.valid_to
     ORDER BY p.event_id"""
 
