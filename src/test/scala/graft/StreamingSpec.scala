@@ -357,6 +357,45 @@ class StreamingSpec extends SparkSpec {
     assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
   }
 
+  test("streaming twin: q_dedup_exact — online dedup survivors = batch canonicals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the corpus plus a RE-CRAWL of its first 100 docs (same text, new
+    // doc_ids) — the ingest case the online dedup exists for; the synth
+    // corpus itself has no exact dups, so the replay provides the drops
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    val arriving = docs ++ docs.take(100).map { case (id, t) => (id + 10000L, t) }
+    // batch truth, same rule as q_dedup_exact: canonical = min doc_id
+    // per content fingerprint — here, every original survives and every
+    // re-crawled copy dedups away
+    val batch = arriving.toSeq.toDF("doc_id", "text")
+      .withColumn("fp", expr("md5(lower(trim(text)))"))
+      .groupBy("fp").agg(min("doc_id").as("canonical_id"))
+      .select("canonical_id").as[Long].collect().sorted
+    assert(batch.length < arriving.length) // the replay really dedups
+    // stream in arrival order (MemoryStream batches are single partitions
+    // read in insertion order, and same-fp rows land in the same
+    // state-store partition in that order, so "first occurrence wins" =
+    // min doc_id here — the batch canonical rule)
+    val mem = MemoryStream[(Long, String)]
+    arriving.grouped(100).foreach(c => mem.addData(c.toSeq))
+    // synthetic monotone event time: the whole corpus spans < 1 ms of
+    // event time, far inside the 10 s lateness horizon, so no fingerprint
+    // state expires mid-run and the online dedup is exact. Base offset
+    // matters: the initial watermark is epoch 0, and a row whose event
+    // time TIES the watermark is late — timestamp_micros(0) would drop
+    // doc 0 on arrival
+    val src = mem.toDF.toDF("doc_id", "text")
+      .withColumn("ts", expr("timestamp_micros(1000000000000 + doc_id)"))
+    val out = StreamingPipeline.dedupByContent(src, "text", "ts", "10 seconds")
+    StreamingPipeline.drainAvailableNow(out, "dedup_exact_stream")
+    val streamed = spark.table("dedup_exact_stream")
+      .select("doc_id").as[Long].collect().sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("H4 durable offsets: checkpointed file stream processes each file once") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_ckpt").toString
