@@ -462,6 +462,7 @@ object SqlCrossCheck {
       spark.stop(); return
     }
     var agree, differ, incompatible, planErr = 0
+    val incompatRows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val lines = SparkEntry.oracleSql.toSeq.sortBy(_._1).map {
       case (name, sql0) =>
         def firstLine(e: Throwable): String = {
@@ -486,6 +487,7 @@ object SqlCrossCheck {
             s"| $name | PLAN-ERROR | $e |"
           case (_, Left(e)) =>
             incompatible += 1
+            incompatRows += ((name, e))
             s"| $name | DIALECT-INCOMPATIBLE | $e |"
           case (Right(a), Right(b)) if a == b =>
             agree += 1
@@ -514,18 +516,17 @@ object SqlCrossCheck {
       "drift." + (if (differ == 0) " Current state: zero disagreements."
                   else s" Current state: $differ DISAGREE — investigate.") +
       "\n\n")
-    if (incompatible > 0)
-      report.append("Every remaining DIALECT-INCOMPATIBLE row is a named " +
-        "Spark engine limitation (the detail column carries the error " +
-        "class), not a rewriter gap: " +
-        "`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE` — the recursive-CTE " +
-        "connected-components oracles (q_dedup_clusters, " +
-        "q_dedup_canonical, q_split_leakfree) need UNION-distinct " +
-        "semantics inside recursion, which Spark 4.1 does not support; " +
-        "`UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.HIGHER_ORDER_FUNCTION` " +
-        "— q_bpe_tokenize's oracle correlates a scalar subquery inside a " +
-        "higher-order `aggregate` lambda, which Spark's analyzer " +
-        "rejects outright.\n\n")
+    if (incompatible > 0) {
+      // the explanation is DERIVED from the actual incompatible rows (the
+      // detail column carries each Spark error), so a future run with a
+      // different incompatible set can never be mis-described by stale prose
+      report.append("Each DIALECT-INCOMPATIBLE row below names the Spark " +
+        "engine limitation its oracle hits (not a rewriter gap):\n\n")
+      incompatRows.foreach { case (n, e) =>
+        report.append(s"- `$n` — $e\n")
+      }
+      report.append("\n")
+    }
     report.append("| query | status | detail |\n|---|---|---|\n")
     lines.foreach(l => report.append(l).append('\n'))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),

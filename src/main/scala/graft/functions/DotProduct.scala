@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, NullType, NumericType}
 
 /** Native Catalyst dot product over two double arrays — the hot scalar of
   * every similarity/ANN query.
@@ -35,6 +36,33 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "dot_product"
+
+  /** Only NUMERIC (or empty-literal) element types may coerce: Spark's
+    * implicit casts also admit array<string> → array<double>, under which
+    * (with ANSI off) a malformed element becomes a null slot that
+    * nullSafeEval silently reads as 0.0 — a wrong-ish result where a type
+    * error belongs. Analyzer-inserted coercion casts are unwrapped to see
+    * the ORIGINAL element type; an explicit user CAST is respected as the
+    * user taking responsibility for the conversion. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val default = super.checkInputDataTypes()
+    if (default.isFailure) default
+    else {
+      def preCoercion(e: Expression): Expression = e match {
+        case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+          preCoercion(c.child)
+        case other => other
+      }
+      val bad = Seq(left, right).map(preCoercion).map(_.dataType).collect {
+        case ArrayType(et, _)
+            if !et.isInstanceOf[NumericType] && et != NullType => et
+      }
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires numeric array elements, got " +
+          bad.map(_.simpleString).mkString(", "))
+    }
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -240,6 +240,18 @@ object TextQueries {
     out.toArray
   }
 
+  /** The trainer's driver-bound word table: distributed word count, then
+    * a deterministic top-K heap cut (freq DESC, word ASC) at `cap`. What
+    * reaches the driver is min(vocabulary, cap) rows — vocabulary-bounded
+    * at test scale, constant-bounded at any scale. ScaleSpec measures
+    * both properties. */
+  private[graft] def bpeVocabTopK(docs: DataFrame,
+      cap: Int = BpeVocabCap): DataFrame =
+    docs.selectExpr(s"explode($toks) AS token")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(cap)
+
   /** Offline BPE training: corpus → (word, freq) vocabulary (the
     * distributed, 100 TB-scale stage — one explode + map-side-combinable
     * count, identical to [[vocab]]), then the classic merge loop over the
@@ -260,18 +272,6 @@ object TextQueries {
     * (max count, then lexicographically smallest (lhs, rhs)) — no float,
     * no hash-order dependence, so retraining reproduces the model
     * bit-for-bit and cross-engine reads agree. */
-  /** The trainer's driver-bound word table: distributed word count, then
-    * a deterministic top-K heap cut (freq DESC, word ASC) at `cap`. What
-    * reaches the driver is min(vocabulary, cap) rows — vocabulary-bounded
-    * at test scale, constant-bounded at any scale. ScaleSpec measures
-    * both properties. */
-  private[graft] def bpeVocabTopK(docs: DataFrame,
-      cap: Int = BpeVocabCap): DataFrame =
-    docs.selectExpr(s"explode($toks) AS token")
-      .groupBy("token").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token").asc)
-      .limit(cap)
-
   def trainBpeMerges(spark: SparkSession, dir: String): Unit = {
     val path = bpeModelPath(dir)
     if (bpeModelTrained(spark, dir)) return

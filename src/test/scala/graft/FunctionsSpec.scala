@@ -30,6 +30,29 @@ class FunctionsSpec extends SparkSpec {
     assert(both.getDouble(0) == both.getDouble(1)) // exact, not approx
   }
 
+  test("dot_product: numeric coercion only — string arrays fail analysis, float/int/decimal coerce") {
+    import spark.implicits._
+    // float embeddings and int/decimal literal arrays coerce silently
+    assert(spark.sql(
+      "SELECT dot_product(CAST(array(1, 2) AS ARRAY<FLOAT>), array(3, 4))")
+      .as[Double].head() == 11.0)
+    assert(spark.sql("SELECT dot_product(array(-0.1, 0.2), array(1D, 1D))")
+      .as[Double].head() == 0.1 - 0.0) // decimal literals → double
+    // array<string> must FAIL ANALYSIS: with ANSI off a malformed element
+    // would cast to a null slot that the fused loop reads as 0.0 — the
+    // silent-wrong-answer path this guard closes
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array('a', 'b'), array(1D, 2D))")
+        .collect()
+    }
+    assert(e.getMessage.contains("numeric array elements"))
+    // …but an EXPLICIT user cast from strings is respected (the user took
+    // responsibility for the conversion)
+    assert(spark.sql(
+      """SELECT dot_product(CAST(array('1', '2') AS ARRAY<DOUBLE>),
+                            array(3D, 4D))""").as[Double].head() == 11.0)
+  }
+
   test("product_agg: exact product over a window frame") {
     import spark.implicits._
     val out = Seq((1, 2.0), (2, 3.0), (3, 4.0)).toDF("i", "x")

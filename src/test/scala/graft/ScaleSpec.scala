@@ -321,11 +321,17 @@ class ScaleSpec extends SparkSpec {
     // worst case for minhash banding: an IDENTICAL block pasted into most
     // docs correlates their signatures, melting the corpus into one giant
     // band bucket whose self-join is quadratic in corpus size. The df cap
-    // must delete the block's shingles BEFORE signatures exist (at m=4
-    // the block's df ≈ 1332 > the 1000 cap), so cross-replica block pairs
-    // can't form at all, and no shuffle stage may pile a hot key onto one
-    // task. Bodies are replica-suffixed: legitimate near-dup structure
-    // replicates linearly, the block is the only cross-replica content.
+    // must delete the block's shingles BEFORE signatures exist, so
+    // cross-replica block pairs can't form at all, and no shuffle stage
+    // may pile a hot key onto one task. Bodies are replica-suffixed:
+    // legitimate near-dup structure replicates linearly, the block is the
+    // only cross-replica content. The cap is a TEST-LOCAL 250 — below the
+    // block's df at BOTH sizes (≈333 at m=1, ≈1332 at m=4); with the
+    // production 1000 cap the m=1 clique would survive, inflate c1, and
+    // make the growth-exponent assertion vacuously pass even for broken
+    // banding (both runs must measure POST-cap growth for e to mean
+    // anything).
+    val testDfCap = 250
     val block = (1 to 40).map(i => s"boiler$i").mkString(" ")
     def corpus(m: Int) = (0 until m).map { r =>
       val body = expr(
@@ -337,7 +343,7 @@ class ScaleSpec extends SparkSpec {
             .otherwise(body).as("text"))
     }.reduce(_ unionByName _)
     def cands(m: Int) = DedupQueries.minhashCandidatesOf(
-      DedupQueries.shingleHashesOf(corpus(m), DedupQueries.StopShingleDf))
+      DedupQueries.shingleHashesOf(corpus(m), testDfCap))
 
     val c1 = cands(1).count()
     assert(c1 > 0)

@@ -367,18 +367,14 @@ class StreamingSpec extends SparkSpec {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
       .orderBy("doc_id").as[(Long, String)].collect()
     val arriving = docs ++ docs.take(100).map { case (id, t) => (id + 10000L, t) }
-    // batch truth, same rule as q_dedup_exact: canonical = min doc_id
-    // per content fingerprint — here, every original survives and every
-    // re-crawled copy dedups away
-    val batch = arriving.toSeq.toDF("doc_id", "text")
+    // batch truth, same rule as q_dedup_exact: one canonical per content
+    // fingerprint — here, every distinct fingerprint keeps exactly one doc
+    // and every re-crawled copy dedups away
+    val fpByDoc = arriving.toSeq.toDF("doc_id", "text")
       .withColumn("fp", expr("md5(lower(trim(text)))"))
-      .groupBy("fp").agg(min("doc_id").as("canonical_id"))
-      .select("canonical_id").as[Long].collect().sorted
-    assert(batch.length < arriving.length) // the replay really dedups
-    // stream in arrival order (MemoryStream batches are single partitions
-    // read in insertion order, and same-fp rows land in the same
-    // state-store partition in that order, so "first occurrence wins" =
-    // min doc_id here — the batch canonical rule)
+      .select("doc_id", "fp").as[(Long, String)].collect().toMap
+    val batchFps = fpByDoc.values.toSet
+    assert(batchFps.size < arriving.length) // the replay really dedups
     val mem = MemoryStream[(Long, String)]
     arriving.grouped(100).foreach(c => mem.addData(c.toSeq))
     // synthetic monotone event time: the whole corpus spans < 1 ms of
@@ -393,7 +389,17 @@ class StreamingSpec extends SparkSpec {
     StreamingPipeline.drainAvailableNow(out, "dedup_exact_stream")
     val streamed = spark.table("dedup_exact_stream")
       .select("doc_id").as[Long].collect().sorted
-    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // WHICH same-fp row survives within a micro-batch is scheduling-
+    // dependent (after the shuffle on fp, in-partition row order is map-
+    // output fetch order, which Spark does not contractually guarantee) —
+    // so assert the order-INDEPENDENT invariant: exactly one survivor per
+    // distinct fingerprint, jointly covering the batch fingerprint set
+    val streamedFps = streamed.map(fpByDoc)
+    assert(streamed.nonEmpty)
+    assert(streamedFps.length == streamedFps.distinct.length,
+      "online dedup emitted two docs with the same fingerprint")
+    assert(streamedFps.toSet == batchFps,
+      "online dedup survivors do not cover the batch fingerprint set")
   }
 
   test("H4 durable offsets: checkpointed file stream processes each file once") {
