@@ -61,7 +61,15 @@ object Tables {
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => df
+      // already the engine contract (tz-adjusted TIMESTAMP(MICROS))
+      case org.apache.spark.sql.types.TimestampType => df
+      // a THIRD driver vintage must fail HERE, loudly — flowing an
+      // unrecognized ts type downstream is how round 8 silently lost
+      // every events-reading query
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type ${other.simpleString} from " +
+          s"$dir — a new testdata vintage; teach Tables.apply to " +
+          "normalize it to TimestampType")
     }
   }
 }
