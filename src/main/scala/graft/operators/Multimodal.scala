@@ -252,16 +252,24 @@ object Multimodal {
       }
   }
 
-  /** Near-duplicate media pairs by perceptual-hash Hamming distance —
-    * image dedup as a first-class corpus stage. Pigeonhole banding makes
-    * the candidate join EXACT: with 4 disjoint 16-bit bands, any pair
-    * within Hamming ≤ 3 agrees on at least one whole band, so the
-    * (band, value) equi-join misses nothing while signatures — 8 bytes a
-    * row, never the blobs — are all that shuffles. The verify filter is
-    * one codegen'd bit_count. `maxHamming` must stay < 4 for exactness. */
-  def mediaNearDups(sigs: Dataset[MediaSig], maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4,
-      s"pigeonhole over 4 bands is exact only for hamming < 4, got $maxHamming")
+  /** Band-bucket size cap for [[mediaCandidates]]: a (band, value) bucket
+    * larger than this is an UNINFORMATIVE band value (the image analogue
+    * of boilerplate shingles — "dark left half" matches every
+    * underexposed photo) and is dropped before the pair join. Without it
+    * candidate pairs grow as Σ n_bucket² — quadratic in corpus size on
+    * realistic skewed hash distributions; with it they are provably
+    * ≤ 4·N·cap/2, i.e. linear. Recall tradeoff, mirroring the text
+    * side's `StopShingleDf`: a pair is missed only when EVERY band it
+    * agrees on is over-popular — exactly the pairs of
+    * crowd-indistinguishable images a dedup pass cares least about. */
+  val BandBucketCap = 64
+
+  /** Candidate pairs from pigeonhole banding over 4 disjoint 16-bit
+    * bands with the [[BandBucketCap]] hot-bucket cut. Only 8-byte
+    * signatures ever shuffle; the bucket-count pass and the self-join
+    * shuffle on the same (b, v) key. */
+  def mediaCandidates(sigs: Dataset[MediaSig],
+      bucketCap: Int = BandBucketCap): DataFrame = {
     val bandStructs = (0 until 4).map(b =>
       s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
       .mkString(", ")
@@ -269,14 +277,37 @@ object Multimodal {
       .selectExpr("media_id", "phash",
         s"explode(array($bandStructs)) AS band")
       .selectExpr("media_id", "phash", "band.b AS b", "band.v AS v")
-    bands.as("a").join(bands.as("c"),
+    val informative = bands.groupBy("b", "v")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= bucketCap)
+      .select("b", "v")
+    val okb = bands.join(informative, Seq("b", "v"))
+    okb.as("a").join(okb.as("c"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))
       .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
         col("a.phash").as("pa"), col("c.phash").as("pb"))
       .distinct()
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash Hamming distance —
+    * image dedup as a first-class corpus stage. Pigeonhole banding: with
+    * 4 disjoint 16-bit bands, any pair within Hamming ≤ 3 agrees on at
+    * least one whole band, so candidates come from a (band, value)
+    * equi-join — never an all-pairs comparison — and the one codegen'd
+    * bit_count filter afterwards makes surviving pairs exact. The only
+    * approximation is the [[BandBucketCap]] hot-bucket cut (see there for
+    * the recall argument); at bucket sizes under the cap the result
+    * equals the brute-force Hamming join. `maxHamming` must stay < 4 for
+    * the pigeonhole to cover all pairs. */
+  def mediaNearDups(sigs: Dataset[MediaSig], maxHamming: Int = 3,
+      bucketCap: Int = BandBucketCap): DataFrame = {
+    require(maxHamming < 4,
+      s"pigeonhole over 4 bands is exact only for hamming < 4, got $maxHamming")
+    mediaCandidates(sigs, bucketCap)
       .filter(expr(s"bit_count(pa ^ pb) <= $maxHamming"))
-      .select("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
   }
 
   /** Frame sampling: emit every `stride`-th byte offset of the payload as

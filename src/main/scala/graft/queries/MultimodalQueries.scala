@@ -83,7 +83,84 @@ object MultimodalQueries {
                 AS BIGINT) AS phash_lo
     FROM bits GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Image near-dup pairs over REAL decoded aHashes: synth PNGs are
+    * decoded executor-side, each collapses to one 64-bit signature, and
+    * pairs within Hamming ≤ 3 come from the pigeonhole band join with the
+    * hot-bucket cap ([[Multimodal.mediaNearDups]]) — the simhash shape
+    * applied to images, bucketed, never all-pairs. The oracle re-derives
+    * every signature analytically from the pixel formula AND mirrors the
+    * capped candidate generation, so a green hash proves both the decode
+    * path and the banding semantics. */
+  private def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("h"))
+    val blobs = Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
+    val sigs = Multimodal.perceptualHashImagePartitioned(blobs)
+    Multimodal.mediaNearDups(sigs, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The oracle's banding works on (hi, lo) halves — DuckDB BIGINT left
+    * shift errors on hi<<32 overflow, and band extraction / Hamming both
+    * decompose exactly over the halves. */
+  private val mediaNearDupSql = s"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + (doc_id % 6) * 8 AS BIGINT) AS w,
+             CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM dims),
+    cells AS (
+      SELECT doc_id, w, h,
+             (((p // w) * 8) // h) * 8 + (((p % w) * 8) // w) AS b,
+             sum((doc_id * 37 + (p % w) * (p % w) + 5 * (p // w)) % 256)
+               AS cell_sum,
+             count(*) AS cell_px
+      FROM px GROUP BY 1, 2, 3, 4),
+    tot AS (
+      SELECT doc_id, sum(cell_sum) AS tot_sum, sum(cell_px) AS n_px
+      FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id, c.b,
+             CASE WHEN c.cell_sum * t.n_px >= t.tot_sum * c.cell_px
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM cells c JOIN tot t USING (doc_id)),
+    sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)
+                  AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END)
+                  AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, hi, lo, band,
+             CASE band WHEN 0 THEN lo & 65535
+                       WHEN 1 THEN (lo >> 16) & 65535
+                       WHEN 2 THEN hi & 65535
+                       ELSE (hi >> 16) & 65535 END AS v
+      FROM sigs, unnest([0, 1, 2, 3]) AS u(band)),
+    informative AS (
+      SELECT band, v FROM bands GROUP BY band, v
+      HAVING count(*) <= ${Multimodal.BandBucketCap}),
+    okb AS (SELECT bands.* FROM bands JOIN informative USING (band, v)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.hi AS ha, a.lo AS la, c.hi AS hb, c.lo AS lb
+      FROM okb a JOIN okb c
+        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+    ORDER BY id_a, id_b"""
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_media_neardup", mediaNearDup, Some(mediaNearDupSql)),
     QueryDef("q_multimodal_meta", multimodalMeta, Some("""
       SELECT doc_id, TRUE AS is_valid,
              n_chars AS width,

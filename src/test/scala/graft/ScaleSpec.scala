@@ -399,6 +399,79 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("media near-dup banding: hot band value capped away, candidates linear, planted recall intact") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaSig
+    // Signatures are constructed directly — the BANDING JOIN is under
+    // test here; the decoder that produces real signatures is pinned by
+    // MediaSpec and the q_media_phash / q_media_neardup oracles.
+    // Per replica r: nBase base signatures, each a 3-member near-dup
+    // cluster (pairwise hamming ≤ 2 via low-bit flips of band 0).
+    // Bands 1/3 carry a (replica, base) tag, so legitimate structure
+    // replicates linearly and replicas are hash-space disjoint. Band 2 is
+    // the adversary: for 2/3 of bases it is ONE corpus-wide constant —
+    // the "underexposed photo" band value every crawler sees — whose
+    // bucket melts the corpus into a single clique unless the bucket cap
+    // cuts it.
+    // tag = parity-extended base index (min pairwise hamming 2), so two
+    // different bases differ by ≥ 2 bits in EACH of bands 1 and 3 —
+    // cross-base hamming ≥ 4 — and the planted clusters are provably the
+    // only pairs within the ≤ 3 near-dup radius
+    val nBase = 150
+    def sigsOf(m: Int): org.apache.spark.sql.Dataset[MediaSig] =
+      (for {
+        r <- 0 until m; i <- 0 until nBase; j <- 0 until 3
+      } yield {
+        val t = (i.toLong << 1) | (java.lang.Long.bitCount(i.toLong) & 1)
+        val tag = ((r.toLong << 12) | t) & 0xffffL
+        val b0 = tag ^ (if (j == 0) 0L else if (j == 1) 1L else 3L)
+        val b2 = if (i % 3 != 0) 0xbeefL else tag
+        val phash = (tag << 48) | (b2 << 32) | (tag << 16) | b0
+        MediaSig(r * 1000000L + i * 10L + j, phash)
+      }).toDS()
+
+    def cands(m: Int, cap: Int) =
+      Multimodal.mediaCandidates(sigsOf(m), cap)
+
+    val c1 = cands(1, Multimodal.BandBucketCap).count()
+    val c4df = cands(4, Multimodal.BandBucketCap)
+    val c4 = c4df.count()
+    assert(c1 > 0)
+    // post-cap candidates are exactly the planted clusters: linear growth
+    val e = growthExponent(c1, c4)
+    assert(e < 1.1, s"media banding candidate growth exponent $e " +
+      s"(c1=$c1, c4=$c4) — the hot band value went quadratic through the cap")
+    // ... and the analytic bound the cap guarantees: ≤ 4 bands · N · cap/2
+    val n4 = 4L * nBase * 3
+    assert(c4 <= 4L * n4 * Multimodal.BandBucketCap / 2,
+      s"candidate count $c4 exceeds the capped-bucket linear bound")
+    // the quadratic failure mode, measured directly: every surviving
+    // bucket is replica-tagged, so not one candidate may span replicas
+    val cross = c4df
+      .filter(expr("id_a div 1000000") =!= expr("id_b div 1000000")).count()
+    assert(cross == 0L,
+      s"$cross cross-replica candidate pairs — the bucket cap failed to kill the hot-band clique")
+    // control: WITHOUT the cap the same signatures go quadratic — the cap
+    // is what carries the bound, not the data being conveniently sparse
+    val eU = growthExponent(
+      cands(1, Int.MaxValue).count(), cands(4, Int.MaxValue).count())
+    assert(eU > 1.5, s"uncapped control exponent $eU — the planted hot " +
+      "band no longer stresses the join; the capped assertion above is vacuous")
+    // recall: the cap costs NONE of the planted near-dups — every true
+    // pair also agrees on an informative (replica, base)-tagged band
+    val pairs = Multimodal.mediaNearDups(sigsOf(4), maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      r <- 0 until 4; i <- 0 until nBase
+      Seq(a, b) <- (0 until 3).map(j => r * 1000000L + i * 10L + j)
+        .combinations(2)
+    } yield (a, b)).toSet
+    assert(pairs == expected,
+      s"planted near-dup recall broken: found ${pairs.size}, expected ${expected.size}")
+  }
+
   test("BPE trainer collect is vocabulary-bounded and hard-capped, never corpus-bounded") {
     import graft.queries.TextQueries
     val base = Tables(spark, "/root/testdata/sf0.01", "documents")
