@@ -494,7 +494,17 @@ object TextQueries {
     * per-pair logprobs are rounded then summed as scaled BIGINTs, so
     * doc scores are partition- and engine-independent. */
   private val BigramK = 2000
-  private def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Shared LM building blocks: the per-doc bigram stream, unigram
+    * freq/total, top-VocabK unigram table, raw bigram counts, and the
+    * heap-cut BigramK conditional-probability model — one spelling, so
+    * [[bigramLogprob]], [[trigramLogprob]] and [[ccnetFilter]] can never
+    * drift on model semantics. */
+  private case class LmParts(docs: DataFrame, bigrams: DataFrame,
+      uniFreq: DataFrame, total: DataFrame, uniTop: DataFrame,
+      bgCounts: DataFrame, bgModel: DataFrame)
+
+  private def lmParts(spark: SparkSession, dir: String): LmParts = {
     val docs = Tables(spark, dir, "documents")
     val toksDf = docs.selectExpr("doc_id", s"$toks AS t")
     val bigrams = toksDf.filter(size(col("t")) >= 2)
@@ -509,17 +519,23 @@ object TextQueries {
       .orderBy(col("freq").desc, col("token"))
     val uniTop = uniFreq.withColumn("rnk", row_number().over(wU))
       .filter(col("rnk") <= VocabK).drop("rnk")
-    val bgModel = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val bgCounts = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val bgModel = bgCounts
       .orderBy(col("c2").desc, col("prev"), col("cur")).limit(BigramK)
       .join(uniFreq.select(col("token").as("prev"), col("freq").as("c1")),
         "prev")
       .select(col("prev"), col("cur"),
         Num.rExp(log10(col("c2").cast("double") / col("c1")), 6).as("lp_bg"))
-    val perDoc = bigrams
-      .join(broadcast(bgModel), Seq("prev", "cur"), "left")
-      .join(broadcast(uniTop.select(col("token").as("cur"),
+    LmParts(docs, bigrams, uniFreq, total, uniTop, bgCounts, bgModel)
+  }
+
+  private def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val p = lmParts(spark, dir)
+    val perDoc = p.bigrams
+      .join(broadcast(p.bgModel), Seq("prev", "cur"), "left")
+      .join(broadcast(p.uniTop.select(col("token").as("cur"),
         col("freq").as("cfreq"))), Seq("cur"), "left")
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(p.total))
       .withColumn("lp", coalesce(col("lp_bg"), Num.rExp(
         log10(lit(0.4)) +
           log10(coalesce(col("cfreq").cast("double"), lit(0.5)) / col("total")),
@@ -528,9 +544,67 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
           .as("logprob"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    p.docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Trigram language model with two-level stupid backoff (Brants et al.,
+    * EMNLP'07) — the next LM order up from [[bigramLogprob]]: each
+    * document's mean log10-probability of its adjacent token TRIPLES,
+    * P(w3 | w1 w2) = c3/c2(w1 w2) from the top-TrigramK trigram model,
+    * backing off to α·P_bigram(w3 | w2) (the shared BigramK model), then
+    * to α²·P_unigram(w3) with the 0.5-count OOV floor, α = 0.4 per level.
+    *
+    * Scale shape: identical to the pinned bigram shape, one order up —
+    * triples are built ARRAY-LOCALLY (arrays_zip of three slices, no
+    * position join); the trigram model cut is a distributed top-K heap
+    * (orderBy + limit = TakeOrderedAndProject — the distinct-trigram
+    * domain grows even faster than bigrams, so a global rank sort here
+    * would be the 100 TB straggler); the c3/c2 conditional is
+    * materialized INTO the K-row model; scoring is three broadcast left
+    * joins + one per-doc aggregate. Determinism: total-ordered model
+    * cuts, per-triple logprobs rounded then summed as scaled BIGINTs. */
+  private val TrigramK = 3000
+  private def trigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val p = lmParts(spark, dir)
+    val trigrams = p.docs.selectExpr("doc_id", s"$toks AS t")
+      .filter(size(col("t")) >= 3)
+      .selectExpr("doc_id",
+        """explode(arrays_zip(slice(t, 1, size(t) - 2),
+                              slice(t, 2, size(t) - 2),
+                              slice(t, 3, size(t) - 2))) AS z""")
+      .selectExpr("doc_id", "z['0'] AS w1", "z['1'] AS w2", "z['2'] AS w3")
+    val tgModel = trigrams.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+      .orderBy(col("c3").desc, col("w1"), col("w2"), col("w3"))
+      .limit(TrigramK)
+      .join(p.bgCounts.select(col("prev").as("w1"), col("cur").as("w2"),
+        col("c2")), Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        Num.rExp(log10(col("c3").cast("double") / col("c2")), 6).as("lp_tg"))
+    val perDoc = trigrams
+      .join(broadcast(tgModel), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(p.bgModel.select(col("prev").as("w2"),
+        col("cur").as("w3"), col("lp_bg"))), Seq("w2", "w3"), "left")
+      .join(broadcast(p.uniTop.select(col("token").as("w3"),
+        col("freq").as("cfreq"))), Seq("w3"), "left")
+      .crossJoin(broadcast(p.total))
+      .withColumn("lp", coalesce(
+        col("lp_tg"),
+        Num.rExp(log10(lit(0.4)) + col("lp_bg"), 6),
+        Num.rExp(log10(lit(0.4)) + log10(lit(0.4)) +
+          log10(coalesce(col("cfreq").cast("double"), lit(0.5)) / col("total")),
+          6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
+          .as("logprob"))
+    p.docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
       .orderBy("doc_id")
   }
@@ -1611,6 +1685,43 @@ object TextQueries {
       SELECT doc_id, n_bigrams, logprob
       FROM lpd
       ORDER BY doc_id""")),
+    QueryDef("q_trigram_logprob", trigramLogprob, Some(s"""
+      WITH $bigramLpdCtes,
+      tg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM t, unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      bgc AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+      tgtop AS (SELECT w1, w2, w3, c3 FROM (
+                  SELECT w1, w2, w3, count(*) AS c3
+                  FROM tg GROUP BY w1, w2, w3)
+                ORDER BY c3 DESC, w1, w2, w3 LIMIT $TrigramK),
+      tgm AS (SELECT g.w1, g.w2, g.w3,
+                     round(log10(CAST(g.c3 AS DOUBLE) / b.c2) + 1e-8, 6)
+                       AS lp_tg
+              FROM tgtop g JOIN bgc b ON b.prev = g.w1 AND b.cur = g.w2),
+      lp3 AS (SELECT g.doc_id,
+                     coalesce(m.lp_tg,
+                       round(log10(0.4) + bm.lp_bg + 1e-8, 6),
+                       round(log10(0.4) + log10(0.4) +
+                         log10(coalesce(CAST(v.freq AS DOUBLE), 0.5) / total)
+                         + 1e-8, 6)) AS lp
+              FROM tg g
+              LEFT JOIN tgm m
+                ON m.w1 = g.w1 AND m.w2 = g.w2 AND m.w3 = g.w3
+              LEFT JOIN bgm bm ON bm.prev = g.w2 AND bm.cur = g.w3
+              LEFT JOIN topv v ON v.token = g.w3
+              CROSS JOIN tot),
+      per3 AS (SELECT doc_id, count(*) AS n_trigrams,
+                      round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0 / count(*) + 1e-9, 4)
+                        AS logprob
+               FROM lp3 GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+             coalesce(p.logprob, 0.0) AS logprob
+      FROM documents d LEFT JOIN per3 p USING (doc_id)
+      ORDER BY d.doc_id""")),
     QueryDef("q_ccnet_filter", ccnetFilter, Some(s"""
       WITH $bigramLpdCtes,
       q AS (

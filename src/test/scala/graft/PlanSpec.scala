@@ -131,6 +131,19 @@ class PlanSpec extends SparkSpec {
       s"q_bigram_logprob must not sort-merge the token stream:\n$plan")
   }
 
+  test("trigram LM: model cut is a top-K heap; both backoff models broadcast") {
+    val plan = finalPlan("q_trigram_logprob")
+    // the top-TrigramK cut must stay a distributed heap — the
+    // distinct-trigram domain grows faster than the bigram one, so a
+    // global rank sort here is an even worse 100 TB straggler
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_trigram_logprob model cut lost its top-K heap:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_trigram_logprob scoring joins must broadcast the models:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_trigram_logprob must not sort-merge the triple stream:\n$plan")
+  }
+
   test("ccnet filter: tercile cuts are one broadcast scalar row; LM shape survives the composition") {
     val plan = finalPlan("q_ccnet_filter")
     // the perplexity cut points join every doc as a broadcast 1-row
