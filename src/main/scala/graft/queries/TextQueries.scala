@@ -682,6 +682,68 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Row-local spelling of [[textQuality]]'s quality_score — the same
+    * rounded ratio thresholds as ONE expression over `textCol`, usable on
+    * a stream (no join, no state). Kept textually parallel to the batch
+    * column build so the two cannot drift. */
+  def qualityScoreExpr(textCol: String): String = {
+    val t = s"split(trim($textCol), '\\\\s+')"
+    s"""round((CASE WHEN size($t) >= 20 THEN 0.5D ELSE 0.0D END) +
+         (CASE WHEN round(size(filter($t, x -> x IN ${sqlSet(stopwords)}))
+                 / cast(size($t) AS DOUBLE) + 1e-9, 4) > 0.01
+               THEN 0.3D ELSE 0.0D END) +
+         (CASE WHEN round((length($textCol) -
+                   length(regexp_replace($textCol, '[.,!?;:]', '')))
+                 / cast(length($textCol) AS DOUBLE) + 1e-9, 4) < 0.1
+               THEN 0.2D ELSE 0.0D END)
+         + 1e-9, 2)"""
+  }
+
+  /** Serving-shape CCNet gate: train on the batch corpus, then FREEZE the
+    * bigram conditional model (≤ BigramK rows), the top-VocabK unigram
+    * floor table, the corpus total and the two tercile cut points, and
+    * return them as (logprob-expression, c_head, c_tail). The expression
+    * scores `textCol` row-locally — pair logprobs via map-literal
+    * lookups with the same two-level backoff and scaled-BIGINT summation
+    * as [[bigramLogprob]] — so each arriving document is gated with no
+    * join and no streaming state (the IVF/BPE serving shape;
+    * StreamingSpec proves stream ≡ batch verdicts). The map literal is
+    * bounded by the model caps, not the corpus, which is what makes the
+    * frozen gate shippable: 100 TB of training text and 1 MB produce the
+    * same ≤(BigramK+VocabK)-entry artifact. */
+  def ccnetServeModel(spark: SparkSession, dir: String,
+      textCol: String): (String, Double, Double) = {
+    val p = lmParts(spark, dir)
+    def esc(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    val bg = p.bgModel.collect().map(r =>
+      s"${esc(r.getString(0) + " " + r.getString(1))}, ${r.getDouble(2)}D")
+    val uni = p.uniTop.collect().map(r =>
+      s"${esc(r.getString(0))}, ${r.getLong(1).toDouble}D")
+    val total = p.total.collect()(0).getLong(0)
+    val cuts = bigramLogprob(spark, dir)
+      .agg(Num.r(expr("percentile(logprob, 2.0D / 3.0D)"), 6).as("c_head"),
+        Num.r(expr("percentile(logprob, 1.0D / 3.0D)"), 6).as("c_tail"))
+      .collect()(0)
+    val bgMap = if (bg.isEmpty) "map()" else bg.mkString("map(", ", ", ")")
+    val uniMap = if (uni.isEmpty) "map()" else uni.mkString("map(", ", ", ")")
+    val t = s"split(trim($textCol), '\\\\s+')"
+    // tokens are whitespace-split, so ' ' is an unambiguous pair-key glue
+    val lpExpr = s"""IF(size($t) >= 2,
+         round(cast(aggregate(
+             transform(sequence(2, size($t)), i ->
+               coalesce(
+                 element_at($bgMap,
+                   concat(element_at($t, i - 1), ' ', element_at($t, i))),
+                 round(log10(0.4D) +
+                   log10(coalesce(element_at($uniMap, element_at($t, i)),
+                                  0.5D)
+                         / cast(${total}L AS DOUBLE)) + 1e-8, 6))),
+             0L, (a, x) -> a + cast(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / (size($t) - 1) + 1e-9, 4),
+         0.0D)"""
+    (lpExpr, cuts.getDouble(0), cuts.getDouble(1))
+  }
+
   /** Edit-distance similarity over the distinct source labels — the
     * small-domain string-similarity shape (typo clustering). */
   private def editDistance(spark: SparkSession, dir: String): DataFrame = {

@@ -357,6 +357,43 @@ class StreamingSpec extends SparkSpec {
     assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
   }
 
+  test("streaming model serving: frozen CCNet gate over a stream equals batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.{Registry, TextQueries}
+    val dir = "/root/testdata/sf0.001"
+    // train on the batch corpus, freeze the LM + tercile cuts as a
+    // serving artifact (map literals + two scalar cut points): each
+    // arriving document is then scored and gated ROW-LOCALLY — the
+    // pretraining-ingest shape where the corpus-wide model is fit
+    // offline and new crawl arrivals stream through the frozen gate
+    val (lpExpr, cHead, cTail) = TextQueries.ccnetServeModel(spark, dir, "text")
+    val qExpr = TextQueries.qualityScoreExpr("text")
+    val batch = Registry.byName("q_ccnet_filter").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).sorted
+    val mem = MemoryStream[(Long, String)]
+    Tables(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().grouped(64)
+      .foreach(c => mem.addData(c.toSeq))
+    val served = mem.toDF.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", s"$lpExpr AS logprob")
+      .selectExpr("doc_id", "logprob",
+        s"""CASE WHEN logprob >= ${cHead}D THEN 'head'
+                 WHEN logprob >= ${cTail}D THEN 'middle'
+                 ELSE 'tail' END AS ppl_bucket""",
+        s"$qExpr AS quality_score",
+        s"(logprob >= ${cTail}D AND $qExpr >= 0.5D) AS keep")
+    StreamingPipeline.drainAvailableNow(served, "ccnet_serve")
+    val streamed = spark.table("ccnet_serve")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // stateless serving: no aggregation state operator in the plan (the
+    // SQL `aggregate(...)` higher-order fold prints lowercase)
+    assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
+  }
+
   test("streaming twin: q_dedup_exact — online dedup survivors = batch canonicals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
