@@ -273,15 +273,23 @@ object Multimodal {
     val bandStructs = (0 until 4).map(b =>
       s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
       .mkString(", ")
+    // ONE explicit (b, v) exchange shared by every consumer: the
+    // signature computation above it — which may be an image DECODE —
+    // executes once, and the second self-join side is a ReusedExchange.
+    // The bucket-size cut is a count window OVER THE SAME exchange (the
+    // partition-by matches the repartition keys, so no extra shuffle and
+    // no separately-pruned count subtree — a groupBy+join spelling here
+    // planted a column-pruned duplicate exchange that re-ran the decode).
     val bands = sigs.toDF()
       .selectExpr("media_id", "phash",
         s"explode(array($bandStructs)) AS band")
       .selectExpr("media_id", "phash", "band.b AS b", "band.v AS v")
-    val informative = bands.groupBy("b", "v")
-      .agg(count(lit(1)).as("bucket_n"))
+      .repartition(col("b"), col("v"))
+    val okb = bands
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b", "v")))
       .filter(col("bucket_n") <= bucketCap)
-      .select("b", "v")
-    val okb = bands.join(informative, Seq("b", "v"))
+      .drop("bucket_n")
     okb.as("a").join(okb.as("c"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))

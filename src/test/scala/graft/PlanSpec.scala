@@ -160,6 +160,22 @@ class PlanSpec extends SparkSpec {
       s"q_ccnet_filter must not sort-merge any stream:\n$plan")
   }
 
+  test("media near-dup: the image decode materializes once, second join side reuses the exchange") {
+    // blobs are expensive to decode; both self-join sides and the
+    // bucket-size window must hang off ONE (b, v) exchange — a
+    // column-pruned duplicate subtree silently re-runs the whole decode
+    val df = Registry.byName("q_media_neardup").fn(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ImageFeature"),
+      s"decode stage missing from q_media_neardup plan:\n$finalPlan")
+    assert(finalPlan.split("ImageFeature").length - 1 == 1,
+      s"q_media_neardup decodes more than once:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"q_media_neardup self-join lost exchange reuse:\n$finalPlan")
+  }
+
   test("cluster labels are a shared per-(session,dir) artifact") {
     import graft.queries.{DedupQueries, Registry}
     DedupQueries.clearShingleCache()
