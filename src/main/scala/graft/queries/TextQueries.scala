@@ -525,7 +525,11 @@ object TextQueries {
       .join(uniFreq.select(col("token").as("prev"), col("freq").as("c1")),
         "prev")
       .select(col("prev"), col("cur"),
-        Num.rExp(log10(col("c2").cast("double") / col("c1")), 6).as("lp_bg"))
+        Num.rExp(log10(col("c2").cast("double") / col("c1")), 6).as("lp_bg"),
+        // raw conditional (exact integer ratio — engine-identical without
+        // rounding) for the interpolated mixture, which mixes
+        // PROBABILITIES, not logs; consumers that only need lp_bg prune it
+        (col("c2").cast("double") / col("c1")).as("p_bg"))
     LmParts(docs, bigrams, uniFreq, total, uniTop, bgCounts, bgModel)
   }
 
@@ -540,6 +544,44 @@ object TextQueries {
         log10(lit(0.4)) +
           log10(coalesce(col("cfreq").cast("double"), lit(0.5)) / col("total")),
         6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
+          .as("logprob"))
+    p.docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Jelinek–Mercer interpolated bigram LM — the MIXTURE counterpart of
+    * [[bigramLogprob]]'s backoff: every pair scores
+    * log10(λ·P_ml(cur|prev) + (1−λ)·P_uni(cur)), λ = 0.7, where P_ml
+    * comes from the same heap-cut BigramK model (pairs outside the model
+    * contribute only the unigram term — the out-of-model mass folds into
+    * the mixture's unigram component, exactly what interpolation is for)
+    * and P_uni carries the 0.5-count OOV floor. Unlike backoff, EVERY
+    * pair mixes both distributions, so rare-context estimates are
+    * smoothed instead of cliff-edged — the classic alternative smoother
+    * (Jelinek & Mercer 1980; Chen & Goodman 1999 comparison).
+    *
+    * Scale shape: identical to the pinned bigram plan — same broadcast
+    * model joins, same per-doc aggregate; the mixture is one extra
+    * map-side arithmetic expression. Determinism: the mixed probability
+    * is built from exact integer ratios with literal λ on both engines;
+    * only the final log10 is epsilon-nudge-rounded. */
+  private def jmInterpLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val p = lmParts(spark, dir)
+    val perDoc = p.bigrams
+      .join(broadcast(p.bgModel), Seq("prev", "cur"), "left")
+      .join(broadcast(p.uniTop.select(col("token").as("cur"),
+        col("freq").as("cfreq"))), Seq("cur"), "left")
+      .crossJoin(broadcast(p.total))
+      .withColumn("lp", Num.rExp(log10(
+        lit(0.7) * coalesce(col("p_bg"), lit(0.0)) +
+          lit(0.3) * (coalesce(col("cfreq").cast("double"), lit(0.5))
+            / col("total"))), 6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
@@ -1747,6 +1789,27 @@ object TextQueries {
       SELECT doc_id, n_bigrams, logprob
       FROM lpd
       ORDER BY doc_id""")),
+    QueryDef("q_lm_interp", jmInterpLogprob, Some(s"""
+      WITH $bigramLpdCtes,
+      bgp AS (SELECT b.prev, b.cur, CAST(b.c2 AS DOUBLE) / u.freq AS p_bg
+              FROM bgtop b JOIN uni u ON u.token = b.prev),
+      lpj AS (SELECT g.doc_id,
+                     round(log10(0.7 * coalesce(m.p_bg, 0.0) +
+                       0.3 * (coalesce(CAST(v.freq AS DOUBLE), 0.5) / total))
+                       + 1e-8, 6) AS lp
+              FROM bg g LEFT JOIN bgp m ON m.prev = g.prev AND m.cur = g.cur
+                LEFT JOIN topv v ON v.token = g.cur
+                CROSS JOIN tot),
+      perj AS (SELECT doc_id, count(*) AS n_bigrams,
+                      round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0 / count(*) + 1e-9, 4)
+                        AS logprob
+               FROM lpj GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             coalesce(p.logprob, 0.0) AS logprob
+      FROM documents d LEFT JOIN perj p USING (doc_id)
+      ORDER BY d.doc_id""")),
     QueryDef("q_trigram_logprob", trigramLogprob, Some(s"""
       WITH $bigramLpdCtes,
       tg AS (

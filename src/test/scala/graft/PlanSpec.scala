@@ -116,19 +116,22 @@ class PlanSpec extends SparkSpec {
       s"q_dup_spans must not contain a product join:\n$plan")
   }
 
-  test("bigram LM: pair model cut is a top-K heap; scoring joins broadcast") {
-    val plan = finalPlan("q_bigram_logprob")
-    // the top-BigramK model cut must be TakeOrderedAndProject (distributed
-    // per-partition heaps) — a row_number window over the distinct-bigram
-    // domain would be a single-task global sort, the 100 TB straggler
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"q_bigram_logprob model cut lost its top-K heap:\n$plan")
-    // both model joins onto the pair stream must broadcast (K-row and
-    // VocabK-row sides); the stream must never shuffle by pair key
-    assert(plan.contains("BroadcastHashJoin"),
-      s"q_bigram_logprob scoring joins must broadcast the models:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"q_bigram_logprob must not sort-merge the token stream:\n$plan")
+  test("bigram LM family: pair model cut is a top-K heap; scoring joins broadcast") {
+    Seq("q_bigram_logprob", "q_lm_interp").foreach { q =>
+      val plan = finalPlan(q)
+      // the top-BigramK model cut must be TakeOrderedAndProject
+      // (distributed per-partition heaps) — a row_number window over the
+      // distinct-bigram domain would be a single-task global sort, the
+      // 100 TB straggler
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q model cut lost its top-K heap:\n$plan")
+      // both model joins onto the pair stream must broadcast (K-row and
+      // VocabK-row sides); the stream must never shuffle by pair key
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q scoring joins must broadcast the models:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q must not sort-merge the token stream:\n$plan")
+    }
   }
 
   test("trigram LM: model cut is a top-K heap; both backoff models broadcast") {
