@@ -273,23 +273,31 @@ object Multimodal {
     val bandStructs = (0 until 4).map(b =>
       s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
       .mkString(", ")
-    // ONE explicit (b, v) exchange shared by every consumer: the
-    // signature computation above it — which may be an image DECODE —
-    // executes once, and the second self-join side is a ReusedExchange.
-    // The bucket-size cut is a count window OVER THE SAME exchange (the
-    // partition-by matches the repartition keys, so no extra shuffle and
-    // no separately-pruned count subtree — a groupBy+join spelling here
-    // planted a column-pruned duplicate exchange that re-ran the decode).
-    val bands = sigs.toDF()
+    // Signatures MATERIALIZE ONCE (the computation above may be a full
+    // image decode): every consumer — bucket census, both self-join
+    // sides — reads the checkpointed RDD, the same shared-artifact
+    // pattern as the dedup cluster labels. Naive spellings re-ran the
+    // decode per consumer (consumer-specific column pruning defeats
+    // exchange reuse on otherwise-identical subtrees).
+    val sigDf = sigs.toDF().localCheckpoint()
+    val bands = sigDf
       .selectExpr("media_id", "phash",
         s"explode(array($bandStructs)) AS band")
       .selectExpr("media_id", "phash", "band.b AS b", "band.v AS v")
-      .repartition(col("b"), col("v"))
-    val okb = bands
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("b", "v")))
-      .filter(col("bucket_n") <= bucketCap)
-      .drop("bucket_n")
+    // Hot-bucket census and cut, shaped so NO task ever holds a hot
+    // bucket's raw rows: the census is a map-side-combinable groupBy
+    // (each task emits one (b, v, partial) — a corpus-wide hot value
+    // reaches the reduce side as ≤ #tasks partials, never raw rows), and
+    // the cut is a broadcast ANTI join, so hot rows are dropped map-side
+    // BEFORE the (b, v) shuffle that co-locates the self-join. A window
+    // count over (b, v) — the previous spelling — materialized every hot
+    // bucket on one task first, precisely the pile-up the cap exists to
+    // prevent. The hot list is tiny by construction: ≤ 4N/cap entries.
+    val hot = bands.groupBy("b", "v")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > bucketCap)
+      .select("b", "v")
+    val okb = bands.join(broadcast(hot), Seq("b", "v"), "left_anti")
     okb.as("a").join(okb.as("c"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))

@@ -163,20 +163,30 @@ class PlanSpec extends SparkSpec {
       s"q_ccnet_filter must not sort-merge any stream:\n$plan")
   }
 
-  test("media near-dup: the image decode materializes once, second join side reuses the exchange") {
-    // blobs are expensive to decode; both self-join sides and the
-    // bucket-size window must hang off ONE (b, v) exchange — a
-    // column-pruned duplicate subtree silently re-runs the whole decode
+  test("media near-dup: decode materializes once as a checkpointed artifact; hot buckets cut map-side") {
     val df = Registry.byName("q_media_neardup").fn(spark, sf)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(finalPlan.contains("ImageFeature"),
-      s"decode stage missing from q_media_neardup plan:\n$finalPlan")
-    assert(finalPlan.split("ImageFeature").length - 1 == 1,
-      s"q_media_neardup decodes more than once:\n$finalPlan")
-    assert(finalPlan.contains("ReusedExchange"),
-      s"q_media_neardup self-join lost exchange reuse:\n$finalPlan")
+    // the decode must happen ONCE, at signature checkpoint time — if
+    // ImageFeature MapPartitions appears in the query plan itself, some
+    // consumer is re-running the decode (consumer-specific column
+    // pruning defeats exchange reuse, so per-consumer copies multiply)
+    assert(!finalPlan.contains("ImageFeature"),
+      s"q_media_neardup re-runs the decode inside the query plan:\n$finalPlan")
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"q_media_neardup must read the checkpointed signature RDD:\n$finalPlan")
+    // the hot-bucket cut must be an ANTI join (map-side drop BEFORE the
+    // (b, v) shuffle) — a shuffle-side cut would pile every hot bucket's
+    // raw rows onto one task first. Checked on the OPTIMIZED LOGICAL
+    // plan: at this SF no bucket exceeds the cap, so AQE's
+    // empty-relation propagation rightly erases the join from the final
+    // physical plan
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"),
+      s"q_media_neardup hot-bucket cut must be an anti join:\n$logical")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"q_media_neardup must not sort-merge:\n$finalPlan")
   }
 
   test("cluster labels are a shared per-(session,dir) artifact") {

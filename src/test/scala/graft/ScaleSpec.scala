@@ -436,7 +436,22 @@ class ScaleSpec extends SparkSpec {
 
     val c1 = cands(1, Multimodal.BandBucketCap).count()
     val c4df = cands(4, Multimodal.BandBucketCap)
-    val c4 = c4df.count()
+    // instrumented m=4 run: fixed partitioning so fair-share is meaningful
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedCoalesce =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val listener = new StageSkewListener
+    spark.sparkContext.addSparkListener(listener)
+    val c4 = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c4df.count()
+    } finally {
+      // snapshot read happens below; the conf restore must not wait on it
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        savedCoalesce)
+    }
     assert(c1 > 0)
     // post-cap candidates are exactly the planted clusters: linear growth
     val e = growthExponent(c1, c4)
@@ -452,6 +467,28 @@ class ScaleSpec extends SparkSpec {
       .filter(expr("id_a div 1000000") =!= expr("id_b div 1000000")).count()
     assert(cross == 0L,
       s"$cross cross-replica candidate pairs — the bucket cap failed to kill the hot-band clique")
+    // per-task fair share on the instrumented run: even with the hot-band
+    // bucket present in the DATA, no shuffle-consuming stage of the
+    // capped banding pipeline may pile its records onto one task
+    val deadline = System.nanoTime() + 10000000000L
+    var snapshot = listener.perStage.readOnlySnapshot().toMap
+    var settled = false
+    while (!settled && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      val next = listener.perStage.readOnlySnapshot().toMap
+      settled = next == snapshot
+      snapshot = next
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    val violations = snapshot.toSeq.collect {
+      case (sid, (mx, sum, n)) if sum > 4000 &&
+          mx > math.max(6.0 * sum / n, 4000.0) =>
+        s"stage $sid: max task read $mx of $sum records over $n tasks"
+    }
+    assert(violations.isEmpty,
+      s"hot-key pile-up in media banding stages:\n${violations.mkString("\n")}")
+    assert(snapshot.values.map(_._2).sum > 5000,
+      s"instrumented run moved too few records to be meaningful: $snapshot")
     // control: WITHOUT the cap the same signatures go quadratic — the cap
     // is what carries the bound, not the data being conveniently sparse
     val eU = growthExponent(
