@@ -145,7 +145,8 @@ class PropertySpec extends SparkSpec {
     // shuffle partitions, results must be bit-identical
     Seq("q_twap", "q_vwap", "q_rsi", "q_zipf", "q_corr_matrix", "q_beta",
       "q_autocorr", "q_chi2", "q_entropy", "q_dup_spans",
-      "q_unigram_logprob", "q_bigram_logprob").foreach { q =>
+      "q_unigram_logprob", "q_bigram_logprob", "q_trigram_logprob",
+      "q_lm_interp", "q_ccnet_filter", "q_media_neardup").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
