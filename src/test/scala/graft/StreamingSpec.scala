@@ -394,6 +394,69 @@ class StreamingSpec extends SparkSpec {
     assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
   }
 
+  test("streaming model serving: image near-dup probe against a frozen corpus index equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // the image-ingest gate: a crawler's NEW blobs stream in, decode
+    // executor-side, and probe the FROZEN corpus banding index via a
+    // stream-static join — the image analogue of the CCNet/BPE serving
+    // twins. Corpus = the sf0.001 synth images; arrivals = 20 re-crawled
+    // copies (same pixels, new ids) + 10 fresh images.
+    def dims(seed: Long) = ((16 + (seed % 6) * 8).toInt, (16 + (seed % 4) * 8).toInt)
+    val corpusIds = (0L until 50L).toSeq
+    val corpusBlobs = corpusIds.map { id =>
+      val (w, h) = dims(id); (id, Multimodal.synthPng(id, w, h))
+    }
+    val arrivals = corpusIds.take(20).map { id =>
+      val (w, h) = dims(id); (id + 100000L, Multimodal.synthPng(id, w, h))
+    } ++ (0L until 10L).map { i =>
+      val (w, h) = dims(i); (200000L + i, Multimodal.synthPng(7777L + i, w, h))
+    }
+    // frozen index: corpus signatures exploded to (b, v) band keys — a
+    // static table the stream joins per micro-batch (no state)
+    val corpusSigs = Multimodal.perceptualHashImagePartitioned(
+      corpusBlobs.toDF("media_id", "bytes"))
+    val bandStructs = (0 until 4).map(b =>
+      s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
+      .mkString(", ")
+    val index = corpusSigs.toDF()
+      .selectExpr("media_id AS corpus_id", "phash AS corpus_phash",
+        s"explode(array($bandStructs)) AS band")
+      .selectExpr("corpus_id", "corpus_phash", "band.b AS b", "band.v AS v")
+    // batch truth: banded near-dups over corpus ∪ arrivals, restricted to
+    // corpus × new pairs (the ingest gate only probes vs the corpus)
+    val unionSigs = Multimodal.perceptualHashImagePartitioned(
+      (corpusBlobs ++ arrivals).toDF("media_id", "bytes"))
+    val batch = Multimodal.mediaNearDups(unionSigs)
+      .filter(col("id_a") < 100000L && col("id_b") >= 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    // the stream: blobs arrive, decode per partition, probe the index
+    val mem = MemoryStream[(Long, Array[Byte])]
+    arrivals.grouped(10).foreach(c => mem.addData(c.toSeq))
+    val streamSigs = Multimodal.perceptualHashImagePartitioned(
+      mem.toDF.toDF("media_id", "bytes")).toDF()
+      .selectExpr("media_id", "phash",
+        s"explode(array($bandStructs)) AS band")
+      .selectExpr("media_id", "phash", "band.b AS b", "band.v AS v")
+    val flagged = streamSigs.join(index, Seq("b", "v"))
+      .filter(expr("bit_count(phash ^ corpus_phash) <= 3"))
+      .select(col("corpus_id").as("id_a"), col("media_id").as("id_b"))
+    StreamingPipeline.drainAvailableNow(flagged, "media_ingest_probe")
+    // a pair matching on several bands emits several times — pair-level
+    // exactly-once would reuse the dedupByContent watermark pattern; the
+    // serving shape under test here is the STATELESS decode + probe
+    val streamed = spark.table("media_ingest_probe")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed ingest flags ${streamed.size} pairs, batch says ${batch.size}")
+    // every re-crawled copy was caught against its original…
+    assert(corpusIds.take(20).forall(id => streamed.contains((id, id + 100000L))))
+    // …and the probe plan holds no aggregation state
+    assert(!flagged.queryExecution.analyzed.toString.contains("Aggregate "))
+  }
+
   test("streaming twin: q_dedup_exact — online dedup survivors = batch canonicals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
