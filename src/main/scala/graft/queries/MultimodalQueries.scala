@@ -83,6 +83,32 @@ object MultimodalQueries {
                 AS BIGINT) AS phash_lo
     FROM bits GROUP BY doc_id ORDER BY doc_id"""
 
+  /** One decoded-signature table per (session, dir) — the same
+    * derived-artifact discipline as the text side's shingle/cluster
+    * caches: the image DECODE (the expensive stage) runs once per lake
+    * snapshot and the tiny (media_id, phash) table is localCheckpoint'ed
+    * for every consumer (near-dup pairs, cluster formation). */
+  private val mediaSigCacheMap =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def mediaSigsCached(spark: SparkSession, dir: String): DataFrame = {
+    mediaSigCacheMap.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) mediaSigCacheMap.remove(k)
+    }
+    mediaSigCacheMap.getOrElseUpdate((spark, dir), {
+      val dims = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("w"),
+          (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("h"))
+      val blobs = Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
+      Multimodal.perceptualHashImagePartitioned(blobs).toDF().localCheckpoint()
+    })
+  }
+
+  private def mediaSigsDs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    mediaSigsCached(spark, dir).as[Multimodal.MediaSig]
+  }
+
   /** Image near-dup pairs over REAL decoded aHashes: synth PNGs are
     * decoded executor-side, each collapses to one 64-bit signature, and
     * pairs within Hamming ≤ 3 come from the pigeonhole band join with the
@@ -91,22 +117,30 @@ object MultimodalQueries {
     * every signature analytically from the pixel formula AND mirrors the
     * capped candidate generation, so a green hash proves both the decode
     * path and the banding semantics. */
-  private def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val dims = Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("w"),
-        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("h"))
-    val blobs = Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
-    val sigs = Multimodal.perceptualHashImagePartitioned(blobs)
-    Multimodal.mediaNearDups(sigs, maxHamming = 3)
+  private def mediaNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaNearDups(mediaSigsDs(spark, dir), maxHamming = 3)
       .orderBy("id_a", "id_b")
-  }
+
+  /** Image dedup cluster formation: connected components over the banded
+    * near-dup pair graph — the image twin of the text side's
+    * `q_dedup_clusters`, reusing the SAME min-label propagation
+    * ([[DedupQueries.clusterLabels]]): every clustered image gets the
+    * smallest media_id reachable from it as its canonical id, ready for
+    * keep-one-representative dedup. Runs off the shared decoded-signature
+    * artifact, so the decode is not re-paid. */
+  private def mediaClusters(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.clusterLabels(
+      Multimodal.mediaNearDups(mediaSigsDs(spark, dir), maxHamming = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+      .orderBy("media_id")
 
   /** The oracle's banding works on (hi, lo) halves — DuckDB BIGINT left
     * shift errors on hi<<32 overflow, and band extraction / Hamming both
-    * decompose exactly over the halves. */
-  private val mediaNearDupSql = s"""
-    WITH dims AS (
+    * decompose exactly over the halves. One CTE chain ending in
+    * `pairs` = (id_a, id_b, hamming), shared by the near-dup and cluster
+    * oracles so the two can never drift. */
+  private val mediaPairCtes = s"""dims AS (
       SELECT doc_id,
              CAST(16 + (doc_id % 6) * 8 AS BIGINT) AS w,
              CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS h
@@ -151,16 +185,37 @@ object MultimodalQueries {
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              a.hi AS ha, a.lo AS la, c.hi AS hb, c.lo AS lb
       FROM okb a JOIN okb c
-        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
-    SELECT id_a, id_b,
-           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
-             AS hamming
-    FROM cand
-    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+               AS hamming
+      FROM cand
+      WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3)"""
+
+  private val mediaNearDupSql = s"""
+    WITH $mediaPairCtes
+    SELECT id_a, id_b, hamming
+    FROM pairs
     ORDER BY id_a, id_b"""
+
+  private val mediaClustersSql = s"""
+    WITH RECURSIVE $mediaPairCtes,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.src <> e.dst)
+    SELECT src AS media_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    ORDER BY media_id"""
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_media_neardup", mediaNearDup, Some(mediaNearDupSql)),
+    QueryDef("q_media_clusters", mediaClusters, Some(mediaClustersSql)),
     QueryDef("q_multimodal_meta", multimodalMeta, Some("""
       SELECT doc_id, TRUE AS is_valid,
              n_chars AS width,
