@@ -48,6 +48,7 @@ object Bench {
     // drop warmup-SF cached tables so they don't occupy storage memory
     // (or appear as phantom residency) during the measured run
     graft.queries.DedupQueries.clearShingleCache()
+    graft.queries.MultimodalQueries.clearMediaSigCache()
     // Steady-state warmup AT THE BENCH SF: per-(session, dir) shared
     // artifacts (cluster labels, cached shingle tables, OS page cache for
     // the bench parquet) are built during whichever query touches them

@@ -90,6 +90,16 @@ object MultimodalQueries {
     * for every consumer (near-dup pairs, cluster formation). */
   private val mediaSigCacheMap =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Evict the decoded-signature artifacts (paired with
+    * [[DedupQueries.clearShingleCache]] — Bench calls both after its
+    * warmup pass so warmup-dir checkpoint blocks don't occupy executor
+    * storage during the measured run). */
+  def clearMediaSigCache(): Unit = {
+    mediaSigCacheMap.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    mediaSigCacheMap.clear()
+  }
   private def mediaSigsCached(spark: SparkSession, dir: String): DataFrame = {
     mediaSigCacheMap.keys.foreach { case k @ (s, _) =>
       if (s.sparkContext.isStopped) mediaSigCacheMap.remove(k)
