@@ -91,14 +91,34 @@ object MultimodalQueries {
   private val mediaSigCacheMap =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Evict the decoded-signature artifacts (paired with
-    * [[DedupQueries.clearShingleCache]] — Bench calls both after its
-    * warmup pass so warmup-dir checkpoint blocks don't occupy executor
-    * storage during the measured run). */
+  /** One cluster-label table per (session, dir), built over the shared
+    * signature artifact — clusters and canonical dedup are two views
+    * over ONE clustering, the text side's exact discipline. */
+  private val mediaLabelCacheMap =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def mediaClusterLabelsCached(spark: SparkSession,
+      dir: String): DataFrame = {
+    mediaLabelCacheMap.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) mediaLabelCacheMap.remove(k)
+    }
+    mediaLabelCacheMap.getOrElseUpdate((spark, dir),
+      DedupQueries.clusterLabels(
+        Multimodal.mediaNearDups(mediaSigsDs(spark, dir), maxHamming = 3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .select(col("doc_id").as("media_id"), col("cluster_id")))
+  }
+
+  /** Evict the decoded-signature and cluster-label artifacts (paired
+    * with [[DedupQueries.clearShingleCache]] — Bench calls both after
+    * its warmup pass so warmup-dir checkpoint blocks don't occupy
+    * executor storage during the measured run). */
   def clearMediaSigCache(): Unit = {
     mediaSigCacheMap.values.foreach(df =>
       try df.unpersist() catch { case _: Throwable => () })
     mediaSigCacheMap.clear()
+    mediaLabelCacheMap.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    mediaLabelCacheMap.clear()
   }
   private def mediaSigsCached(spark: SparkSession, dir: String): DataFrame = {
     mediaSigCacheMap.keys.foreach { case k @ (s, _) =>
@@ -139,11 +159,24 @@ object MultimodalQueries {
     * keep-one-representative dedup. Runs off the shared decoded-signature
     * artifact, so the decode is not re-paid. */
   private def mediaClusters(spark: SparkSession, dir: String): DataFrame =
-    DedupQueries.clusterLabels(
-      Multimodal.mediaNearDups(mediaSigsDs(spark, dir), maxHamming = 3)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-      .select(col("doc_id").as("media_id"), col("cluster_id"))
-      .orderBy("media_id")
+    mediaClusterLabelsCached(spark, dir).orderBy("media_id")
+
+  /** The image-dedup end-product: keep the min-media_id representative
+    * of each near-dup cluster, with survivor accounting per source
+    * (image count + total pixels retained) — the image twin of
+    * `q_dedup_canonical`, off the same shared clustering. */
+  private def mediaCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val drops = mediaClusterLabelsCached(spark, dir)
+      .filter(col("media_id") =!= col("cluster_id"))
+      .select(col("media_id").as("doc_id"))
+    Tables(spark, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        sum((lit(16) + col("doc_id") % 6 * 8) *
+          (lit(16) + col("doc_id") % 4 * 8)).as("total_px"))
+      .orderBy("source")
+  }
 
   /** The oracle's banding works on (hi, lo) halves — DuckDB BIGINT left
     * shift errors on hi<<32 overflow, and band extraction / Hamming both
@@ -209,8 +242,10 @@ object MultimodalQueries {
     FROM pairs
     ORDER BY id_a, id_b"""
 
-  private val mediaClustersSql = s"""
-    WITH RECURSIVE $mediaPairCtes,
+  /** Recursive transitive-closure chain ending in `mlabels` =
+    * (media_id, cluster_id), shared by the clusters and canonical
+    * oracles. */
+  private val mediaLabelCtes = s"""$mediaPairCtes,
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs),
@@ -218,14 +253,32 @@ object MultimodalQueries {
       SELECT src, dst FROM edges
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      WHERE r.src <> e.dst)
-    SELECT src AS media_id, least(src, min(dst)) AS cluster_id
-    FROM reach GROUP BY src
+      WHERE r.src <> e.dst),
+    mlabels AS (
+      SELECT src AS media_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src)"""
+
+  private val mediaClustersSql = s"""
+    WITH RECURSIVE $mediaLabelCtes
+    SELECT media_id, cluster_id
+    FROM mlabels
     ORDER BY media_id"""
+
+  private val mediaCanonicalSql = s"""
+    WITH RECURSIVE $mediaLabelCtes,
+    drops AS (SELECT media_id FROM mlabels WHERE media_id <> cluster_id)
+    SELECT source, count(*) AS n_images,
+           CAST(sum((16 + (doc_id % 6) * 8) * (16 + (doc_id % 4) * 8))
+                AS BIGINT) AS total_px
+    FROM documents
+    WHERE doc_id NOT IN (SELECT media_id FROM drops)
+    GROUP BY source
+    ORDER BY source"""
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_media_neardup", mediaNearDup, Some(mediaNearDupSql)),
     QueryDef("q_media_clusters", mediaClusters, Some(mediaClustersSql)),
+    QueryDef("q_media_canonical", mediaCanonical, Some(mediaCanonicalSql)),
     QueryDef("q_multimodal_meta", multimodalMeta, Some("""
       SELECT doc_id, TRUE AS is_valid,
              n_chars AS width,
