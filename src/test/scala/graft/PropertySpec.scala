@@ -146,7 +146,8 @@ class PropertySpec extends SparkSpec {
     Seq("q_twap", "q_vwap", "q_rsi", "q_zipf", "q_corr_matrix", "q_beta",
       "q_autocorr", "q_chi2", "q_entropy", "q_dup_spans",
       "q_unigram_logprob", "q_bigram_logprob", "q_trigram_logprob",
-      "q_lm_interp", "q_ccnet_filter", "q_media_neardup").foreach { q =>
+      "q_lm_interp", "q_ccnet_filter", "q_media_neardup",
+      "q_media_clusters", "q_media_canonical").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
