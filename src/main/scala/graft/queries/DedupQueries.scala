@@ -478,6 +478,20 @@ object DedupQueries {
     * cluster id becomes the smallest doc_id reachable from it. Factored
     * out of [[dedupClusters]] so tests can drive it with constructed edge
     * lists (e.g. a long chain that forces the checkpoint branch). */
+  /** Release a superseded label generation: `unpersist` drops a
+    * DF-level cache, but a localCheckpoint'ed generation's storage lives
+    * on its underlying RDD, which only the ContextCleaner would free (at
+    * some future GC) — a per-round-checkpointing loop must release each
+    * superseded generation eagerly or checkpoint blocks accumulate. */
+  private def releaseGeneration(df: DataFrame): Unit = {
+    try df.unpersist() catch { case _: Throwable => () }
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try l.rdd.unpersist(false) catch { case _: Throwable => () }
+      case _ => ()
+    }
+  }
+
   private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
     // undirected edge list (both directions) + self-loops so isolated
     // members keep their own label
@@ -496,20 +510,36 @@ object DedupQueries {
             col("dst") === col("dst2"))
           .groupBy(col("src").as("node"))
           .agg(min("label").as("nlabel"))
-        val stepped = labels.join(viaNeighbors, Seq("node"), "left")
+        val neighborMin = labels.join(viaNeighbors, Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nlabel"), col("label")))
               .as("label"))
-        // localCheckpoint every few iterations cuts the join-on-join
-        // lineage (else plan depth, task binary size and recovery cost
-        // grow linearly with iterations); cache in between is enough
-        // because each iteration only reads the previous one.
-        val next =
-          if ((iter + 1) % 5 == 0) stepped.localCheckpoint()
-          else stepped.cache()
+          .cache()
+        // pointer jumping: label(n) := min(label(n), label(label(n))).
+        // Neighbor-min alone walks one hop per iteration, so a chain
+        // cluster of diameter d costs d rounds (each round = 2-3 Spark
+        // jobs of fixed overhead — measured 13 rounds / 32 s first-touch
+        // on the sf0.1 image graph); with shortcutting the label graph's
+        // depth halves every round, giving O(log d) rounds to the SAME
+        // fixed point (min reachable id — the monotone-decrease argument
+        // is unchanged, and the changed==0 exactness guard still decides
+        // convergence).
+        val stepped = neighborMin.as("x")
+          .join(neighborMin.select(col("node").as("jn"),
+            col("label").as("jlabel")), col("x.label") === col("jn"), "left")
+          .select(col("x.node").as("node"),
+            least(col("x.label"), coalesce(col("jlabel"), col("x.label")))
+              .as("label"))
+        // the shortcut join reads neighborMin on BOTH sides, so the
+        // lineage doubles per round — cut it EVERY round. Rounds are
+        // O(log diameter) with jumping, so the number of label-table
+        // materializations stays small (and the table itself is tiny:
+        // one (node, label) row per clustered doc).
+        val next = stepped.localCheckpoint()
         changed = next.join(labels.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old")).count()
-        labels.unpersist() // superseded generation: next is materialized
+        neighborMin.unpersist()
+        releaseGeneration(labels) // superseded: next is materialized
         labels = next
         iter += 1
       }
@@ -525,7 +555,7 @@ object DedupQueries {
       val out = labels
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .localCheckpoint()
-      labels.unpersist()
+      releaseGeneration(labels)
       out
     } finally {
       edges.unpersist()

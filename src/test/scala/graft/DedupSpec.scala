@@ -180,11 +180,11 @@ class DedupSpec extends SparkSpec {
   test("long-chain cluster loop: checkpoint branch taken, exact labels, bounded caching") {
     import spark.implicits._
     import graft.queries.DedupQueries
-    // A pure chain 0-1-2-…-12 (diameter 12): min-label 0 travels one hop
-    // per iteration, so convergence needs ≥ 12 iterations — the
-    // localCheckpoint-every-5-iters branch fires at iters 5 and 10 (the
-    // short-diameter corpora in other tests never reach it). Plus an
-    // isolated pair to prove labels don't bleed across components.
+    // A pure chain 0-1-2-…-12 (diameter 12): the worst case for label
+    // propagation — with pointer jumping the label-graph depth halves
+    // every round, so convergence takes O(log 12) rounds, each of which
+    // localCheckpoints and must RELEASE its superseded generation. Plus
+    // an isolated pair to prove labels don't bleed across components.
     val chain = (0L until 12L).map(i => (i, i + 1))
     val pairs = (chain :+ (100L, 101L)).toDF("doc_a", "doc_b")
     DedupQueries.clearShingleCache()
@@ -194,12 +194,12 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(out == ((0L to 12L).map((_, 0L)) ++ Seq((100L, 100L), (101L, 100L))))
-    // ≥ 13 iterations ran, yet the superseded generations were released:
-    // only the final labels generation (+ at most a pending-GC checkpoint
+    // every round checkpointed, yet the superseded generations were
+    // released: only the final labels generation (+ at most a pending-GC
     // RDD and the cached edge list's replacement window) may remain.
     assert(after - before <= 3,
-      s"cached RDDs grew by ${after - before} over a 13-iteration loop — " +
-        "checkpoint/unpersist path is leaking generations")
+      s"cached RDDs grew by ${after - before} over the deep-chain loop — " +
+        "checkpoint/release path is leaking generations")
   }
 
   test("simhash of identical token multisets is identical (hamming 0)") {
