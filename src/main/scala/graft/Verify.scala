@@ -9,6 +9,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Builder-side iteration aid: GRAFT_ONLY=q_a,q_b dumps (and lists in
+    // oracle_sql.json) just those queries. The driver sets no such env,
+    // so its runs always cover the full registry.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     // Setup, not query work: q_ann_ivf / q_ann_pq are pure reads that
@@ -20,7 +25,7 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] offline model training failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,6 +48,7 @@ object Verify {
     // by trainIvfCentroids during the query run above); its path depends
     // on the sf dir, so the static SQL carries a token resolved here.
     val json = SparkEntry.oracleSql
+      .filter(kv => wanted(kv._1))
       .map { case (k, v) =>
         val sql = v
           .replace(graft.queries.SimilarityQueries.IvfCentroidsToken,

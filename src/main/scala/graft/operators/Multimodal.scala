@@ -204,6 +204,85 @@ object Multimodal {
       .toDF("media_id", "bytes")
   }
 
+  /** Deterministic synthetic PCM: `n` signed-8-bit samples for media id
+    * `id`, stored offset-binary (byte = sample + 128). The waveform is a
+    * 13-step sawtooth with every third frame (64-sample block, phased by
+    * id) attenuated to a near-silent ±4 dither — so framed features see
+    * both active and silent regions and VAD-style segmentation has real
+    * structure to find. Pure integer arithmetic on non-negative operands,
+    * hence bit-identical on any engine (the SQL oracle re-derives every
+    * sample analytically). */
+  def synthPcm(id: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val base = java.lang.Math.floorMod(id * 31 + 13L * i, 256L).toInt
+      val frame = i / 64
+      val v = if (java.lang.Math.floorMod(frame + id, 3L) == 0L) base % 8 - 4
+        else base - 128
+      out(i) = (v + 128).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Executor-side synthetic-PCM generator: (id, n) rows → framed audio
+    * blobs (12-byte header: magic ++ n_samples ++ sample_rate, then the
+    * offset-binary payload). Blobs are born per-partition and never visit
+    * the driver — the same ingest shape as [[encodeSynthPngPartitioned]]. */
+  val PcmSampleRate = 8000
+  def encodeSynthPcmPartitioned(df: DataFrame, idCol: String,
+      nCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nCol).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          val payload = synthPcm(id, n)
+          val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+          bb.putInt(0x47524654) // "GRFT"
+          bb.putInt(n)
+          bb.putInt(PcmSampleRate)
+          bb.put(payload)
+          (id, bb.array())
+        }
+      }
+      .toDF("media_id", "bytes")
+  }
+
+  /** Framed audio features over a PCM blob column — entirely pure
+    * Catalyst expressions (substring/conv byte decode, array transform/
+    * aggregate), so the whole decode→frame→feature path stays inside
+    * WholeStageCodegen: no UDF, no mapPartitions, blobs never shuffle,
+    * only fixed-width (media_id, frame, n_samp, energy, zc) rows do.
+    * Per frame of `frameLen` samples (last frame may be partial):
+    * exact integer energy Σv² and the zero-crossing count — the two
+    * classic VAD / speech-activity features. Empty payloads produce zero
+    * frames rather than a descending-sequence error. */
+  def pcmFrameFeatures(df: DataFrame, frameLen: Int = 64,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame =
+    df.selectExpr(s"$idCol AS media_id",
+        s"substring($bytesCol, 13, length($bytesCol) - 12) AS payload")
+      .selectExpr("media_id", "payload",
+        s"""explode(CASE WHEN length(payload) > 0
+             THEN sequence(0, (length(payload) + ${frameLen - 1})
+                              div $frameLen - 1)
+             ELSE array() END) AS frame""")
+      .selectExpr("media_id", "frame",
+        s"""transform(
+             sequence(frame * $frameLen + 1,
+                      least((frame + 1) * $frameLen, length(payload))),
+             j -> cast(conv(hex(substring(payload, j, 1)), 16, 10) AS INT)
+                  - 128) AS s""")
+      .selectExpr("media_id", "cast(frame AS BIGINT) AS frame",
+        "cast(size(s) AS BIGINT) AS n_samp",
+        "aggregate(s, 0L, (a, x) -> a + cast(x AS BIGINT) * x) AS energy",
+        """cast(CASE WHEN size(s) >= 2
+             THEN size(filter(sequence(1, size(s) - 1),
+               j -> element_at(s, j) * element_at(s, j + 1) < 0))
+             ELSE 0 END AS BIGINT) AS zc""")
+
   /** One media perceptual signature — 64-bit aHash. */
   case class MediaSig(media_id: Long, phash: Long)
 

@@ -178,6 +178,100 @@ object MultimodalQueries {
       .orderBy("source")
   }
 
+  /** Deterministic per-doc sample count for the audio family: 200–488
+    * samples, deliberately NOT a multiple of the 64-sample frame so the
+    * partial-last-frame path is exercised end-to-end. */
+  private def audioBlobs(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.encodeSynthPcmPartitioned(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          (lit(200) + (col("doc_id") % 7) * 48).cast("int").as("n")),
+      "doc_id", "n")
+
+  /** Framed audio features over REAL binary blobs: synthetic PCM is
+    * encoded executor-side, then the engine decodes the actual payload
+    * bytes back through pure Catalyst expressions and emits per-frame
+    * exact integer energy and zero-crossing counts — the audio analogue
+    * of [[mediaPhash]]'s decode round-trip. The oracle re-derives every
+    * sample analytically from the waveform formula, so a green hash
+    * proves the byte round-trip AND the framing/feature arithmetic. At
+    * scale the shape is the multimodal contract: blobs are born, decoded
+    * and dropped inside one codegen stage; only 5-column integer frame
+    * rows ever shuffle. */
+  private def audioFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))
+      .selectExpr("media_id AS doc_id", "frame", "n_samp", "energy", "zc")
+      .orderBy("doc_id", "frame")
+
+  /** Shared oracle CTE chain ending in `fr` = per-frame features,
+    * re-deriving each sample from the synth formula (every third frame,
+    * phased by doc_id, is the ±4 near-silent dither). */
+  private val audioFrameCtes = """dims AS (
+      SELECT doc_id, 200 + (doc_id % 7) * 48 AS n FROM documents),
+    samp AS (
+      SELECT doc_id, i, i // 64 AS frame,
+             CASE WHEN ((i // 64) + doc_id) % 3 = 0
+                  THEN ((doc_id * 31 + 13 * i) % 256) % 8 - 4
+                  ELSE (doc_id * 31 + 13 * i) % 256 - 128 END AS v
+      FROM dims, unnest(generate_series(0, n - 1)) AS u(i)),
+    lagd AS (
+      SELECT doc_id, frame, v,
+             lag(v) OVER (PARTITION BY doc_id, frame ORDER BY i) AS pv
+      FROM samp),
+    fr AS (
+      SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+             count(*) AS n_samp,
+             CAST(sum(v * v) AS BIGINT) AS energy,
+             CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zc
+      FROM lagd GROUP BY doc_id, frame)"""
+
+  private val audioFramesSql = s"""
+    WITH $audioFrameCtes
+    SELECT doc_id, frame, n_samp, energy, zc
+    FROM fr
+    ORDER BY doc_id, frame"""
+
+  /** Energy threshold separating the sawtooth's active frames (~350k)
+    * from the dithered near-silent ones (≤ 1024): VAD with an order-of-
+    * magnitude margin on both sides. */
+  private val AudioActiveThreshold = 10000L
+
+  /** Voice-activity segmentation: contiguous runs of active frames
+    * (energy ≥ threshold) become segments via gaps-and-islands
+    * (frame − row_number = run id) — the audio twin of the sessionize /
+    * streaks shape, windowed PER DOC so no global sort exists; segment
+    * rows are what a speech pipeline ships downstream (petabytes of
+    * waveform in, a segment table out). */
+  private def audioSilence(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame")
+    Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))
+      .selectExpr("media_id AS doc_id", "frame", "energy")
+      .filter(col("energy") >= AudioActiveThreshold)
+      .withColumn("grp", col("frame") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("frame").as("seg_start"), max("frame").as("seg_end"),
+        count(lit(1)).as("n_frames"), sum("energy").as("energy_sum"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "energy_sum")
+      .orderBy("doc_id", "seg_start")
+  }
+
+  private val audioSilenceSql = s"""
+    WITH $audioFrameCtes,
+    act AS (
+      SELECT doc_id, frame, energy,
+             frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+               AS grp
+      FROM fr WHERE energy >= $AudioActiveThreshold)
+    SELECT doc_id,
+           CAST(min(frame) AS BIGINT) AS seg_start,
+           CAST(max(frame) AS BIGINT) AS seg_end,
+           count(*) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS energy_sum
+    FROM act GROUP BY doc_id, grp
+    ORDER BY doc_id, seg_start"""
+
   /** The oracle's banding works on (hi, lo) halves — DuckDB BIGINT left
     * shift errors on hi<<32 overflow, and band extraction / Hamming both
     * decompose exactly over the halves. One CTE chain ending in
@@ -287,5 +381,7 @@ object MultimodalQueries {
       FROM documents
       ORDER BY doc_id""")),
     QueryDef("q_media_phash", mediaPhash, Some(mediaPhashSql)),
+    QueryDef("q_audio_frames", audioFrames, Some(audioFramesSql)),
+    QueryDef("q_audio_segments", audioSilence, Some(audioSilenceSql)),
   )
 }

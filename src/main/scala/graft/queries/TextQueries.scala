@@ -506,12 +506,15 @@ object TextQueries {
 
   private def lmParts(spark: SparkSession, dir: String): LmParts = {
     val docs = Tables(spark, dir, "documents")
-    val toksDf = docs.selectExpr("doc_id", s"$toks AS t")
+    val toksDf = docs.selectExpr("doc_id", "lang", s"$toks AS t")
+    // `lang` rides along for consumers that slice the pair stream by
+    // domain (DSIR's target-vs-raw censuses); LM consumers never select
+    // it, so Catalyst prunes it out of their plans
     val bigrams = toksDf.filter(size(col("t")) >= 2)
-      .selectExpr("doc_id",
+      .selectExpr("doc_id", "lang",
         """explode(arrays_zip(slice(t, 1, size(t) - 1),
                               slice(t, 2, size(t) - 1))) AS z""")
-      .selectExpr("doc_id", "z['0'] AS prev", "z['1'] AS cur")
+      .selectExpr("doc_id", "lang", "z['0'] AS prev", "z['1'] AS cur")
     val tokStream = docs.selectExpr(s"explode($toks) AS token")
     val uniFreq = tokStream.groupBy("token").agg(count(lit(1)).as("freq"))
     val total = tokStream.agg(count(lit(1)).as("total"))
@@ -529,7 +532,11 @@ object TextQueries {
         // raw conditional (exact integer ratio — engine-identical without
         // rounding) for the interpolated mixture, which mixes
         // PROBABILITIES, not logs; consumers that only need lp_bg prune it
-        (col("c2").cast("double") / col("c1")).as("p_bg"))
+        (col("c2").cast("double") / col("c1")).as("p_bg"),
+        // raw counts for smoothers that re-derive their own estimate
+        // (Kneser–Ney discounts c2 before dividing); appended LAST so
+        // positional consumers (ccnetServeModel's collect) are unmoved
+        col("c2"), col("c1"))
     LmParts(docs, bigrams, uniFreq, total, uniTop, bgCounts, bgModel)
   }
 
@@ -582,6 +589,73 @@ object TextQueries {
         lit(0.7) * coalesce(col("p_bg"), lit(0.0)) +
           lit(0.3) * (coalesce(col("cfreq").cast("double"), lit(0.5))
             / col("total"))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
+          .as("logprob"))
+    p.docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Kneser–Ney smoothed bigram LM (Kneser & Ney ICASSP'95; interpolated
+    * form of Chen & Goodman '99) — the third smoother of the family next
+    * to stupid backoff ([[bigramLogprob]]) and Jelinek–Mercer
+    * ([[jmInterpLogprob]]): absolute discounting D = 0.75 on the in-model
+    * bigram estimate, with the recovered mass routed to the CONTINUATION
+    * distribution P_cont(cur) = N1+(·,cur)/|bigram types| — "how many
+    * distinct contexts does this word follow" rather than raw frequency,
+    * the insight that makes KN the strongest classical n-gram smoother
+    * ("San Francisco" makes `francisco` frequent but not promiscuous).
+    *
+    *   in-model pair:  (c2−D)/c1 + λ(prev)·P_cont(cur)
+    *   seen prev only: λ(prev)·P_cont(cur),  λ(prev) = D·N1+(prev,·)/c1
+    *   unseen prev:    P_cont(cur)            (0.5-type floor when cur
+    *                                           has no continuation entry)
+    *
+    * Model caps (the broadcastability contract shared by the whole LM
+    * family): the discounted bigram term lives on the heap-cut BigramK
+    * model; the λ and continuation tables are keyed by the top-VocabK
+    * vocabulary (their N1+ counts are exact aggregates over ALL bigram
+    * types — one groupBy over bgCounts each — only the KEY set is
+    * capped); |bigram types| is one 1-row aggregate. Out-of-cap pairs
+    * fold into the continuation term, the same mass-routing the cap
+    * applies to backoff/JM. Scale shape: identical to the pinned bigram
+    * plan — three broadcast left joins + one 1-row scalar, then one
+    * per-doc aggregate; nothing driver-side, nothing corpus-sized in the
+    * model. Determinism: every probability is built from exact integer
+    * counts with literal D in identical association order on both
+    * engines; only the final log10 is epsilon-nudge-rounded, then summed
+    * as scaled BIGINTs. */
+  private val KnDiscount = 0.75
+  private def knLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val p = lmParts(spark, dir)
+    val nTypes = p.bgCounts.agg(count(lit(1)).as("n_types"))
+    val lam = p.bgCounts
+      .join(p.uniTop.select(col("token").as("prev"), col("freq").as("c1_lam")),
+        "prev")
+      .groupBy("prev", "c1_lam").agg(count(lit(1)).as("n1p_prev"))
+    val cont = p.bgCounts
+      .join(p.uniTop.select(col("token").as("cur")), "cur")
+      .groupBy("cur").agg(count(lit(1)).as("n1p_cur"))
+    val perDoc = p.bigrams
+      .join(broadcast(p.bgModel.select("prev", "cur", "c2", "c1")),
+        Seq("prev", "cur"), "left")
+      .join(broadcast(lam), Seq("prev"), "left")
+      .join(broadcast(cont), Seq("cur"), "left")
+      .crossJoin(broadcast(nTypes))
+      .withColumn("pcont",
+        coalesce(col("n1p_cur").cast("double"), lit(0.5)) / col("n_types"))
+      .withColumn("lp", Num.rExp(log10(
+        when(col("c2").isNotNull,
+          (col("c2") - lit(KnDiscount)) / col("c1") +
+            coalesce(lit(KnDiscount) * col("n1p_prev") / col("c1_lam"),
+              lit(KnDiscount) / col("c1")) * col("pcont"))
+          .when(col("n1p_prev").isNotNull,
+            lit(KnDiscount) * col("n1p_prev") / col("c1_lam") * col("pcont"))
+          .otherwise(col("pcont"))), 6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
@@ -1264,6 +1338,100 @@ object TextQueries {
     FROM t GROUP BY 1, 2
     ORDER BY doc_id, bucket"""
 
+  /** DSIR data selection (Xie et al., NeurIPS'23 "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its HASHED-bigram features are
+    * under a target-domain LM than under the raw-corpus LM, and keep the
+    * top-K — the importance-weighting counterpart of the classifier
+    * quality filter (the per-feature log-ratio sum IS the log-odds of a
+    * naive-Bayes target-vs-raw classifier, the fastText-filter family).
+    * Target domain here: the `lang = 'en'` slice; raw: the full corpus.
+    *
+    * Scale shape: the hashing trick bounds BOTH models at exactly
+    * [[DsirBuckets]] rows at any corpus size — no vocabulary is ever
+    * materialized. The plan is: one array-local bigram explode → two
+    * map-side-combinable bucket censuses (raw, target) + two 1-row
+    * totals → a B-row broadcast log-ratio model → one per-doc aggregate
+    * → a distributed top-K heap (TakeOrderedAndProject) for the
+    * selection cut. Docs with fewer than two tokens have no features and
+    * cannot be selected. Determinism: per-bucket log-ratios are rounded
+    * then summed as scaled BIGINTs; the selection order is total
+    * (weight desc, doc_id). The per-doc weight is the per-feature MEAN
+    * ratio, removing the length bias a raw sum would carry (the paper
+    * scores fixed-length chunks; documents here vary in length). */
+  private val DsirBuckets = 512
+  private val DsirK = 100
+  private def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val p = lmParts(spark, dir)
+    val feats = p.bigrams.selectExpr("doc_id", "lang",
+      s"""cast(conv(substr(md5(concat(prev, ' ', cur)), 1, 15), 16, 10)
+             AS BIGINT) % $DsirBuckets AS bucket""")
+    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgtC = feats.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val nR = feats.agg(count(lit(1)).as("nr"))
+    val nT = feats.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))
+    val model = raw.join(tgtC, Seq("bucket"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("bucket"), Num.rExp(
+        log10((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+          (col("nt") + lit(DsirBuckets))) -
+          log10((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets))),
+        6).as("lr"))
+    val perDoc = feats.join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        Num.r(sum(round(col("lr") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
+          .as("avg_lr"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_lr").desc, col("doc_id"))
+    val sel = perDoc.orderBy(col("avg_lr").desc, col("doc_id")).limit(DsirK)
+      .withColumn("sel_rank", row_number().over(wSel).cast("long"))
+    p.docs.select("doc_id", "lang").join(broadcast(sel), "doc_id")
+      .select(col("sel_rank"), col("doc_id"), col("lang"), col("n_feats"),
+        col("avg_lr"))
+      .orderBy("sel_rank")
+  }
+
+  private val dsirSelectSql = s"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang, t[i] AS prev, t[i+1] AS cur
+      FROM t, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    f AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(prev || ' ' || cur), 1, 15) AS BIGINT)
+               % $DsirBuckets AS bucket
+      FROM bg),
+    raw AS (SELECT bucket, count(*) AS cr FROM f GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS ct FROM f WHERE lang = 'en'
+            GROUP BY bucket),
+    nrt AS (SELECT count(*) AS nr FROM f),
+    ntt AS (SELECT count(*) AS nt FROM f WHERE lang = 'en'),
+    model AS (
+      SELECT r.bucket,
+             round(log10((coalesce(g.ct, 0) + 1.0) / (nt + $DsirBuckets)) -
+                   log10((r.cr + 1.0) / (nr + $DsirBuckets)) + 1e-8, 6) AS lr
+      FROM raw r LEFT JOIN tgt g USING (bucket)
+      CROSS JOIN nrt CROSS JOIN ntt),
+    per AS (
+      SELECT f.doc_id, count(*) AS n_feats,
+             round(CAST(sum(CAST(round(lr * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) + 1e-9, 4) AS avg_lr
+      FROM f JOIN model USING (bucket)
+      GROUP BY f.doc_id),
+    sel AS (
+      SELECT doc_id, n_feats, avg_lr,
+             row_number() OVER (ORDER BY avg_lr DESC, doc_id) AS sel_rank
+      FROM per ORDER BY avg_lr DESC, doc_id LIMIT $DsirK)
+    SELECT CAST(s.sel_rank AS BIGINT) AS sel_rank, s.doc_id, d.lang,
+           s.n_feats, s.avg_lr
+    FROM sel s JOIN documents d USING (doc_id)
+    ORDER BY sel_rank"""
+
   /** Decile curation table: rank every document into quality deciles
     * (deterministic NTILE over (score, doc_id)) and report each decile's
     * population and score/length profile — what a curation pass reads to
@@ -1687,6 +1855,7 @@ object TextQueries {
     QueryDef("q_chi2", chi2, Some(chi2Sql)),
     QueryDef("q_textrank", textrank, Some(textrankSql)),
     QueryDef("q_feature_hash", featureHash, Some(featureHashSql)),
+    QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
     QueryDef("q_quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
     QueryDef("q_topk_per_doc", topkPerDoc, Some(topkPerDocSql)),
     QueryDef("q_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
@@ -1809,6 +1978,47 @@ object TextQueries {
              CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              coalesce(p.logprob, 0.0) AS logprob
       FROM documents d LEFT JOIN perj p USING (doc_id)
+      ORDER BY d.doc_id""")),
+    QueryDef("q_kneser_ney", knLogprob, Some(s"""
+      WITH $bigramLpdCtes,
+      bgc AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+      ntypes AS (SELECT count(*) AS n_types FROM bgc),
+      lam AS (SELECT b.prev, max(u.freq) AS c1_lam, count(*) AS n1p_prev
+              FROM bgc b JOIN topv u ON u.token = b.prev
+              GROUP BY b.prev),
+      cont AS (SELECT b.cur, count(*) AS n1p_cur
+               FROM bgc b JOIN topv u ON u.token = b.cur
+               GROUP BY b.cur),
+      bgm2 AS (SELECT b.prev, b.cur, b.c2, u.freq AS c1
+               FROM bgtop b JOIN uni u ON u.token = b.prev),
+      lpk AS (SELECT g.doc_id,
+                     round(log10(
+                       CASE WHEN m.c2 IS NOT NULL THEN
+                         (m.c2 - 0.75) / m.c1 +
+                         coalesce(0.75 * l.n1p_prev / l.c1_lam, 0.75 / m.c1)
+                           * (coalesce(CAST(ct.n1p_cur AS DOUBLE), 0.5)
+                              / n_types)
+                       WHEN l.n1p_prev IS NOT NULL THEN
+                         0.75 * l.n1p_prev / l.c1_lam
+                           * (coalesce(CAST(ct.n1p_cur AS DOUBLE), 0.5)
+                              / n_types)
+                       ELSE coalesce(CAST(ct.n1p_cur AS DOUBLE), 0.5)
+                              / n_types END)
+                       + 1e-8, 6) AS lp
+              FROM bg g
+              LEFT JOIN bgm2 m ON m.prev = g.prev AND m.cur = g.cur
+              LEFT JOIN lam l ON l.prev = g.prev
+              LEFT JOIN cont ct ON ct.cur = g.cur
+              CROSS JOIN ntypes),
+      perk AS (SELECT doc_id, count(*) AS n_bigrams,
+                      round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0 / count(*) + 1e-9, 4)
+                        AS logprob
+               FROM lpk GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             coalesce(p.logprob, 0.0) AS logprob
+      FROM documents d LEFT JOIN perk p USING (doc_id)
       ORDER BY d.doc_id""")),
     QueryDef("q_trigram_logprob", trigramLogprob, Some(s"""
       WITH $bigramLpdCtes,

@@ -147,6 +147,34 @@ class PlanSpec extends SparkSpec {
       s"q_trigram_logprob must not sort-merge the triple stream:\n$plan")
   }
 
+  test("kneser-ney LM: model cut stays a heap; lambda/continuation tables broadcast") {
+    val plan = finalPlan("q_kneser_ney")
+    // same contract as the rest of the LM family: the BigramK cut is a
+    // distributed heap, and the three model-side tables (discounted
+    // bigram, lambda, continuation — all cap-bounded) broadcast onto the
+    // pair stream; the stream itself must never shuffle by pair key
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_kneser_ney model cut lost its top-K heap:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_kneser_ney scoring joins must broadcast the models:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_kneser_ney must not sort-merge the pair stream:\n$plan")
+  }
+
+  test("dsir selection: hashed models broadcast; the keep-cut is a top-K heap") {
+    val plan = finalPlan("q_dsir_select")
+    // the hashing trick bounds the log-ratio model at DsirBuckets rows —
+    // it must BROADCAST onto the feature stream, and the final keep-cut
+    // must be a distributed heap (TakeOrderedAndProject), never a global
+    // rank sort of every scored document
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_dsir_select model join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_dsir_select selection cut lost its top-K heap:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_dsir_select must not sort-merge the feature stream:\n$plan")
+  }
+
   test("ccnet filter: tercile cuts are one broadcast scalar row; LM shape survives the composition") {
     val plan = finalPlan("q_ccnet_filter")
     // the perplexity cut points join every doc as a broadcast 1-row
