@@ -251,6 +251,49 @@ object Multimodal {
       .toDF("media_id", "bytes")
   }
 
+  /** Deterministic synthetic video-frame luma track: one byte per frame,
+    * constant-within-scene base (5-frame scenes, each jumping the base
+    * by 97 mod 251 — |Δ| ≥ 93 at every cut) plus a ±4 in-scene texture
+    * ramp (|Δ| = 1 between in-scene neighbours). Base capped at 250 so
+    * the texture never wraps mod 256 — wraparound would fake a cut.
+    * Pure integer arithmetic on non-negative operands, analytically
+    * re-derivable by the SQL oracle. */
+  def synthVideoLuma(id: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var f = 0
+    while (f < n) {
+      val base = java.lang.Math.floorMod(id * 11 + (f / 5).toLong * 97, 251L)
+      out(f) = (base + f % 5).toByte
+      f += 1
+    }
+    out
+  }
+
+  /** Executor-side synthetic-video generator: (id, n_frames) rows →
+    * GRFT-framed blobs whose payload is the per-frame luma track
+    * (header: magic ++ n_frames ++ fps). Same born-on-executor ingest
+    * shape as the PNG and PCM generators. */
+  val VideoFps = 24
+  def encodeSynthVideoPartitioned(df: DataFrame, idCol: String,
+      nCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nCol).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          val payload = synthVideoLuma(id, n)
+          val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+          bb.putInt(0x47524654) // "GRFT"
+          bb.putInt(n)
+          bb.putInt(VideoFps)
+          bb.put(payload)
+          (id, bb.array())
+        }
+      }
+      .toDF("media_id", "bytes")
+  }
+
   /** Framed audio features over a PCM blob column — entirely pure
     * Catalyst expressions (substring/conv byte decode, array transform/
     * aggregate), so the whole decode→frame→feature path stays inside

@@ -272,6 +272,78 @@ object MultimodalQueries {
     FROM act GROUP BY doc_id, grp
     ORDER BY doc_id, seg_start"""
 
+  /** Threshold on the inter-frame luma delta that declares a scene cut:
+    * in-scene texture deltas are 1, cross-scene base jumps are ≥ 93 —
+    * an order of magnitude of margin either side of 32. */
+  private val SceneCutThreshold = 32
+
+  /** Video scene detection: synthetic per-frame luma tracks are encoded
+    * executor-side as framed blobs, the engine re-extracts each frame
+    * byte through the pure-Catalyst [[Multimodal.frameSample]] path, and
+    * CHANGE-POINT segmentation turns the frame stream into a scene
+    * table — lag-delta cut flags, then a running sum of cuts as the
+    * scene id (the temporal twin of gaps-and-islands; audio's
+    * [[audioSilence]] gates on a level, this cuts on a DERIVATIVE, the
+    * two canonical segmentation operators of a media pipeline). Windows
+    * are per media id, so no global sort exists at any corpus size; the
+    * shuffled rows are 3-column integers, never blobs. The oracle
+    * re-derives every luma analytically and mirrors the two-window
+    * composition. */
+  private def videoScenes(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.encodeSynthVideoPartitioned(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          (lit(20) + col("doc_id") % 11).cast("int").as("n")),
+      "doc_id", "n")
+    val frames = Multimodal.frameSample(blobs, stride = 1)
+      .selectExpr("media_id AS doc_id",
+        "cast(frame_off - 13 AS BIGINT) AS f", "frame_byte AS luma")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("f")
+    frames
+      .withColumn("cut",
+        when(lag(col("luma"), 1).over(w).isNull ||
+          abs(col("luma") - lag(col("luma"), 1).over(w))
+            >= SceneCutThreshold, 1).otherwise(0))
+      .withColumn("scene_id", sum(col("cut")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("f")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "scene_id")
+      .agg(min("f").as("start_f"), max("f").as("end_f"),
+        count(lit(1)).as("n_frames"),
+        sum(col("luma").cast("long")).as("luma_sum"))
+      .orderBy("doc_id", "scene_id")
+  }
+
+  private val videoScenesSql = s"""
+    WITH dims AS (SELECT doc_id, 20 + doc_id % 11 AS n FROM documents),
+    fr AS (
+      SELECT doc_id, f,
+             (doc_id * 11 + (f // 5) * 97) % 251 + f % 5 AS luma
+      FROM dims, unnest(generate_series(0, n - 1)) AS u(f)),
+    d AS (
+      SELECT doc_id, f, luma,
+             CASE WHEN lag(luma) OVER (PARTITION BY doc_id ORDER BY f)
+                    IS NULL
+                  OR abs(luma - lag(luma)
+                       OVER (PARTITION BY doc_id ORDER BY f))
+                    >= $SceneCutThreshold
+                  THEN 1 ELSE 0 END AS cut
+      FROM fr),
+    s AS (
+      SELECT doc_id, f, luma,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+                            ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM d)
+    SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+           CAST(min(f) AS BIGINT) AS start_f,
+           CAST(max(f) AS BIGINT) AS end_f,
+           count(*) AS n_frames,
+           CAST(sum(luma) AS BIGINT) AS luma_sum
+    FROM s GROUP BY doc_id, scene_id
+    ORDER BY doc_id, scene_id"""
+
   /** The oracle's banding works on (hi, lo) halves — DuckDB BIGINT left
     * shift errors on hi<<32 overflow, and band extraction / Hamming both
     * decompose exactly over the halves. One CTE chain ending in
@@ -383,5 +455,6 @@ object MultimodalQueries {
     QueryDef("q_media_phash", mediaPhash, Some(mediaPhashSql)),
     QueryDef("q_audio_frames", audioFrames, Some(audioFramesSql)),
     QueryDef("q_audio_segments", audioSilence, Some(audioSilenceSql)),
+    QueryDef("q_video_scenes", videoScenes, Some(videoScenesSql)),
   )
 }

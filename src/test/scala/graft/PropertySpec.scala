@@ -148,7 +148,8 @@ class PropertySpec extends SparkSpec {
       "q_unigram_logprob", "q_bigram_logprob", "q_trigram_logprob",
       "q_lm_interp", "q_ccnet_filter", "q_media_neardup",
       "q_media_clusters", "q_media_canonical", "q_kneser_ney",
-      "q_dsir_select", "q_audio_frames", "q_audio_segments").foreach { q =>
+      "q_dsir_select", "q_audio_frames", "q_audio_segments",
+      "q_video_scenes").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }

@@ -457,6 +457,36 @@ class StreamingSpec extends SparkSpec {
     assert(!flagged.queryExecution.analyzed.toString.contains("Aggregate "))
   }
 
+  test("streaming media ingest: framed audio features over a blob stream equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    // the multimodal ingest shape: blobs arrive on the stream and the
+    // WHOLE decode→frame→feature path is pure row-local expressions —
+    // no model, no join, no streaming state; petabytes of waveform in,
+    // fixed-width frame rows out, at ingest time
+    val dims = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(200) + (col("doc_id") % 7) * 48).cast("int").as("n"))
+    val blobs = Multimodal.encodeSynthPcmPartitioned(dims, "doc_id", "n")
+    val batch = Multimodal.pcmFrameFeatures(blobs)
+      .collect().map(_.toString).sorted
+    val mem = MemoryStream[(Long, Array[Byte])]
+    blobs.as[(Long, Array[Byte])].collect().grouped(64)
+      .foreach(c => mem.addData(c.toSeq))
+    val served = Multimodal.pcmFrameFeatures(
+      mem.toDF.toDF("media_id", "bytes"))
+    StreamingPipeline.drainAvailableNow(served, "audio_serve")
+    val streamed = spark.table("audio_serve")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // stateless ingest: no Aggregate operator in the plan (the energy
+    // fold is the lowercase `aggregate(...)` higher-order function —
+    // row-local, not a state store)
+    assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
+  }
+
   test("streaming twin: q_dedup_exact — online dedup survivors = batch canonicals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
