@@ -618,6 +618,41 @@ object DedupQueries {
     GROUP BY source
     ORDER BY source"""
 
+  /** Soft dedup: instead of DROPPING non-canonical near-dup cluster
+    * members (q_dedup_canonical), every document gets a training weight
+    * of 1/|its cluster| (1.0 for unclustered docs) — the down-weighting
+    * alternative used when duplicated content should still contribute
+    * its one "effective copy" of signal rather than vanish (the
+    * SlimPajama/DataComp-LM-style soft-dedup knob). Together with
+    * clusters / canonical / leak-free split this is the fourth view over
+    * the ONE shared cluster-label artifact. Scale: one shuffle on the
+    * cluster id for the size census + the weight join — the label table
+    * is doc-count-bounded, never pair-bounded. */
+  private def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabelsCached(spark, dir)
+    val lbl = Tables(spark, dir, "documents").select("doc_id", "source")
+      .join(labels, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "source", "coalesce(cluster_id, doc_id) AS gid")
+    val sizes = lbl.groupBy("gid").agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sizes, "gid")
+      .select(col("doc_id"), col("source"), col("gid").as("cluster_id"),
+        col("cluster_size"),
+        Num.r(lit(1.0) / col("cluster_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupWeightsSql = s"""
+    WITH RECURSIVE $clusterLabelCtes,
+    lbl AS (
+      SELECT d.doc_id, d.source, coalesce(l.cluster_id, d.doc_id) AS gid
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+    csizes AS (SELECT gid, count(*) AS cluster_size FROM lbl GROUP BY gid)
+    SELECT b.doc_id, b.source, b.gid AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           round(1.0 / s.cluster_size + 1e-9, 6) AS weight
+    FROM lbl b JOIN csizes s USING (gid)
+    ORDER BY doc_id"""
+
   /** Leakage-free train/val/test split: the 80/10/10 assignment hashes
     * the near-dup CLUSTER id (canonical label from [[clusterLabels]];
     * unclustered docs hash their own id), so near-duplicates can never
@@ -1026,6 +1061,7 @@ object DedupQueries {
     QueryDef("q_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     QueryDef("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
+    QueryDef("q_dedup_weights", dedupWeights, Some(dedupWeightsSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),

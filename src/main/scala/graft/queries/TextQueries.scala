@@ -433,6 +433,43 @@ object TextQueries {
     GROUP BY o.doc_id
     ORDER BY o.doc_id"""
 
+  /** Tokenizer fertility by language: BPE tokens emitted per whitespace
+    * word, the standard tokenizer-evaluation metric (a fertility of 1.0
+    * means every word is one token; high-fertility languages are the
+    * ones a vocab under-serves — the number that drives multilingual
+    * vocab-size and data-mixture decisions). Composes the trained BPE
+    * tokenizer ([[bpeTokenize]] — distinct-word table, never the token
+    * stream) with a per-lang rollup; the division is exact-integer-sum /
+    * exact-integer-sum in identical association on both engines. */
+  private def tokFertility(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = bpeTokenize(spark, dir).select("doc_id", "n_bpe_tokens")
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", s"cast(size($toks) AS BIGINT) AS n_words")
+      .join(bpe, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        Num.r(sum("n_bpe_tokens").cast("double") /
+          sum("n_words").cast("double"), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
+  private def tokFertilitySql = s"""
+    WITH bt AS ($bpeTokenizeSql),
+    w AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words
+      FROM documents)
+    SELECT w.lang, count(*) AS n_docs,
+           CAST(sum(w.n_words) AS BIGINT) AS n_words,
+           CAST(sum(bt.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(bt.n_bpe_tokens) AS DOUBLE)
+             / CAST(sum(w.n_words) AS DOUBLE) + 1e-9, 4) AS fertility
+    FROM w JOIN bt USING (doc_id)
+    GROUP BY w.lang
+    ORDER BY w.lang"""
+
   /** Unigram language-model scoring: each document's mean token
     * log10-probability under the corpus's own top-K unigram LM — the
     * classic cheap perplexity proxy for quality filtering (a low score
@@ -1932,6 +1969,7 @@ object TextQueries {
       FROM read_parquet('$BpeMergesToken/*.parquet')
       ORDER BY merge_rank""")),
     QueryDef("q_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
+    QueryDef("q_tok_fertility", tokFertility, Some(tokFertilitySql)),
     QueryDef("q_unigram_logprob", unigramLogprob, Some(s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token

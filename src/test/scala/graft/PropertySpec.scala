@@ -132,6 +132,8 @@ class PropertySpec extends SparkSpec {
   test("exact-integer aggregates are shuffle-partition invariant") {
     import graft.queries.Registry
     val sf = "/root/testdata/sf0.001"
+    // q_tok_fertility reads the trained BPE merge table (idempotent train)
+    graft.queries.TextQueries.trainBpeMerges(spark, sf)
     def run(q: String, parts: Int): Array[String] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -149,7 +151,7 @@ class PropertySpec extends SparkSpec {
       "q_lm_interp", "q_ccnet_filter", "q_media_neardup",
       "q_media_clusters", "q_media_canonical", "q_kneser_ney",
       "q_dsir_select", "q_audio_frames", "q_audio_segments",
-      "q_video_scenes").foreach { q =>
+      "q_video_scenes", "q_dedup_weights", "q_tok_fertility").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
