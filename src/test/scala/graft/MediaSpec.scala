@@ -226,4 +226,53 @@ class MediaSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
+
+  test("pcmFrameFeatures edges: empty payload → zero frames; short frames exact") {
+    import spark.implicits._
+    // id 0: header-only blob (n = 0) must produce NO frame rows — the
+    // empty-payload guard, not a descending-sequence explosion.
+    // id 1: a single sample → one frame, n_samp = 1, zc = 0, energy = v².
+    // id 2: 65 samples → a full frame plus a 1-sample partial.
+    val rows = Seq(
+      (0L, Multimodal.synthPcm(0L, 0)),
+      (1L, Multimodal.synthPcm(1L, 1)),
+      (2L, Multimodal.synthPcm(2L, 65))).map { case (id, p) =>
+      val bb = java.nio.ByteBuffer.allocate(12 + p.length)
+      bb.putInt(0x47524654); bb.putInt(p.length)
+      bb.putInt(Multimodal.PcmSampleRate); bb.put(p)
+      (id, bb.array())
+    }.toDF("media_id", "bytes")
+    val out = Multimodal.pcmFrameFeatures(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    def v(id: Long, i: Int): Long = {
+      val base = java.lang.Math.floorMod(id * 31 + 13L * i, 256L)
+      if (java.lang.Math.floorMod(i / 64 + id, 3L) == 0L) base % 8 - 4
+      else base - 128
+    }
+    def energy(id: Long, lo: Int, hi: Int): Long =
+      (lo until hi).map(i => v(id, i) * v(id, i)).sum
+    def zc(id: Long, lo: Int, hi: Int): Long =
+      (lo + 1 until hi).count(i => v(id, i - 1) * v(id, i) < 0).toLong
+    assert(out.count(_._1 == 0L) == 0, "empty payload must yield no frames")
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 1L, energy(1L, 0, 1), 0L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 0L, 64L, energy(2L, 0, 64), zc(2L, 0, 64)),
+      (2L, 1L, 1L, energy(2L, 64, 65), 0L)))
+  }
+
+  test("synthVideoLuma: in-scene deltas are ±1-ish texture, cross-scene jumps clear the cut") {
+    // the constructed margins the scene detector's threshold relies on:
+    // every |delta| within a scene < 32, every scene-boundary |delta| ≥ 32
+    for (id <- 0L to 10L) {
+      val track = Multimodal.synthVideoLuma(id, 40).map(_ & 0xff)
+      for (f <- 1 until 40) {
+        val d = math.abs(track(f) - track(f - 1))
+        if (f % 5 == 0) assert(d >= 32, s"id=$id cut at $f too small: $d")
+        else assert(d < 32, s"id=$id in-scene delta at $f too big: $d")
+      }
+    }
+  }
 }

@@ -129,6 +129,26 @@ class PropertySpec extends SparkSpec {
         col("twap") > col("hi") + 1e-6).count() == 0)
   }
 
+  test("dsir selection enriches the target domain above its corpus share") {
+    import graft.queries.Registry
+    // the point of importance resampling: the kept set must be SKEWED
+    // toward the target domain (lang = 'en'), not a uniform sample.
+    // sf0.01 so the top-100 cut actually binds (sf0.001 has fewer docs
+    // than the cut). Measured: 87/100 en vs a 43.6% corpus share.
+    val sf = "/root/testdata/sf0.01"
+    val sel = Registry.byName("q_dsir_select").fn(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSel = sel.values.sum
+    val corpus = Tables(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusFrac = corpus("en").toDouble / corpus.values.sum
+    val selFrac = sel.getOrElse("en", 0L).toDouble / nSel
+    assert(nSel == 100, s"selection cut must bind exactly, got $nSel")
+    assert(selFrac > corpusFrac + 0.1,
+      f"selected en fraction $selFrac%.2f must exceed corpus $corpusFrac%.2f")
+  }
+
   test("exact-integer aggregates are shuffle-partition invariant") {
     import graft.queries.Registry
     val sf = "/root/testdata/sf0.001"
