@@ -618,6 +618,83 @@ object DedupQueries {
     GROUP BY source
     ORDER BY source"""
 
+  /** Line-level exact dedup — C4's signature cleanup (Raffel et al.
+    * JMLR'20 keep one occurrence of every three-sentence span; here the
+    * unit is the sentence): the corpus is exploded into sentences, each
+    * fingerprinted, and exactly ONE occurrence of each distinct sentence
+    * survives corpus-wide — the globally-first by (doc_id, position).
+    * This sits between [[dedupExact]] (whole-doc) and the 8-gram span
+    * detector (q_dup_spans): alignment-free like the former, sub-document
+    * like the latter — it is what kills boilerplate headers/footers that
+    * span-level k-grams only partially cover when they are short.
+    *
+    * Scale shape: explode → one map-side-combinable min(key) per
+    * fingerprint (the election), one shuffle join back on the
+    * fingerprint to mark survivors, one per-doc rollup. No pair join
+    * exists anywhere — a sentence duplicated a million times costs one
+    * group, not 10¹² pairs. The composite election key doc_id·10⁵+idx
+    * assumes < 100k sentences per document (assert-worthy at ingest;
+    * true by construction here). Determinism: the key is a total order,
+    * so the survivor of every fingerprint is unique on any partitioning. */
+  private def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupCounts(Tables(spark, dir, "documents"))
+
+  /** Core of [[lineDedup]] over any (doc_id, text) frame — factored so
+    * specs can drive it with constructed corpora (the synthetic lake has
+    * no sentence separators or cross-doc repeats, so the real-table
+    * oracle proves engine parity while DedupSpec proves the semantics on
+    * planted boilerplate). */
+  private[graft] def lineDedupCounts(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(expr(
+        """filter(transform(split(text, '\\. '), s -> trim(s)),
+                  s -> length(s) > 0)""")))
+      .toDF("doc_id", "idx", "sent")
+    val keyed = lines.selectExpr("doc_id", "idx",
+      "doc_id * 100000 + idx AS k",
+      "cast(conv(substr(md5(sent), 1, 15), 16, 10) AS BIGINT) AS fp")
+    val keeper = keyed.groupBy("fp").agg(min("k").as("keep_k"))
+    val per = keyed.join(keeper, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("k") === col("keep_k"), 1L).otherwise(0L)).as("n_kept"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_lines, 0L) AS n_lines",
+        "coalesce(n_kept, 0L) AS n_kept",
+        "coalesce(n_lines - n_kept, 0L) AS n_dropped")
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupSql = """
+    WITH raw AS (
+      SELECT doc_id, string_split_regex(text, '\. ') AS parts
+      FROM documents),
+    l0 AS (
+      SELECT doc_id, i, trim(parts[i]) AS sent
+      FROM raw, unnest(range(1, len(parts) + 1)) AS u(i)),
+    lines AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx,
+             sent
+      FROM l0 WHERE length(sent) > 0),
+    keyed AS (
+      SELECT doc_id, idx, doc_id * 100000 + idx AS k,
+             CAST('0x' || substr(md5(sent), 1, 15) AS BIGINT) AS fp
+      FROM lines),
+    keeper AS (SELECT fp, min(k) AS keep_k FROM keyed GROUP BY fp),
+    per AS (
+      SELECT doc_id, count(*) AS n_lines,
+             sum(CASE WHEN k = keep_k THEN 1 ELSE 0 END) AS n_kept
+      FROM keyed JOIN keeper USING (fp)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(p.n_lines - p.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id"""
+
   /** Soft dedup: instead of DROPPING non-canonical near-dup cluster
     * members (q_dedup_canonical), every document gets a training weight
     * of 1/|its cluster| (1.0 for unclustered docs) — the down-weighting
@@ -1062,6 +1139,7 @@ object DedupQueries {
     QueryDef("q_dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     QueryDef("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     QueryDef("q_dedup_weights", dedupWeights, Some(dedupWeightsSql)),
+    QueryDef("q_line_dedup", lineDedup, Some(lineDedupSql)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_minhash", minhashLsh, Some(minhashLshSql)),
     QueryDef("q_dedup_simhash", simhash, Some(simhashSql)),

@@ -433,6 +433,51 @@ object TextQueries {
     GROUP BY o.doc_id
     ORDER BY o.doc_id"""
 
+  /** Accent fold for [[textNormalize]]: 1→1 codepoint map (ß→s is the
+    * one lossy choice, noted) — `translate` is codepoint-wise on both
+    * engines, so the two literal strings must stay equal-length. */
+  private val AccentFrom = "áàâãäåéèêëíìîïóòôõöúùûüýÿñçß"
+  private val AccentTo = "aaaaaaeeeeiiiiooooouuuuyyncs"
+
+  /** Text normalization — the cleanup pass CCNet/C4 run BEFORE dedup and
+    * fingerprinting (lowercase, accent fold, whitespace collapse), so
+    * "Café  con  LECHE" and "cafe con leche" dedup together. Emits the
+    * normalized fingerprint next to a changed flag and the normalized
+    * length; the corpus-level payoff (distinct norm fps ≤ distinct raw
+    * fps) falls out of comparing with q_fingerprint. Pure row-local
+    * codegen'd string expressions — no join, no state, trivially
+    * servable on a stream. */
+  /** Row-local normalization expression over any text column — public so
+    * the streaming/spec side can apply the identical fold (the synthetic
+    * lake is already lowercase single-spaced ASCII, so the real-table
+    * oracle proves engine parity while the spec proves folding on
+    * constructed variants). */
+  def normalizeExpr(textCol: String): String =
+    s"""regexp_replace(translate(lower(trim($textCol)),
+          '$AccentFrom', '$AccentTo'), '\\\\s+', ' ')"""
+
+  private def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "text", s"${normalizeExpr("text")} AS norm")
+      .selectExpr("doc_id",
+        "(norm != text) AS changed",
+        "cast(length(norm) AS BIGINT) AS norm_len",
+        "md5(norm) AS norm_fp")
+      .orderBy("doc_id")
+
+  private val textNormalizeSql = s"""
+    WITH n AS (
+      SELECT doc_id, text,
+             regexp_replace(translate(lower(trim(text)),
+               '$AccentFrom', '$AccentTo'), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+    SELECT doc_id,
+           (norm != text) AS changed,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           md5(norm) AS norm_fp
+    FROM n
+    ORDER BY doc_id"""
+
   /** Tokenizer fertility by language: BPE tokens emitted per whitespace
     * word, the standard tokenizer-evaluation metric (a fertility of 1.0
     * means every word is one token; high-fertility languages are the
@@ -1981,6 +2026,7 @@ object TextQueries {
       ORDER BY merge_rank""")),
     QueryDef("q_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("q_tok_fertility", tokFertility, Some(tokFertilitySql)),
+    QueryDef("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("q_unigram_logprob", unigramLogprob, Some(s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token

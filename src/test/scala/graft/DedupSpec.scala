@@ -268,4 +268,47 @@ class DedupSpec extends SparkSpec {
     // doc 3 untouched
     assert(out(3)._3 == 0L && out(3)._4.startsWith("phi chi"))
   }
+
+  test("line dedup: one survivor per distinct sentence corpus-wide, first by (doc, position)") {
+    // planted boilerplate: the same footer sentence in docs 0/1/2, an
+    // in-doc repeated sentence in doc 2, and unique content everywhere
+    // else. C4 semantics: exactly one occurrence of each distinct
+    // sentence survives, the globally-first by (doc_id, idx).
+    val footer = "subscribe to our newsletter"
+    val df = docs(Seq(
+      (0L, s"alpha beta gamma. $footer. delta epsilon"),
+      (1L, s"$footer. zeta eta theta"),
+      (2L, s"iota kappa. iota kappa. $footer"),
+      (3L, "entirely unique content here")))
+    val out = graft.queries.DedupQueries.lineDedupCounts(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // doc 0: 3 lines, footer's first occurrence is here → all kept
+    assert(out(0) == ((0L, 3L, 3L, 0L)))
+    // doc 1: footer already seen in doc 0 → dropped
+    assert(out(1) == ((1L, 2L, 1L, 1L)))
+    // doc 2: footer dropped AND the in-doc repeat of "iota kappa" dropped
+    assert(out(2) == ((2L, 3L, 1L, 2L)))
+    // doc 3: untouched
+    assert(out(3) == ((3L, 1L, 1L, 0L)))
+  }
+
+  test("normalization folds case/accent/whitespace variants to one fingerprint") {
+    import spark.implicits._
+    val variants = Seq(
+      "Café  con   LECHE",
+      "cafe con leche",
+      " CAFÉ CON LECHE ",
+      "café\tcon\nleche").toDF("text")
+    val normed = variants
+      .selectExpr(s"${graft.queries.TextQueries.normalizeExpr("text")} AS n")
+      .collect().map(_.getString(0)).toSet
+    assert(normed == Set("cafe con leche"),
+      s"all variants must fold to one form, got $normed")
+    // and a genuinely different text must NOT fold in
+    val other = Seq("cafe com leite").toDF("text")
+      .selectExpr(s"${graft.queries.TextQueries.normalizeExpr("text")} AS n")
+      .collect().head.getString(0)
+    assert(other != "cafe con leche")
+  }
 }
