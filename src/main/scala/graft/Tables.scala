@@ -19,6 +19,7 @@ object Tables {
 
   def ensureConf(spark: SparkSession): Unit = {
     graft.functions.DotProduct.register(spark)
+    graft.functions.Md5Hash60.register(spark)
     graft.functions.ProductAgg.register(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -114,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, "md5_60"),
+      (exprs: Seq[Expression]) => Md5Hash60(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.TopOneToMaxBy)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -58,7 +58,7 @@ object DedupQueries {
       .selectExpr(keepCols :+
         """explode(CASE WHEN size(t) >= 3
              THEN array_distinct(transform(sequence(0, size(t) - 3),
-                    i -> cast(conv(substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15), 16, 10) AS BIGINT)))
+                    i -> md5_60(concat_ws(' ', t[i], t[i+1], t[i+2]))))
              ELSE array() END) AS h""": _*)
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
@@ -295,7 +295,7 @@ object DedupQueries {
     // Per-token ±1 contributions become count-weighted contributions.
     val vocab = tokStr.select("s").distinct()
       .selectExpr("s",
-        s"cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) AS h")
+        s"md5_60(s) AS h")
     val counts = tokStr.groupBy("doc_id", "s")
       .agg(count(lit(1)).as("cnt"))
       .join(broadcast(vocab), "s")
@@ -652,7 +652,7 @@ object DedupQueries {
       .toDF("doc_id", "idx", "sent")
     val keyed = lines.selectExpr("doc_id", "idx",
       "doc_id * 100000 + idx AS k",
-      "cast(conv(substr(md5(sent), 1, 15), 16, 10) AS BIGINT) AS fp")
+      "md5_60(sent) AS fp")
     val keeper = keyed.groupBy("fp").agg(min("k").as("keep_k"))
     val per = keyed.join(keeper, "fp")
       .groupBy("doc_id")
@@ -751,8 +751,8 @@ object DedupQueries {
         "coalesce(gid, doc_id) AS gid")
       .selectExpr("source", "clustered",
         """CASE
-             WHEN cast(conv(substr(md5(cast(gid AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 < 8 THEN 'train'
-             WHEN cast(conv(substr(md5(cast(gid AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 8 THEN 'val'
+             WHEN md5_60(cast(gid AS STRING)) % 10 < 8 THEN 'train'
+             WHEN md5_60(cast(gid AS STRING)) % 10 = 8 THEN 'val'
              ELSE 'test'
            END AS split""")
       .groupBy("source", "split")

@@ -259,7 +259,7 @@ object RelationalQueries {
   private def sampleHash(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .filter(expr(
-        "cast(conv(substr(md5(cast(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < 5"))
+        "md5_60(cast(event_id AS STRING)) % 100 < 5"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_sampled"),
         round(sum("value"), 2).as("sampled_value"))
@@ -306,7 +306,7 @@ object RelationalQueries {
 
   private def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
     val h =
-      "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+      "md5_60(cast(user_id AS STRING))"
     Tables(spark, dir, "events")
       .selectExpr("event_type", "user_id", s"$h AS h")
       .groupBy("event_type")

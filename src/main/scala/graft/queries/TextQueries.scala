@@ -108,7 +108,7 @@ object TextQueries {
       .selectExpr(
         "doc_id",
         "md5(lower(trim(text))) AS fp",
-        "cast(conv(substr(md5(lower(trim(text))), 1, 15), 16, 10) AS BIGINT) AS fp60")
+        "md5_60(lower(trim(text))) AS fp60")
       .orderBy("doc_id")
 
   /** Deterministic train/val/test split assignment: the content hash
@@ -119,8 +119,8 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .selectExpr("doc_id", "source",
         """CASE
-             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 < 8 THEN 'train'
-             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 8 THEN 'val'
+             WHEN md5_60(cast(doc_id AS STRING)) % 10 < 8 THEN 'train'
+             WHEN md5_60(cast(doc_id AS STRING)) % 10 = 8 THEN 'val'
              ELSE 'test'
            END AS split""")
       .groupBy("source", "split")
@@ -1002,7 +1002,7 @@ object TextQueries {
       .selectExpr("doc_id",
         s"""CASE WHEN length(norm) >= $WIN_K
              THEN transform(sequence(0, length(norm) - $WIN_K),
-               i -> cast(conv(substr(md5(substring(norm, i + 1, $WIN_K)), 1, 15), 16, 10) AS BIGINT))
+               i -> md5_60(substring(norm, i + 1, $WIN_K)))
              ELSE array() END AS hashes""")
       .selectExpr("doc_id",
         s"""CASE WHEN size(hashes) = 0 THEN array()
@@ -1113,8 +1113,8 @@ object TextQueries {
       .select("r.*")
     kept.selectExpr("*",
         """CASE
-             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 < 8 THEN 'train'
-             WHEN cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10 = 8 THEN 'val'
+             WHEN md5_60(cast(doc_id AS STRING)) % 10 < 8 THEN 'train'
+             WHEN md5_60(cast(doc_id AS STRING)) % 10 = 8 THEN 'val'
              ELSE 'test'
            END AS split""")
       .groupBy("split", "source")
@@ -1249,7 +1249,7 @@ object TextQueries {
       .select("lang", "n", "rate", "thr")
     docs
       .selectExpr("lang",
-        "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000 AS hmod")
+        "md5_60(cast(doc_id AS STRING)) % 1000000 AS hmod")
       .join(broadcast(rates), "lang")
       .groupBy("lang")
       .agg(max("n").as("n_docs"),
@@ -1341,7 +1341,7 @@ object TextQueries {
       .partitionBy("lang").orderBy(col("h"), col("doc_id"))
     Tables(spark, dir, "documents")
       .selectExpr("lang", "doc_id",
-        "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+        "md5_60(cast(doc_id AS STRING)) AS h")
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)
       .select(col("lang"), col("doc_id"), col("rnk"))
@@ -1405,7 +1405,7 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"explode($toks) AS tok")
       .selectExpr("doc_id",
-        "cast(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 256 AS bucket")
+        "md5_60(tok) % 256 AS bucket")
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy("doc_id", "bucket")
@@ -1459,8 +1459,7 @@ object TextQueries {
   private def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val p = lmParts(spark, dir)
     val feats = p.bigrams.selectExpr("doc_id", "lang",
-      s"""cast(conv(substr(md5(concat(prev, ' ', cur)), 1, 15), 16, 10)
-             AS BIGINT) % $DsirBuckets AS bucket""")
+      s"md5_60(concat(prev, ' ', cur)) % $DsirBuckets AS bucket")
     val census = feats.groupBy("bucket").agg(
       count(lit(1)).as("cr"),
       count(when(col("lang") === "en", lit(1))).as("ct"))
@@ -1921,7 +1920,7 @@ object TextQueries {
       .selectExpr("doc_id", "n_chars",
         // u ∈ (0,1]: (h60 + 1) / 2^60 over the portable 60-bit hash
         """round(
-             -ln((cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) + 1)
+             -ln((md5_60(cast(doc_id AS STRING)) + 1)
                  / 1152921504606846976.0)
              / n_chars + 1e-8, 6) AS skey""")
       .orderBy(col("skey"), col("doc_id"))

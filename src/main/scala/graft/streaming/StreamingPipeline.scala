@@ -71,7 +71,7 @@ object StreamingPipeline {
   def dedupByContent(src: DataFrame, textCol: String, tsCol: String,
       lateness: String): DataFrame =
     src.withColumn("fp",
-        expr(s"cast(conv(substr(md5(lower(trim($textCol))), 1, 15), 16, 10) AS BIGINT)"))
+        expr(s"md5_60(lower(trim($textCol)))"))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 

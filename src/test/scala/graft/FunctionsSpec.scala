@@ -141,6 +141,39 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("2"), e.getMessage)
   }
 
+  test("md5_60 equals the composed conv(substr(md5)) spelling on every input shape") {
+    import spark.implicits._
+    // deterministic mixed corpus: ascii, unicode (multi-byte utf-8),
+    // empties, whitespace, long strings, digits — the fused digest-byte
+    // path must match the hex-string-slice path bit-for-bit everywhere
+    val rnd = new scala.util.Random(7)
+    val rows = (Seq("", " ", "a", "café com leite", "日本語テキスト",
+      "x" * 5000, "line\nbreak\ttab", "ß", "0123456789abcdef") ++
+      Seq.fill(500)(rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString))
+      .toDF("s")
+    val diff = rows.selectExpr(
+      "md5_60(s) AS fused",
+      "cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) AS composed")
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff == 0)
+    // null in → null out, like md5
+    val n = Seq((Option.empty[String])).toDF("s")
+      .selectExpr("md5_60(s) AS h").head()
+    assert(n.isNullAt(0))
+    // non-negative by construction (60 bits < 63)
+    val neg = rows.selectExpr("md5_60(s) AS h").filter(col("h") < 0).count()
+    assert(neg == 0)
+    // codegen path actually exercised: a local relation folds to
+    // LocalTableScan, so force a real stage with a repartition
+    val df = rows.repartition(2).selectExpr("md5_60(s)")
+    df.collect() // drive THIS plan to execution so AQE finalizes it
+    // AQE prints a codegen'd stage as the `*(n)` prefix on its operators
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("*(1) Project"),
+      s"md5_60 projection fell out of whole-stage codegen:\n$finalPlan")
+  }
+
   test("GraftExtensions: a session built with the extension resolves dot_product") {
     // The production wiring is spark.sql.extensions=graft.functions.
     // GraftExtensions on a fresh cluster. Same-JVM equivalent: build a
