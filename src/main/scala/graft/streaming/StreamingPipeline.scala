@@ -69,9 +69,13 @@ object StreamingPipeline {
     * dedup compaction — the bounded-state / exactness trade every
     * streaming deduper at 100 TB/day has to make. */
   def dedupByContent(src: DataFrame, textCol: String, tsCol: String,
-      lateness: String): DataFrame =
+      lateness: String, fingerprintExpr: Option[String] = None): DataFrame =
     src.withColumn("fp",
-        expr(s"md5_60(lower(trim($textCol)))"))
+        // default: lowercase-trim fingerprint (≡ batch q_dedup_exact);
+        // callers can pass a stronger row-local fold — e.g.
+        // md5_60(TextQueries.normalizeExpr(textCol)) so accent/
+        // whitespace variants dedup together at ingest
+        expr(fingerprintExpr.getOrElse(s"md5_60(lower(trim($textCol)))")))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 

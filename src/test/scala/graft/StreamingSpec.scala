@@ -50,6 +50,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 3L)) // doc 2 deduped against doc 1's fp
   }
 
+  test("dedupByContent with the normalize fold: accent/case/space variants collapse on the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the C4/CCNet normalize pass served at ingest: the SAME row-local
+    // normalizeExpr that batch q_text_normalize uses becomes the stream's
+    // dedup fingerprint, so re-published variants that differ only in
+    // case, accents or whitespace never reach the lake twice
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, ts(10), "Café  con   LECHE"),
+      (2L, ts(11), "cafe con leche"), // folds onto doc 1 only if normalized
+      (3L, ts(12), " CAFÉ CON LECHE "),
+      (4L, ts(13), "cafe com leite")) // genuinely different
+    val normFp =
+      s"md5_60(${graft.queries.TextQueries.normalizeExpr("text")})"
+    val out = StreamingPipeline.dedupByContent(
+      mem.toDF.toDF("doc_id", "t", "text"), "text", "t", "1 hour",
+      fingerprintExpr = Some(normFp))
+    StreamingPipeline.drainAvailableNow(out, "norm_deduped")
+    val rows = spark.sql("SELECT doc_id FROM norm_deduped ORDER BY doc_id")
+      .as[Long].collect()
+    assert(rows.toSeq == Seq(1L, 4L),
+      s"variants must fold to the first occurrence, got ${rows.toSeq}")
+    // and the DEFAULT lowercase-trim fingerprint does NOT fold the
+    // accented variant — normalization is what does the work
+    val mem2 = MemoryStream[(Long, Timestamp, String)]
+    mem2.addData((1L, ts(10), "Café  con   LECHE"),
+      (2L, ts(11), "cafe con leche"))
+    val plain = StreamingPipeline.dedupByContent(
+      mem2.toDF.toDF("doc_id", "t", "text"), "text", "t", "1 hour")
+    StreamingPipeline.drainAvailableNow(plain, "plain_deduped")
+    assert(spark.table("plain_deduped").count() == 2)
+  }
+
   test("streaming training-data ingest: content dedup → quality gate → idempotent upsert") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
