@@ -242,7 +242,16 @@ object MultimodalQueries {
     * (frame − row_number = run id) — the audio twin of the sessionize /
     * streaks shape, windowed PER DOC so no global sort exists; segment
     * rows are what a speech pipeline ships downstream (petabytes of
-    * waveform in, a segment table out). */
+    * waveform in, a segment table out).
+    *
+    * Cost note (audited): Catalyst pushes the energy filter below the
+    * feature projection by substituting the expression, so the frame
+    * decode+fold evaluates twice in the one codegen stage (visible as
+    * two `aggregate(transform(...))` in the final plan; ~0.9 s vs
+    * q_audio_frames' single-eval 0.16 s at sf0.1). That is the right
+    * trade at scale — the alternative is shuffling silent frames to
+    * dodge a map-side recompute — and both evals stay inside
+    * WholeStageCodegen with nothing materialized. */
   private def audioSilence(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame")
