@@ -14,6 +14,26 @@ import graft.queries.Registry
   */
 object Render {
 
+  /** CLI: `runMain graft.render.Render <sfDir> <outDir>` writes the four
+    * dashboard artifacts as .svg files — the engine's equivalent of the
+    * reference's output-dir PNG generation run. */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    Seq(
+      "cumulative_returns.svg" -> cumulativeReturns(spark, sfDir),
+      "correlation_heatmap.svg" -> correlationHeatmap(spark, sfDir),
+      "total_value_bars.svg" -> totalValueBars(spark, sfDir),
+      "share_pie.svg" -> sharePie(spark, sfDir)
+    ).foreach { case (name, svg) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/$name"), svg)
+    }
+    spark.stop()
+  }
+
   /** Cumulative-return line chart over the first `nSeries` user series of
     * q_cum_return (the reference plots a chosen symbol subset the same
     * way); x = event_id sequence, y = cumulative return in %. */
@@ -44,6 +64,16 @@ object Render {
     def v(a: String, b: String): Double =
       if (a == b) 1.0 else m.getOrElse((a, b), m.getOrElse((b, a), 0.0))
     Svg.heatmap(labels, v, "Daily-return correlation")
+  }
+
+  /** Share-of-total pie over q_share_of_total — the market-cap
+    * distribution panel shape (`dashboard.py:149-156`). */
+  def sharePie(spark: SparkSession, dir: String): String = {
+    val items = Registry.byName("q_share_of_total").fn(spark, dir)
+      .select("event_type", "total_value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    Svg.pieChart(items, "Share of total value")
   }
 
   /** Top-N total-value bars from q_dashboard — the live dashboard's

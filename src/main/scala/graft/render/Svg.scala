@@ -147,6 +147,47 @@ $cells
 </svg>"""
   }
 
+  /** Pie chart with percentage labels (the market-cap-distribution
+    * panel, `analytics_service/dashboard.py:149-156` — its `autopct`
+    * renders "p.1f%"): slices proceed counterclockwise from 12 o'clock
+    * (the reference's `startangle=90`), each an exact arc path from the
+    * cumulative fraction, labels at 0.62·r on the slice bisector.
+    * Zero/negative values are skipped (matplotlib drops them too). */
+  def pieChart(items: Seq[(String, Double)], title: String,
+      size: Int = 420): String = {
+    val pos = items.filter(_._2 > 0)
+    val total = pos.map(_._2).sum
+    val (cx, cy, r) = (size / 2.0, size / 2.0 + 14, size / 2.0 - 56)
+    def pt(frac: Double): (Double, Double) = {
+      val a = math.Pi / 2 + 2 * math.Pi * frac // CCW from 12 o'clock
+      (cx + r * math.cos(a), cy - r * math.sin(a))
+    }
+    var acc = 0.0
+    val slices = pos.zipWithIndex.map { case ((label, v), i) =>
+      val f0 = acc / total; acc += v; val f1 = acc / total
+      val (x0, y0) = pt(f0); val (x1, y1) = pt(f1)
+      val large = if (f1 - f0 > 0.5) 1 else 0
+      val mid = (f0 + f1) / 2
+      val lx = cx + 0.62 * r * math.cos(math.Pi / 2 + 2 * math.Pi * mid)
+      val ly = cy - 0.62 * r * math.sin(math.Pi / 2 + 2 * math.Pi * mid)
+      val pct = String.format(Locale.ROOT, "%.1f%%",
+        Double.box((v / total) * 100))
+      // sweep=0: SVG's y axis points down, so decreasing screen angle IS
+      // the counterclockwise visual direction
+      s"""<path d="M ${f2(cx)} ${f2(cy)} L ${f2(x0)} ${f2(y0)} """ +
+        s"""A ${f2(r)} ${f2(r)} 0 $large 0 ${f2(x1)} ${f2(y1)} Z" """ +
+        s"""fill="${Palette(i % Palette.size)}" stroke="white" """ +
+        s"""stroke-width="1"><title>${esc(label)}</title></path>""" +
+        text(lx, ly + 4, pct, 12, "middle", "#111111") +
+        text(lx, ly + 18, label, 10, "middle", "#111111")
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$size" height="$size">
+<rect width="$size" height="$size" fill="white"/>
+${text(size / 2.0, 24, title, 16, "middle")}
+$slices
+</svg>"""
+  }
+
   /** Labeled vertical bar chart with value annotations (the volume /
     * price-range shape of the live dashboard). Bars are scaled to the
     * max value; values annotate above each bar. */

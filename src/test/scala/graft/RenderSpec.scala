@@ -56,14 +56,33 @@ class RenderSpec extends SparkSpec {
     assert(svg.contains(">u1</text>") && svg.contains(">100.00</text>"))
   }
 
+  test("pieChart: exact slice geometry, autopct labels, zero slices dropped") {
+    val svg = Svg.pieChart(Seq(("a", 1.0), ("b", 1.0), ("zero", 0.0)),
+      "t", size = 420)
+    assert(parseXml(svg).getDocumentElement.getTagName == "svg")
+    // two equal slices, the zero slice dropped
+    assert(svg.split("<path").length - 1 == 2)
+    assert(svg.split(">50\\.0%</text>").length - 1 == 2)
+    // first slice starts at 12 o'clock: (cx, cy - r) = (210, 224-154=70)
+    assert(svg.contains("L 210.00 70.00"))
+    // half-circle slice ends at 6 o'clock: (210, 224+154=378)
+    assert(svg.contains("378.00"))
+    // deterministic
+    assert(svg == Svg.pieChart(Seq(("a", 1.0), ("b", 1.0), ("zero", 0.0)),
+      "t", size = 420))
+  }
+
   test("end-to-end: the reference's dashboard artifacts render from real query outputs") {
     val dir = "/root/testdata/sf0.001"
     val cum = Render.cumulativeReturns(spark, dir)
     val heat = Render.correlationHeatmap(spark, dir)
     val bars = Render.totalValueBars(spark, dir)
-    Seq(cum, heat, bars).foreach { svg =>
+    val pie = Render.sharePie(spark, dir)
+    Seq(cum, heat, bars, pie).foreach { svg =>
       assert(parseXml(svg).getDocumentElement.getTagName == "svg")
     }
+    // one pie slice per event type, percentages summing to ~100
+    assert(pie.split("<path").length - 1 == 5)
     // four user series requested and drawn
     assert(cum.split("<polyline").length - 1 == 4)
     // 5 event types → 25 annotated cells, unit diagonal present
