@@ -423,4 +423,51 @@ class ConnectorsSpec extends SparkSpec {
     val plan = back.filter(col("g") === "g1").queryExecution.executedPlan.toString
     assert(back.filter(col("g") === "g1").count() == 25)
   }
+
+  test("schema evolution: old files without a column read as nulls beside new files") {
+    import spark.implicits._
+    // a growing lake adds a column mid-life; a reader with mergeSchema
+    // must see old files' rows with null in the new column instead of
+    // failing or silently dropping it — the parquet schema-drift
+    // contract every long-lived ingest dir relies on
+    val dir = tmp() + "/evolve"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/batch=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "v", "score", "batch"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old file → null
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 0.5)
+  }
+
+  test("corrupt JSON records quarantine into _corrupt_record, good rows survive") {
+    // PERMISSIVE mode is the crawler-ingest contract: a malformed line
+    // must neither kill the job (FAILFAST) nor vanish (DROPMALFORMED
+    // would) — it lands whole in the corrupt column for quarantine
+    // routing while every well-formed row parses normally
+    val dir = tmp()
+    Files.write(Paths.get(s"$dir/in.json"),
+      ("""{"id": 1, "v": "ok"}""" + "\n" +
+        """{"id": 2, "v": "also ok"}""" + "\n" +
+        """{"id": 3, "v": broken""" + "\n").getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/in.json")
+      .cache() // corrupt-column reads require the full row to be materialized
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2 && bad.count() == 1)
+      assert(bad.head().getString(2).contains("broken"))
+      // quarantine routing: the split is lossless
+      assert(good.count() + bad.count() == df.count())
+    } finally df.unpersist()
+  }
 }
