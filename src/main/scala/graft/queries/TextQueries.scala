@@ -433,6 +433,47 @@ object TextQueries {
     GROUP BY o.doc_id
     ORDER BY o.doc_id"""
 
+  /** Good–Turing count-of-counts: N_r = how many vocabulary types occur
+    * exactly r times, with the Good–Turing reestimate
+    * r* = (r+1)·N_{r+1}/N_r — the frequency-spectrum table behind
+    * absolute-discount smoothers (Kneser–Ney's D ≈ N_1/(N_1+2N_2) comes
+    * straight from the first two rows) and the standard diagnostic for
+    * how heavy a corpus's rare-type tail is. Reported for the 20
+    * SMALLEST observed r (the head of the spectrum — data-adaptive, so
+    * a corpus whose rarest type occurs 900 times still reports its head
+    * rather than an empty fixed-range table). r* is null where N_{r+1}
+    * is empty, mirroring the undefined estimate.
+    *
+    * Scale shape: one map-side-combinable vocab aggregate, then a
+    * count-of-counts aggregate over the VOCAB-sized table and a self
+    * join shifted by one — nothing downstream of the first aggregate
+    * ever sees the token stream. */
+  private def countOfCounts(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(spark, dir, "documents")
+      .selectExpr(s"explode($toks) AS token")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val cc = vocab.groupBy(col("freq").as("r")).agg(count(lit(1)).as("n_r"))
+    val next = cc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    cc.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        Num.r((col("r") + lit(1)) * col("n_next") / col("n_r"), 4)
+          .as("r_star"))
+      .orderBy("r").limit(20)
+  }
+
+  private val countOfCountsSql = """
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    v AS (SELECT token, count(*) AS freq FROM t GROUP BY token),
+    cc AS (SELECT freq AS r, count(*) AS n_r FROM v GROUP BY freq),
+    nx AS (SELECT r - 1 AS r, n_r AS n_next FROM cc)
+    SELECT cc.r, cc.n_r,
+           round((cc.r + 1) * nx.n_next / cc.n_r + 1e-9, 4) AS r_star
+    FROM cc LEFT JOIN nx USING (r)
+    ORDER BY cc.r
+    LIMIT 20"""
+
   /** Accent fold for [[textNormalize]]: 1→1 codepoint map (ß→s is the
     * one lossy choice, noted) — `translate` is codepoint-wise on both
     * engines, so the two literal strings must stay equal-length. */
@@ -2026,6 +2067,7 @@ object TextQueries {
     QueryDef("q_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("q_tok_fertility", tokFertility, Some(tokFertilitySql)),
     QueryDef("q_text_normalize", textNormalize, Some(textNormalizeSql)),
+    QueryDef("q_count_of_counts", countOfCounts, Some(countOfCountsSql)),
     QueryDef("q_unigram_logprob", unigramLogprob, Some(s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token

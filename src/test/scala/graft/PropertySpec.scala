@@ -172,7 +172,7 @@ class PropertySpec extends SparkSpec {
       "q_media_clusters", "q_media_canonical", "q_kneser_ney",
       "q_dsir_select", "q_audio_frames", "q_audio_segments",
       "q_video_scenes", "q_dedup_weights", "q_tok_fertility",
-      "q_line_dedup", "q_text_normalize").foreach { q =>
+      "q_line_dedup", "q_text_normalize", "q_count_of_counts").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
