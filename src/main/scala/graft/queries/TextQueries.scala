@@ -1565,6 +1565,219 @@ object TextQueries {
     FROM sel s JOIN documents d USING (doc_id)
     ORDER BY sel_rank"""
 
+  /** Supervised quality classifier (the fastText-filter stage of GPT-3 /
+    * LLaMA-style curation — Brown et al. NeurIPS'20 §2.2 train a linear
+    * classifier on quality labels and keep high-scoring documents; CCNet
+    * ships the same shape): multinomial naive Bayes over HASHED unigram
+    * features, trained on the hash-assigned train split with the
+    * heuristic quality gate (`quality_score >= 0.8`) as the label, then
+    * scored on the HELD-OUT split — the classifier never sees its eval
+    * docs. The per-feature weight is the add-one-smoothed class
+    * log-likelihood ratio, so the per-doc score is the naive-Bayes
+    * log-odds; `q_dsir_select`'s importance ratio is the UNSUPERVISED
+    * cousin (target-vs-raw), this is the supervised one (labeled
+    * high-vs-low), and together they bracket the classifier-filter
+    * family.
+    *
+    * Scale shape: the hashing trick bounds the model at exactly
+    * [[NbBuckets]] rows at any corpus size — no vocabulary. Training is
+    * ONE map-side-combinable conditional aggregate over the train-split
+    * feature stream; class totals fold from the B-row census (not a
+    * corpus pass); the dense B-row model (every bucket gets a weight via
+    * the range⋈census left join, so unseen-bucket smoothing is in the
+    * model, not the scorer) and the 1-row prior broadcast into a single
+    * per-doc scoring aggregate. Determinism: weights rounded to 6 dp and
+    * summed as scaled BIGINTs; the train/held split is the content-hash
+    * split of `q_split_assign` (never rand()). */
+  private val NbBuckets = 256
+
+  /** doc_id → (heuristic-gate label, hash-split membership). */
+  private def nbLabeled(spark: SparkSession, dir: String): DataFrame =
+    textQuality(spark, dir)
+      .select(col("doc_id"),
+        (col("quality_score") >= 0.8).as("label"),
+        (expr("md5_60(cast(doc_id AS STRING)) % 10") < 8).as("is_train"))
+
+  /** Held-out docs scored by the train-split NB model; shared by the
+    * classifier, AUC and calibration queries (and the streaming twin). */
+  private[graft] def nbScoreHeldOut(spark: SparkSession, dir: String): DataFrame = {
+    val lab = nbLabeled(spark, dir)
+    val feats = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .selectExpr("doc_id", s"md5_60(tok) % $NbBuckets AS bucket")
+      .join(lab, "doc_id")
+    val census = feats.filter(col("is_train")).groupBy("bucket").agg(
+      count(when(col("label"), lit(1))).as("cp"),
+      count(when(!col("label"), lit(1))).as("cn"))
+    val totals = census.agg(sum("cp").as("np"), sum("cn").as("nn"))
+    val model = spark.range(NbBuckets).select(col("id").as("bucket"))
+      .join(census, Seq("bucket"), "left")
+      .na.fill(0, Seq("cp", "cn"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), Num.rExp(
+        log10((col("cp") + lit(1.0)) / (col("np") + lit(NbBuckets))) -
+          log10((col("cn") + lit(1.0)) / (col("nn") + lit(NbBuckets))),
+        6).as("lw"))
+    val prior = lab.filter(col("is_train")).agg(
+        count(when(col("label"), lit(1))).as("dp"),
+        count(when(!col("label"), lit(1))).as("dn"))
+      .select(Num.rExp(
+        log10((col("dp") + lit(1.0)) / (col("dn") + lit(1.0))), 6).as("prior"))
+    feats.filter(!col("is_train"))
+      .join(broadcast(model), "bucket")
+      .groupBy("doc_id", "label")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(round(col("lw") * 1e6).cast("long")).as("s"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("label"), col("n_feats"),
+        Num.r(col("prior") + col("s") / 1e6, 4).as("score"))
+      .withColumn("pred", col("score") > 0)
+  }
+
+  private def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbScoreHeldOut(spark, dir).orderBy("doc_id")
+
+  /** Shared oracle CTE chain: label + split, hashed features, census,
+    * dense model, prior, held-out scores — mirrors [[nbScoreHeldOut]]. */
+  private val nbScoredCtes = s"""
+    labq AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> t IN ${sqlSet(stopwords)}))
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+               + 1e-9, 4) AS stopword_ratio,
+             round((length(text) -
+                 length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio
+      FROM documents),
+    lab AS (
+      SELECT doc_id,
+             round((CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END) +
+                   (CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END) +
+                   (CASE WHEN punct_ratio < 0.1 THEN 0.2 ELSE 0.0 END)
+                   + 1e-9, 2) >= 0.8 AS label,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 10 < 8 AS is_train
+      FROM labq),
+    feats AS (
+      SELECT t.doc_id, l.label, l.is_train,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+               % $NbBuckets AS bucket
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents) t
+      JOIN lab l USING (doc_id)),
+    census AS (
+      SELECT bucket,
+             count(*) FILTER (label) AS cp,
+             count(*) FILTER (NOT label) AS cn
+      FROM feats WHERE is_train GROUP BY bucket),
+    tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM census),
+    model AS (
+      SELECT b.bucket,
+             round(log10((coalesce(c.cp, 0) + 1.0) / (np + $NbBuckets)) -
+                   log10((coalesce(c.cn, 0) + 1.0) / (nn + $NbBuckets))
+                   + 1e-8, 6) AS lw
+      FROM (SELECT unnest(range($NbBuckets)) AS bucket) b
+      LEFT JOIN census c USING (bucket) CROSS JOIN tot),
+    prior AS (
+      SELECT round(log10((count(*) FILTER (label) + 1.0) /
+                         (count(*) FILTER (NOT label) + 1.0)) + 1e-8, 6)
+               AS prior
+      FROM lab WHERE is_train),
+    scored AS (
+      SELECT f.doc_id, f.label, count(*) AS n_feats,
+             round(p.prior +
+               CAST(sum(CAST(round(lw * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 + 1e-9, 4) AS score
+      FROM feats f JOIN model USING (bucket) CROSS JOIN prior p
+      WHERE NOT f.is_train
+      GROUP BY f.doc_id, f.label, p.prior)"""
+
+  private val qualityClassifierSql = s"""
+    WITH $nbScoredCtes
+    SELECT doc_id, label, n_feats, score, score > 0 AS pred
+    FROM scored
+    ORDER BY doc_id"""
+
+  /** Held-out AUC of the NB quality classifier via the tie-corrected
+    * Mann–Whitney rank-sum (AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)),
+    * plus threshold-0 accuracy. Scores are 4-dp-rounded first, so tie
+    * groups are identical across engines; average ranks are exact
+    * half-integers, making the rank-sum order-independent. The global
+    * rank window is EVAL-SET-sized (the 20% held-out split of a
+    * labeled sample, not the corpus); at 100 TB the same AUC folds
+    * from a per-score-bin (label × count) histogram — the 4-dp rounding
+    * already IS that binning, so this exact form doubles as the oracle
+    * of the binned path. */
+  private def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = nbScoreHeldOut(spark, dir)
+      .withColumn("rank_lo", rank().over(Window.orderBy("score")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("score")))
+      .withColumn("avg_rank", col("rank_lo") + (col("cnt") - 1) / 2.0)
+    ranked.agg(
+        count(when(col("label"), lit(1))).as("n_pos"),
+        count(when(!col("label"), lit(1))).as("n_neg"),
+        sum(when(col("label"), col("avg_rank"))).as("rsum"),
+        avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)).as("acc"))
+      .select(col("n_pos"), col("n_neg"),
+        Num.r((col("rsum") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos") * col("n_neg").cast("double")), 4).as("auc"),
+        Num.r(col("acc"), 4).as("accuracy"))
+  }
+
+  private val classifierAucSql = s"""
+    WITH $nbScoredCtes,
+    ranked AS (
+      SELECT *, rank() OVER (ORDER BY score) AS rank_lo,
+             count(*) OVER (PARTITION BY score) AS cnt
+      FROM scored)
+    SELECT count(*) FILTER (label) AS n_pos,
+           count(*) FILTER (NOT label) AS n_neg,
+           round((sum(CASE WHEN label THEN rank_lo + (cnt - 1) / 2.0 END) -
+                  (count(*) FILTER (label)) *
+                  ((count(*) FILTER (label)) + 1) / 2.0)
+                 / ((count(*) FILTER (label)) *
+                    CAST(count(*) FILTER (NOT label) AS DOUBLE))
+                 + 1e-9, 4) AS auc,
+           round(avg(CASE WHEN (score > 0) = label THEN 1.0 ELSE 0.0 END)
+                 + 1e-9, 4) AS accuracy
+    FROM ranked"""
+
+  /** Reliability table for the classifier: deterministic score deciles
+    * (NTILE over (score, doc_id)) with each bin's empirical positive
+    * rate — monotone pos_rate across bins is the calibration signal a
+    * curation pass reads before picking its keep-threshold (same
+    * decile idiom as `q_quality_deciles`). */
+  private def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    nbScoreHeldOut(spark, dir)
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("label"), lit(1))).as("n_pos"),
+        Num.r(avg(when(col("label"), 1.0).otherwise(0.0)), 4).as("pos_rate"),
+        min("score").as("min_score"),
+        max("score").as("max_score"))
+      .orderBy("decile")
+  }
+
+  private val classifierCalibrationSql = s"""
+    WITH $nbScoredCtes,
+    binned AS (
+      SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS decile
+      FROM scored)
+    SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+           count(*) FILTER (label) AS n_pos,
+           round(avg(CASE WHEN label THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+             AS pos_rate,
+           min(score) AS min_score, max(score) AS max_score
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile"""
+
   /** Decile curation table: rank every document into quality deciles
     * (deterministic NTILE over (score, doc_id)) and report each decile's
     * population and score/length profile — what a curation pass reads to
@@ -1989,6 +2202,10 @@ object TextQueries {
     QueryDef("q_textrank", textrank, Some(textrankSql)),
     QueryDef("q_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("q_dsir_select", dsirSelect, Some(dsirSelectSql)),
+    QueryDef("q_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    QueryDef("q_classifier_auc", classifierAuc, Some(classifierAucSql)),
+    QueryDef("q_classifier_calibration", classifierCalibration,
+      Some(classifierCalibrationSql)),
     QueryDef("q_quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
     QueryDef("q_topk_per_doc", topkPerDoc, Some(topkPerDocSql)),
     QueryDef("q_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
