@@ -1598,9 +1598,11 @@ object TextQueries {
         (col("quality_score") >= 0.8).as("label"),
         (expr("md5_60(cast(doc_id AS STRING)) % 10") < 8).as("is_train"))
 
-  /** Held-out docs scored by the train-split NB model; shared by the
-    * classifier, AUC and calibration queries (and the streaming twin). */
-  private[graft] def nbScoreHeldOut(spark: SparkSession, dir: String): DataFrame = {
+  private case class NbParts(feats: DataFrame, model: DataFrame, prior: DataFrame)
+
+  /** Labeled hashed-feature stream plus the fitted dense B-row model and
+    * 1-row prior — shared by the batch scorer and the serving twin. */
+  private def nbParts(spark: SparkSession, dir: String): NbParts = {
     val lab = nbLabeled(spark, dir)
     val feats = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"explode($toks) AS tok")
@@ -1623,7 +1625,15 @@ object TextQueries {
         count(when(!col("label"), lit(1))).as("dn"))
       .select(Num.rExp(
         log10((col("dp") + lit(1.0)) / (col("dn") + lit(1.0))), 6).as("prior"))
-    feats.filter(!col("is_train"))
+    NbParts(feats, model, prior)
+  }
+
+  /** Held-out docs scored by the train-split NB model; shared by the
+    * classifier, AUC and calibration queries (and the streaming twin). */
+  private[graft] def nbScoreHeldOut(spark: SparkSession, dir: String): DataFrame = {
+    val p = nbParts(spark, dir)
+    val (model, prior) = (p.model, p.prior)
+    p.feats.filter(!col("is_train"))
       .join(broadcast(model), "bucket")
       .groupBy("doc_id", "label")
       .agg(count(lit(1)).as("n_feats"),
@@ -1636,6 +1646,26 @@ object TextQueries {
 
   private def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     nbScoreHeldOut(spark, dir).orderBy("doc_id")
+
+  /** The frozen NB quality classifier as ONE row-local expression for
+    * streaming ingest: the dense 256-weight model and the prior are
+    * baked into a map literal, so each arriving document scores with a
+    * per-token map lookup fold — no join, no streaming state (the
+    * CCNet/BPE serving pattern). The artifact is [[NbBuckets]]-bounded
+    * by construction at any training-corpus size. Weights fold as
+    * scaled BIGINTs exactly as the batch scorer sums them, so streamed
+    * scores equal batch scores bit-for-bit (proven in StreamingSpec). */
+  def nbServeModel(spark: SparkSession, dir: String, textCol: String): String = {
+    val p = nbParts(spark, dir)
+    val m = p.model.collect().map(r => s"${r.getLong(0)}L, ${r.getDouble(1)}D")
+      .mkString("map(", ", ", ")")
+    val prior = p.prior.collect()(0).getDouble(0)
+    val t = s"split(trim($textCol), '\\\\s+')"
+    s"""round(${prior}D + cast(aggregate(
+         transform($t, tk -> element_at($m, md5_60(tk) % $NbBuckets)),
+         0L, (a, x) -> a + cast(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+       / 1000000.0 + 1e-9, 4)"""
+  }
 
   /** Shared oracle CTE chain: label + split, hashed features, census,
     * dense model, prior, held-out scores — mirrors [[nbScoreHeldOut]]. */

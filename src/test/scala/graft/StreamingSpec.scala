@@ -428,6 +428,38 @@ class StreamingSpec extends SparkSpec {
     assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
   }
 
+  test("streaming model serving: frozen NB quality classifier over a stream equals batch scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.{Registry, TextQueries}
+    val dir = "/root/testdata/sf0.001"
+    // fit the classifier on the batch corpus, freeze model + prior as a
+    // 256-entry map literal: arriving documents score ROW-LOCALLY; the
+    // hash-split membership is row-local too, so the full held-out gate
+    // (split filter → NB score → verdict) runs statelessly in-stream
+    val scoreExpr = TextQueries.nbServeModel(spark, dir, "text")
+    val batch = Registry.byName("q_quality_classifier").fn(spark, dir)
+      .select("doc_id", "score", "pred")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sorted
+    val mem = MemoryStream[(Long, String)]
+    Tables(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().grouped(64)
+      .foreach(c => mem.addData(c.toSeq))
+    val served = mem.toDF.toDF("doc_id", "text")
+      .filter("md5_60(cast(doc_id AS STRING)) % 10 >= 8")
+      .selectExpr("doc_id", s"$scoreExpr AS score")
+      .selectExpr("doc_id", "score", "score > 0 AS pred")
+    StreamingPipeline.drainAvailableNow(served, "nb_serve")
+    val streamed = spark.table("nb_serve")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // stateless serving: no aggregation state operator in the plan (the
+    // SQL `aggregate(...)` higher-order fold prints lowercase)
+    assert(!served.queryExecution.analyzed.toString.contains("Aggregate "))
+  }
+
   test("streaming model serving: image near-dup probe against a frozen corpus index equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
