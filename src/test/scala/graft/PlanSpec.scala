@@ -175,6 +175,21 @@ class PlanSpec extends SparkSpec {
       s"q_dsir_select must not sort-merge the feature stream:\n$plan")
   }
 
+  test("nb classifier: dense hashed model and prior broadcast; no sort-merge on the feature stream") {
+    val plan = finalPlan("q_quality_classifier")
+    // the hashing trick bounds the NB model at NbBuckets rows and the
+    // prior at one — both must BROADCAST onto the held-out feature
+    // stream (model as a hash join, prior as a 1-row nested-loop); a
+    // sort-merge would shuffle every feature occurrence to score a
+    // 256-row artifact
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_quality_classifier model join must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q_quality_classifier prior must broadcast as a scalar row:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_quality_classifier must not sort-merge the feature stream:\n$plan")
+  }
+
   test("ccnet filter: tercile cuts are one broadcast scalar row; LM shape survives the composition") {
     val plan = finalPlan("q_ccnet_filter")
     // the perplexity cut points join every doc as a broadcast 1-row
