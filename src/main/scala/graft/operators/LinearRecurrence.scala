@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT first-order linear recurrence — the family pandas
+  * users assume "doesn't distribute" (`Series.ewm(adjust=False).mean()`,
+  * Wilder smoothing, MACD lines):
+  *
+  *   y_1 = x_1;   y_n = α·x_n + (1−α)·y_{n−1}
+  *
+  * A naive translation is a per-key sequential fold (driver loop or a
+  * single-threaded UDAF over the whole series). This operator instead runs
+  * the classic two-level parallel scan (Blelloch, "Prefix Sums and Their
+  * Applications", CMU-CS-90-190; the same decomposition cuDF/RAPIDS uses
+  * for `ewm`), expressed entirely in Spark windows + one higher-order
+  * fold — no UDF, no driver iteration, no unbounded state:
+  *
+  *  1. rows get a per-key row_number and are cut into fixed blocks of
+  *     [[BlockSize]]; within a block the homogeneous solution is a
+  *     pow-weighted prefix sum computed by ONE (key, block) window:
+  *       P_p = Σ_{q≤p} b_q·a^{p−q}   (computed as a^p · Σ b_q·a^{−q},
+  *     so the largest exponent is bounded by the BLOCK length, never the
+  *     series length — a^{−n} over a raw row_number overflows a double at
+  *     n ≈ 3100 for α = 0.2, which is exactly the 100×-scale-up trap this
+  *     blocking avoids);
+  *  2. each block reduces to a 2-number summary (T = P at block end —
+  *     computed as a^len·Σ b_q·a^{−q}, an order-independent plain
+  *     aggregate with map-side partials, no second window — and len);
+  *     the per-key carry INTO block k is the tiny fold
+  *       c_1 = 0;  c_{k+1} = c_k·a^{len_k} + T_k
+  *     over the sorted block summaries — n/B elements per key, evaluated
+  *     by `aggregate(...)` inside codegen;
+  *  3. carries rejoin on (key, block) and each row closes locally:
+  *       y_p = c·a^p + P_p.
+  *
+  * Cost at any scale: two hash shuffles of the fact table (the (key) and
+  * (key, block) window sorts — AQE-sized), one block-summary aggregation
+  * (|rows|/B), one (key, block) join. Nothing driver-side, nothing
+  * proportional to series length in memory except the per-key summary
+  * array (n/B elements — 4 GB of rows per key fold to ~1 MB at B = 32;
+  * production would raise B to 1024).
+  *
+  * Numerics: a^{−q} spans at most a^{−B}; the in-block sum is dominated by
+  * its largest term, which also dominates the result after the a^p
+  * rescale, so relative error stays O(√B·ulp) — verified against the
+  * row-by-row fold in FunctionsSpec to 1e-9 and against the DuckDB
+  * recursive-CTE oracle at 6 decimals.
+  *
+  * Several decay constants vectorize over the SAME two shuffles (the
+  * windows are shared; only the weighted columns multiply), which is how
+  * [[ewma]] computes MACD's three lines in one scan.
+  */
+object LinearRecurrence {
+
+  /** Block length for the two-level scan. 32 keeps multiple blocks per key
+    * alive even at the test scale factors (≤ 99 events per user), so the
+    * cross-block carry path is exercised by every gate run; at production
+    * scale a larger block (1024) amortizes the summary fold further. Safe
+    * for any α ∈ (0, 0.93]: the worst in-block weight is (1−α)^{−32}. */
+  val BlockSize = 32
+
+  /** Append one exact EWMA column per (outName → α) to `df`.
+    *
+    * @param df     input rows
+    * @param key    series key column name
+    * @param order  total order within a key (must be unique per row)
+    * @param x      value column expression the recursion reads; must be
+    *               non-null on every row (window sums SKIP nulls, so a
+    *               null observation would silently drop out of the scan
+    *               where literal recursion poisons its tail — coalesce
+    *               or filter upstream)
+    * @param alphas output column name → smoothing factor α = 2/(span+1)
+    */
+  def ewma(df: DataFrame, key: String, order: Seq[Column], x: Column,
+           alphas: Seq[(String, Double)]): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall { case (_, al) =>
+      al > 0.0 && al <= 0.93 }, "α must lie in (0, 0.93] for BlockSize=32")
+    val wKey = Window.partitionBy(key).orderBy(order: _*)
+    val rows = df
+      .withColumn("_rn", row_number().over(wKey))
+      .withColumn("_blk", expr(s"CAST((_rn - 1) div $BlockSize AS INT)"))
+      .withColumn("_pos", expr(s"CAST(_rn - _blk * $BlockSize AS INT)"))
+      .withColumn("_x", x)
+    // in-block prefixes, one weighted column pair per α over ONE window
+    val wBlk = Window.partitionBy(col(key), col("_blk")).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val prefixed = alphas.foldLeft(rows) { case (d, (name, al)) =>
+      val a = 1.0 - al
+      // b_1 = x_1 (pandas adjust=False seeds with the first observation)
+      val b = when(col("_rn") === 1, col("_x")).otherwise(col("_x") * al)
+      d.withColumn(s"_p_$name",
+        pow(lit(a), col("_pos")) * sum(b * pow(lit(a), -col("_pos"))).over(wBlk))
+    }
+    // 2-number block summaries per α: T = P at the block's last row
+    // = a^len · Σ_q b_q·a^{−q}. The inner sum is ORDER-INDEPENDENT, so the
+    // summaries aggregate directly over `rows` (map-side-combinable sum +
+    // count) instead of reading the windowed prefixes — the summary branch
+    // of the DAG then re-derives only the row_number pass, not the block
+    // window, when Spark recomputes the shared lineage (exchange reuse
+    // covers the scan shuffle; everything downstream is in-stage compute)
+    val sumAggs = alphas.map { case (name, al) =>
+      val b = when(col("_rn") === 1, col("_x")).otherwise(col("_x") * al)
+      sum(b * pow(lit(1.0 - al), -col("_pos"))).as(s"_su_$name")
+    } :+ count(lit(1)).as("_len")
+    val summaries = rows.groupBy(col(key), col("_blk"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .select(Seq(col(key), col("_blk"), col("_len")) ++
+        alphas.map { case (name, al) =>
+          (pow(lit(1.0 - al), col("_len")) * col(s"_su_$name"))
+            .as(s"_t_$name") }: _*)
+    // per-key fold over the sorted summaries → carry INTO each block
+    val tFields = alphas.map { case (name, _) => s"_t_$name" }
+    val structCols = (Seq("_blk") ++ tFields :+ "_len")
+      .map(f => s"'$f', $f").mkString(", ")
+    val zeroCarries = alphas.map { case (name, _) =>
+      s"'c_$name', CAST(0.0 AS DOUBLE)" }.mkString(", ")
+    val stepCarries = alphas.map { case (name, al) =>
+      val a = 1.0 - al
+      s"'c_$name', acc.c_$name * power(${a}D, s._len) + s._t_$name"
+    }.mkString(", ")
+    val outType = "array<struct<" +
+      ("_blk: int" +: alphas.map { case (n, _) => s"c_$n: double" })
+        .mkString(", ") + ">>"
+    val outElem = ("'_blk', s._blk" +: alphas.map { case (n, _) =>
+      s"'c_$n', acc.c_$n" }).mkString(", ")
+    val carries = summaries.groupBy(col(key))
+      .agg(sort_array(collect_list(expr(s"named_struct($structCols)")))
+        .as("_blocks"))
+      .select(col(key), explode(expr(
+        s"""aggregate(_blocks,
+              named_struct($zeroCarries,
+                           'out', CAST(array() AS $outType)),
+              (acc, s) -> named_struct($stepCarries,
+                'out', concat(acc.out, array(named_struct($outElem)))),
+              acc -> acc.out)""")).as("_c"))
+      .select(col(key) +: col("_c._blk").as("_blk") +:
+        alphas.map { case (n, _) => col(s"_c.c_$n").as(s"_c_$n") }: _*)
+    // close each row locally: y_p = c·a^p + P_p
+    val closed = alphas.foldLeft(prefixed.join(carries, Seq(key, "_blk"))) {
+      case (d, (name, al)) =>
+        d.withColumn(name,
+          col(s"_c_$name") * pow(lit(1.0 - al), col("_pos")) + col(s"_p_$name"))
+    }
+    closed.drop(
+      (Seq("_rn", "_blk", "_pos", "_x") ++
+        alphas.flatMap { case (n, _) => Seq(s"_p_$n", s"_c_$n") }): _*)
+  }
+}

@@ -944,6 +944,54 @@ object SimilarityQueries {
     FROM pred WHERE r = 1
     ORDER BY query_id"""
 
+  /** Hard-negative mining (the DPR recipe, Karpukhin et al. EMNLP'20
+    * §4.2): for each query vector, the most-similar corpus vectors
+    * carrying a DIFFERENT label — the near-boundary negatives that make
+    * contrastive/retrieval training converge, as opposed to random
+    * negatives a trained encoder already separates. Same broadcast shape
+    * as [[annBrute]]: queries broadcast with their labels, the corpus
+    * never shuffles, and the label-mismatch predicate prunes map-side
+    * BEFORE scoring. At corpus scale the candidate set comes from the
+    * IVF probe exactly as in [[annIvf]] with this predicate applied
+    * pre-rank — the mining is a filter on any ANN tier, not a new
+    * algorithm. */
+  private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = broadcast(q).join(e, col("qlabel") =!= col("label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("neg_label"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .selectExpr("query_id", "neighbor_id", "neg_label", "cosine",
+        "cast(rank AS BIGINT) AS rank")
+      .orderBy("query_id", "rank")
+  }
+
+  private val hardNegativesSql = s"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(e.label AS BIGINT) AS neg_label,
+             round(list_dot_product(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
+      FROM embeddings q JOIN embeddings e ON q.label <> e.label
+      WHERE q.vec_id < $NQUERIES)
+    SELECT query_id, neighbor_id, neg_label, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= $TOPK
+    ORDER BY query_id, rank"""
+
   /** Per-label embedding centroids in long (label, dim, centroid) form —
     * the class-prototype computation behind SemDeDup cluster centers,
     * nearest-centroid classifiers and IVF seeding. posexplode → ONE
@@ -974,6 +1022,7 @@ object SimilarityQueries {
     QueryDef("q_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
     QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
+    QueryDef("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     // Correctness tier, not headline: the hyperplane family tops out at
     // 41% corpus scan for recall@1 = 1.00 on this data — the round-7
     // LshTune grid (README recall table) shows every ≤20%-visited layout

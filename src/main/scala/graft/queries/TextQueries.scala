@@ -2191,6 +2191,76 @@ object TextQueries {
     FROM e
     ORDER BY lang, source"""
 
+  /** Heaps'-law vocabulary-growth curve — cumulative distinct token
+    * types vs cumulative tokens, measured at 20 equal-width doc_id
+    * checkpoints, plus the fitted growth exponent β of V = k·Nᵝ
+    * (log-log regression slope over the checkpoints). The corpus-scaling
+    * diagnostic that pairs with [[zipfSlope]] (rank-frequency) and the
+    * Good-Turing count-of-counts spectrum: sublinear β is what makes a
+    * capped vocabulary/tokenizer viable as the corpus grows.
+    *
+    * Scale shape: "distinct types seen so far" is NOT computed as a
+    * running distinct (which cannot distribute) — each type is charged
+    * to the checkpoint bucket of its FIRST occurrence (min(bucket) per
+    * token: one map-side-combinable aggregate over the token stream),
+    * and the cumulative curve then lives on ≤ 20 bucket rows, where a
+    * single-partition window costs nothing. 100 TB cost: one explode
+    * and two hash aggregates of the token stream; nothing else scales
+    * with the corpus. */
+  private def heaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val step = docs.agg(
+      expr("CAST(ceil((max(doc_id) + 1) / 20.0) AS BIGINT)").as("step"))
+    val toksDf = docs.selectExpr("doc_id", s"explode($toks) AS token")
+      .crossJoin(broadcast(step))
+      .withColumn("bucket", expr("doc_id div step"))
+    val tokensPerBucket = toksDf.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+    // a type's first bucket = bucket of its min doc_id (bucket is
+    // monotone in doc_id, so min commutes with the bucketing)
+    val typesPerBucket = toksDf.groupBy("token")
+      .agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tokensPerBucket.join(typesPerBucket, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_types", sum("n_new_types").over(w))
+      .withColumn("heaps_beta", Num.r(
+        regr_slope(log(col("cum_types")), log(col("cum_tokens")))
+          .over(Window.partitionBy()), 4))
+      .orderBy("bucket")
+  }
+
+  private val heapsSql = """
+    WITH step AS (
+      SELECT CAST(ceil((max(doc_id) + 1) / 20.0) AS BIGINT) AS step
+      FROM documents),
+    toks AS (
+      SELECT doc_id // step AS bucket, token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents), step),
+    tpb AS (SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket),
+    fo AS (SELECT token, min(bucket) AS bucket FROM toks GROUP BY token),
+    npb AS (SELECT bucket, count(*) AS n_new_types FROM fo GROUP BY bucket),
+    cur AS (
+      SELECT t.bucket, t.n_tokens,
+             coalesce(n.n_new_types, 0) AS n_new_types,
+             CAST(sum(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             CAST(sum(coalesce(n.n_new_types, 0)) OVER w AS BIGINT)
+               AS cum_types
+      FROM tpb t LEFT JOIN npb n USING (bucket)
+      WINDOW w AS (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT bucket, n_tokens, n_new_types, cum_tokens, cum_types,
+           round(regr_slope(ln(cum_types), ln(cum_tokens)) OVER ()
+                 + 1e-9, 4) AS heaps_beta
+    FROM cur
+    ORDER BY bucket"""
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * 100 docs drawn with probability ∝ length, deterministically — the
     * importance-sampling primitive behind quality- or domain-weighted
@@ -2228,6 +2298,7 @@ object TextQueries {
     QueryDef("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q_entropy", entropy, Some(entropySql)),
     QueryDef("q_zipf", zipfSlope, Some(zipfSlopeSql)),
+    QueryDef("q_heaps", heaps, Some(heapsSql)),
     QueryDef("q_chi2", chi2, Some(chi2Sql)),
     QueryDef("q_textrank", textrank, Some(textrankSql)),
     QueryDef("q_feature_hash", featureHash, Some(featureHashSql)),

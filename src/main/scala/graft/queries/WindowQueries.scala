@@ -416,6 +416,44 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** Exact EWMA, pandas `ewm(span=9, adjust=False).mean()` — the
+    * recurrence y₁ = x₁, yₙ = α·xₙ + (1−α)·yₙ₋₁ distributed via the
+    * blocked parallel scan in [[graft.operators.LinearRecurrence]] (two
+    * bounded window passes + a per-key fold over n/32 block summaries —
+    * never a per-row sequential fold, never an unbounded pow exponent).
+    * The oracle computes the same recursion row-by-row in a recursive
+    * CTE, so the gate cross-checks the scan algebra against literal
+    * recursion. */
+  private def ewma(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearRecurrence.ewma(
+        Tables(spark, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")), col("value"),
+        Seq("y" -> 0.2))
+      .select(col("event_id"), col("user_id"), col("value"),
+        Num.rExp(col("y"), 6).as("ewma_9"))
+      .orderBy("event_id")
+
+  /** MACD(12, 26, 9) — three coupled EWMA recursions (fast, slow, and the
+    * signal line over their difference). The fast and slow lines ride ONE
+    * blocked scan (the decay constants vectorize over shared windows);
+    * the signal line is a second scan over the derived macd series. Zero
+    * driver iteration; 100 TB cost = 2× the single-EWMA plan. */
+  private def macd(spark: SparkSession, dir: String): DataFrame = {
+    val lines = graft.operators.LinearRecurrence.ewma(
+        Tables(spark, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")), col("value"),
+        Seq("ema_f" -> 2.0 / 13.0, "ema_s" -> 2.0 / 27.0))
+      .withColumn("macd", col("ema_f") - col("ema_s"))
+    graft.operators.LinearRecurrence.ewma(
+        lines, "user_id", Seq(col("ts"), col("event_id")), col("macd"),
+        Seq("sig" -> 0.2))
+      .select(col("event_id"), col("user_id"), col("value"),
+        Num.rExp(col("macd"), 6).as("macd"),
+        Num.rExp(col("sig"), 6).as("signal"),
+        Num.rExp(col("macd") - col("sig"), 6).as("histogram"))
+      .orderBy("event_id")
+  }
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -688,6 +726,45 @@ object WindowQueries {
       WHERE dur_us IS NOT NULL AND dur_us > 0
       GROUP BY user_id, day
       ORDER BY user_id, day""")),
+    QueryDef("q_ewma", ewma, Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER ($wUser) AS rn
+        FROM $E),
+      r AS (
+        SELECT event_id, user_id, value, rn, CAST(value AS DOUBLE) AS y
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.event_id, e.user_id, e.value, e.rn,
+               0.2 * e.value + (1.0 - 0.2) * r.y
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, value, round(y + 1e-8, 6) AS ewma_9
+      FROM r
+      ORDER BY event_id""")),
+    QueryDef("q_macd", macd, Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER ($wUser) AS rn
+        FROM $E),
+      r AS (
+        SELECT event_id, user_id, value, rn,
+               CAST(value AS DOUBLE) AS yf, CAST(value AS DOUBLE) AS ys,
+               CAST(0.0 AS DOUBLE) AS ysig
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.event_id, e.user_id, e.value, e.rn,
+               (2.0 / 13.0) * e.value + (1.0 - 2.0 / 13.0) * r.yf,
+               (2.0 / 27.0) * e.value + (1.0 - 2.0 / 27.0) * r.ys,
+               0.2 * ((2.0 / 13.0) * e.value + (1.0 - 2.0 / 13.0) * r.yf
+                      - ((2.0 / 27.0) * e.value + (1.0 - 2.0 / 27.0) * r.ys))
+                 + (1.0 - 0.2) * r.ysig
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, value,
+             round(yf - ys + 1e-8, 6) AS macd,
+             round(ysig + 1e-8, 6) AS signal,
+             round(yf - ys - ysig + 1e-8, 6) AS histogram
+      FROM r
+      ORDER BY event_id""")),
     QueryDef("q_rank_stats", rankStats, Some(s"""
       SELECT event_id, user_id, ts, value,
              round(percent_rank() OVER ($wUser) + 1e-9, 6) AS pct_rank,

@@ -159,6 +159,57 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming EWMA — the online form of the batch blocked scan in
+    * [[graft.operators.LinearRecurrence]]: the recurrence
+    * y₁ = x₁, yₙ = α·xₙ + (1−α)·yₙ₋₁ carried as ONE (ts, seq, y) triple
+    * of keyed state per active series — O(active keys), never O(history),
+    * expired by the event-time timeout once the watermark passes the
+    * key's newest observation by the lateness horizon. Eviction FORGETS
+    * the recursion: a key's next observation reseeds y = x, so choose
+    * `lateness` longer than any real key's silence (the price of bounded
+    * state on an endless stream). Within a micro-batch rows are processed
+    * in (ts, seq) order; an observation at or before the state's frontier
+    * is late and is DROPPED rather than folded out of order (the batch
+    * scan would have placed it earlier in the recursion — folding it now
+    * would silently compute a different series; the twin spec proves the
+    * on-time path equals the batch scan). Emits every accepted row with
+    * its smoothed value. */
+  def ewmaState(src: Dataset[KeyedValue], alpha: Double, lateness: String):
+      Dataset[KeyedValue] = {
+    import src.sparkSession.implicits._
+    src.withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[
+        (java.sql.Timestamp, Long, Double), KeyedValue](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.seq))
+            val out = Seq.newBuilder[KeyedValue]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val accept = cur.forall { case (ts, seq, _) =>
+                r.ts.getTime > ts.getTime ||
+                  (r.ts.getTime == ts.getTime && r.seq > seq) }
+              if (accept) {
+                val y = cur match {
+                  case None => r.value
+                  case Some((_, _, prev)) => alpha * r.value + (1.0 - alpha) * prev
+                }
+                cur = Some((r.ts, r.seq, y))
+                out += KeyedValue(r.key, r.ts, r.seq, y)
+              } // else: late row — the recursion's frontier already passed it
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._1.getTime, lateness)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming SCD2 — the online form of the batch q_scd2 historization:
     * CDC-style attribute observations arrive per key; a CLOSED type-2 row
     * [valid_from, valid_to) is emitted the moment a key's attribute

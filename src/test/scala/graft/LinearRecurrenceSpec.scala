@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LinearRecurrence
+
+/** The blocked parallel scan must equal literal row-by-row recursion —
+  * on every block-boundary shape (1 row, B−1, B, B+1, several blocks)
+  * and for several decay constants sharing one pass. The oracle here is
+  * an in-test sequential fold, independent of both Spark and DuckDB. */
+class LinearRecurrenceSpec extends SparkSpec {
+
+  private val B = LinearRecurrence.BlockSize
+
+  /** Literal recursion y₁ = x₁, yₙ = α·xₙ + (1−α)·yₙ₋₁. */
+  private def foldEwma(xs: Seq[Double], alpha: Double): Seq[Double] =
+    xs.tail.scanLeft(xs.head)((y, x) => alpha * x + (1.0 - alpha) * y)
+
+  /** Keys exercising every boundary: single row, one short block, exactly
+    * one block, one-past, several full blocks, and a long tail. */
+  private def series(seed: Int): Map[String, Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq(1, B - 1, B, B + 1, 3 * B, 3 * B + 7, 200)
+      .zipWithIndex
+      .map { case (n, i) =>
+        s"k$i" -> Seq.fill(n)(math.rint(rnd.nextDouble() * 50000) / 100.0)
+      }.toMap
+  }
+
+  test("blocked scan equals literal recursion on every block-boundary shape") {
+    import spark.implicits._
+    val data = series(42)
+    val df = data.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x) }
+    }.toDF("k", "o", "x")
+    Seq(0.2, 2.0 / 13.0, 0.9).foreach { al =>
+      val got = LinearRecurrence
+        .ewma(df, "k", Seq(col("o")), col("x"), Seq("y" -> al))
+        .select("k", "o", "y").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      data.foreach { case (k, xs) =>
+        val want = foldEwma(xs, al)
+        want.zipWithIndex.foreach { case (w, i) =>
+          val g = got((k, i.toLong))
+          assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+            s"α=$al key=$k row=$i: scan=$g fold=$w")
+        }
+      }
+    }
+  }
+
+  test("several decay constants in one pass equal separate passes") {
+    import spark.implicits._
+    val df = series(7).toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x) }
+    }.toDF("k", "o", "x")
+    val alphas = Seq("fast" -> 2.0 / 13.0, "slow" -> 2.0 / 27.0)
+    val fused = LinearRecurrence
+      .ewma(df, "k", Seq(col("o")), col("x"), alphas)
+      .select("k", "o", "fast", "slow").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    alphas.foreach { case (name, al) =>
+      LinearRecurrence.ewma(df, "k", Seq(col("o")), col("x"),
+          Seq(name -> al))
+        .select(col("k"), col("o"), col(name)).collect()
+        .foreach { r =>
+          val (f, s) = fused((r.getString(0), r.getLong(1)))
+          val single = r.getDouble(2)
+          val expected = if (name == "fast") f else s
+          // identical expressions over identical windows → bit-equal
+          assert(single == expected,
+            s"$name diverged between fused and single-α passes")
+        }
+    }
+  }
+
+  test("α outside (0, 0.93] is rejected (block-bounded exponent contract)") {
+    import spark.implicits._
+    val df = Seq(("k", 0L, 1.0)).toDF("k", "o", "x")
+    Seq(0.0, -0.1, 0.95, 1.0).foreach { al =>
+      intercept[IllegalArgumentException] {
+        LinearRecurrence.ewma(df, "k", Seq(col("o")), col("x"),
+          Seq("y" -> al))
+      }
+    }
+  }
+}

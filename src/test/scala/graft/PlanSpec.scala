@@ -16,6 +16,15 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Like [[finalPlan]] but executes THIS df (collect, not a derived
+    * count plan), so AQE runtime artifacts — ReusedExchange, query
+    * stages — are visible to assertions. */
+  private def executedPlan(name: String): String = {
+    val df = Registry.byName(name).fn(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
@@ -38,7 +47,7 @@ class PlanSpec extends SparkSpec {
     // of sorting every scored candidate. The ANN re-rank windows must
     // keep that shape — it is what bounds the top-k cost at corpus scale.
     Seq("q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_sample_stratified",
-      "q_knn_classify", "q_topk_per_doc").foreach { q =>
+      "q_knn_classify", "q_topk_per_doc", "q_hard_negatives").foreach { q =>
         val plan = finalPlan(q)
         assert(plan.contains("WindowGroupLimit"),
           s"$q top-k window lost its group limit:\n$plan")
@@ -145,6 +154,38 @@ class PlanSpec extends SparkSpec {
       s"q_trigram_logprob scoring joins must broadcast the models:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"q_trigram_logprob must not sort-merge the triple stream:\n$plan")
+  }
+
+  test("ewma family: blocked scan, never a sequential fold or cartesian") {
+    // the EWMA scan must keep its two-level shape: bounded windows plus a
+    // per-key fold over COLLECTED block summaries (n/B elements). Losing
+    // collect_list would mean the fold silently became something
+    // row-count-proportional; a cartesian would mean the carry rejoin
+    // lost its keys. The fact table must shuffle by key ONCE, shared by
+    // the prefix and summary branches (ReusedExchange) — the carry rejoin
+    // itself rides that partitioning (broadcast under AQE at test scale;
+    // at 100 TB a co-partitioned join with no new fact-side exchange)
+    Seq("q_ewma", "q_macd").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must never cross rows:\n$plan")
+      assert(plan.contains("collect_list"),
+        s"$q lost the block-summary fold:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"$q branches must share the key shuffle:\n$plan")
+    }
+  }
+
+  test("heaps curve: first-occurrence census is aggregated, never a running distinct") {
+    // "types seen so far" must be charged to min(bucket) per token — two
+    // hash aggregates over the token stream. A distinct-count window over
+    // the stream (the naive translation) would shuffle every token into
+    // one task; no Expand/distinct operator may touch the exploded stream
+    val plan = finalPlan("q_heaps")
+    assert(plan.contains("HashAggregate"),
+      s"q_heaps must aggregate the token stream:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q_heaps: the 1-row step table must broadcast:\n$plan")
   }
 
   test("kneser-ney LM: model cut stays a heap; lambda/continuation tables broadcast") {

@@ -192,7 +192,8 @@ class PropertySpec extends SparkSpec {
       "q_video_scenes", "q_dedup_weights", "q_tok_fertility",
       "q_line_dedup", "q_text_normalize", "q_count_of_counts",
       "q_quality_classifier", "q_classifier_auc",
-      "q_classifier_calibration").foreach { q =>
+      "q_classifier_calibration", "q_ewma", "q_macd", "q_heaps",
+      "q_hard_negatives").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }

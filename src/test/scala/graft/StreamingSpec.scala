@@ -198,6 +198,77 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("A", 3.0), ("B", 9.0))) // newest-by-ts won
   }
 
+  test("ewmaState: late rows dropped, recursion exact across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.KeyedValue
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedValue]
+    val out = StreamingPipeline.ewmaState(mem.toDS(), 0.2, "1 hour")
+    // explicit processAllAvailable between adds: an AvailableNow drain
+    // would coalesce everything into ONE batch, where the in-batch sort
+    // legitimately re-orders the "late" row and nothing tests the
+    // cross-batch frontier — the exact property at stake here
+    val q = out.toDF.writeStream.format("memory").queryName("ewma_t")
+      .outputMode("append").start()
+    Seq(
+      KeyedValue("A", ts(100), 1L, 10.0),
+      KeyedValue("A", ts(200), 2L, 20.0),
+      KeyedValue("A", ts(150), 3L, 99.0), // late: frontier at 200
+      KeyedValue("A", ts(300), 4L, 30.0)
+    ).foreach { r => mem.addData(r); q.processAllAvailable() }
+    q.stop()
+    val rows = spark.sql("SELECT seq, value FROM ewma_t ORDER BY seq")
+      .as[(Long, Double)].collect().toSeq
+    // y₁=10; y₂=0.2·20+0.8·10=12; ts=150 dropped (no output, no state
+    // corruption); y₄=0.2·30+0.8·12 — continues from 12, not 99
+    assert(rows == Seq((1L, 10.0), (2L, 12.0), (4L, 0.2 * 30.0 + 0.8 * 12.0)))
+  }
+
+  test("streaming twin: ewmaState over chunked real events equals the batch blocked scan") {
+    import spark.implicits._
+    import graft.streaming.KeyedValue
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(spark, dir, "events")
+      .filter(col("user_id") < 30)
+      .select("user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => KeyedValue(r.getLong(0).toString, r.getTimestamp(1),
+        r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r.ts.getTime, r.seq))
+    // three chronological arrivals: per-key recursion state must survive
+    // micro-batch boundaries for every key, not just a constructed one
+    val mem = MemoryStream[KeyedValue]
+    val n = ev.length
+    // lateness must exceed the dataset's span: a key silent longer than
+    // the horizon is EVICTED and its series reseeds at the next row —
+    // correct for an endless stream, but the batch-equality twin needs
+    // every key's recursion to survive end to end
+    val out = StreamingPipeline.ewmaState(mem.toDS(), 0.2, "3650 days")
+    val q = out.toDF.writeStream.format("memory").queryName("ewma_twin_t")
+      .outputMode("append").start()
+    Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
+      ev.slice(2 * n / 3, n)).foreach { c =>
+        mem.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.sql("SELECT key, seq, value FROM ewma_twin_t")
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val batch = graft.operators.LinearRecurrence.ewma(
+        ev.toSeq.toDF("key", "ts", "seq", "x"),
+        "key", Seq(col("ts"), col("seq")), col("x"), Seq("y" -> 0.2))
+      .select("key", "seq", "y")
+      .as[(String, Long, Double)].collect()
+    assert(streamed.size == n) // nothing dropped on the on-time path
+    batch.foreach { case (k, seq, y) =>
+      val s = streamed((k, seq))
+      // literal online recursion vs blocked scan: same algebra, float
+      // association differs — equal far below the oracle's 6 decimals
+      assert(math.abs(s - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+        s"key=$k seq=$seq streamed=$s batch=$y")
+    }
+  }
+
   test("scd2State: closed rows on change, late drop, open rows on timeout") {
     import spark.implicits._
     import graft.streaming.AttrObs
