@@ -74,22 +74,52 @@ object LinearRecurrence {
     * @param alphas output column name → smoothing factor α = 2/(span+1)
     */
   def ewma(df: DataFrame, key: String, order: Seq[Column], x: Column,
-           alphas: Seq[(String, Double)]): DataFrame = {
+           alphas: Seq[(String, Double)]): DataFrame =
+    ewmaCols(df, key, order,
+      alphas.map { case (name, al) => (name, x, al) })
+
+  /** General form: each output column smooths ITS OWN input expression
+    * (e.g. Wilder's RSI smooths gains and losses side by side). All
+    * series still share the two windows and the one summary fold. */
+  def ewmaCols(df: DataFrame, key: String, order: Seq[Column],
+               specs: Seq[(String, Column, Double)]): DataFrame =
+    scan(df, key, order, specs.map { case (name, x, al) =>
+      // adjust=False: y₁ = x₁, then each step feeds α·xₙ
+      (name, x, al, al)
+    })
+
+  /** pandas `ewm(adjust=True)` building block: the UNNORMALIZED weighted
+    * sum Sₙ = xₙ + (1−α)·Sₙ₋₁ (step factor 1 — the same recurrence
+    * engine, a different forcing term). adjust=True's debiased mean is
+    * S(x)/S(1) and its biased variance S(x²)/S(1) − (S(x)/S(1))² — all
+    * plain ratios of these sums, each an extra column on the ONE scan. */
+  def ewSumCols(df: DataFrame, key: String, order: Seq[Column],
+                specs: Seq[(String, Column, Double)]): DataFrame =
+    scan(df, key, order, specs.map { case (name, x, al) =>
+      (name, x, al, 1.0)
+    })
+
+  /** yₙ = step·xₙ + (1−α)·yₙ₋₁ with y₁ = x₁ — the shared scan. */
+  private def scan(df: DataFrame, key: String, order: Seq[Column],
+                   specs: Seq[(String, Column, Double, Double)]): DataFrame = {
+    val alphas = specs.map { case (name, _, al, _) => (name, al) }
     require(alphas.nonEmpty && alphas.forall { case (_, al) =>
       al > 0.0 && al <= 0.93 }, "α must lie in (0, 0.93] for BlockSize=32")
     val wKey = Window.partitionBy(key).orderBy(order: _*)
-    val rows = df
-      .withColumn("_rn", row_number().over(wKey))
-      .withColumn("_blk", expr(s"CAST((_rn - 1) div $BlockSize AS INT)"))
-      .withColumn("_pos", expr(s"CAST(_rn - _blk * $BlockSize AS INT)"))
-      .withColumn("_x", x)
+    val rows = specs.foldLeft(df
+        .withColumn("_rn", row_number().over(wKey))
+        .withColumn("_blk", expr(s"CAST((_rn - 1) div $BlockSize AS INT)"))
+        .withColumn("_pos", expr(s"CAST(_rn - _blk * $BlockSize AS INT)"))) {
+      case (d, (name, xc, _, _)) => d.withColumn(s"_x_$name", xc)
+    }
     // in-block prefixes, one weighted column pair per α over ONE window
     val wBlk = Window.partitionBy(col(key), col("_blk")).orderBy(col("_pos"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val prefixed = alphas.foldLeft(rows) { case (d, (name, al)) =>
+    val prefixed = specs.foldLeft(rows) { case (d, (name, _, al, step)) =>
       val a = 1.0 - al
-      // b_1 = x_1 (pandas adjust=False seeds with the first observation)
-      val b = when(col("_rn") === 1, col("_x")).otherwise(col("_x") * al)
+      val x = col(s"_x_$name")
+      // b_1 = x_1 (both ewm modes seed with the first observation)
+      val b = when(col("_rn") === 1, x).otherwise(x * step)
       d.withColumn(s"_p_$name",
         pow(lit(a), col("_pos")) * sum(b * pow(lit(a), -col("_pos"))).over(wBlk))
     }
@@ -100,8 +130,9 @@ object LinearRecurrence {
     // of the DAG then re-derives only the row_number pass, not the block
     // window, when Spark recomputes the shared lineage (exchange reuse
     // covers the scan shuffle; everything downstream is in-stage compute)
-    val sumAggs = alphas.map { case (name, al) =>
-      val b = when(col("_rn") === 1, col("_x")).otherwise(col("_x") * al)
+    val sumAggs = specs.map { case (name, _, al, step) =>
+      val x = col(s"_x_$name")
+      val b = when(col("_rn") === 1, x).otherwise(x * step)
       sum(b * pow(lit(1.0 - al), -col("_pos"))).as(s"_su_$name")
     } :+ count(lit(1)).as("_len")
     val summaries = rows.groupBy(col(key), col("_blk"))
@@ -144,7 +175,7 @@ object LinearRecurrence {
           col(s"_c_$name") * pow(lit(1.0 - al), col("_pos")) + col(s"_p_$name"))
     }
     closed.drop(
-      (Seq("_rn", "_blk", "_pos", "_x") ++
-        alphas.flatMap { case (n, _) => Seq(s"_p_$n", s"_c_$n") }): _*)
+      (Seq("_rn", "_blk", "_pos") ++
+        alphas.flatMap { case (n, _) => Seq(s"_x_$n", s"_p_$n", s"_c_$n") }): _*)
   }
 }

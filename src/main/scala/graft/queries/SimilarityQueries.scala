@@ -992,6 +992,88 @@ object SimilarityQueries {
     QUALIFY rank <= $TOPK
     ORDER BY query_id, rank"""
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    * CCMatrix/NLLB parallel-corpus recipe): for each source-side vector
+    * the best target-side candidate by MARGIN score
+    * cos(x,y) / ((avgₖNN(x) + avgₖNN(y)) / 2) — the ratio neutralizes
+    * hubness (a target that is everyone's near-neighbor gets its high
+    * raw cosine discounted by its own high kNN average, so absolute
+    * cosine thresholds stop over-selecting hub vectors). Labels 0/1
+    * stand in for the two languages; k = 4.
+    *
+    * Scale shape: the dense src×tgt scoring is the correctness tier —
+    * at corpus scale the pair stream comes from the IVF bucket probe
+    * (the [[graft.queries.DedupQueries]] SemDeDup shape) and everything
+    * downstream — per-side top-k averages, margin, per-src argmax — is
+    * unchanged on the candidate graph. Both kNN averages are windows
+    * over the pair stream keyed by ONE side each; margins then rank per
+    * src with a group-limit heap. Determinism: margins divide identical
+    * 6-dp-rounded inputs in both engines, so ranking ties are decided on
+    * identical bits + tgt_id. */
+  private val BITEXT_K = 4
+  private def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val src = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"))
+    val tgt = emb.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"))
+    val pairs = src.crossJoin(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"),
+        Num.r(expr(dotSpark.format("sv", "tv")), 6).as("cosine"))
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("tgt_id"))
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("cosine").desc, col("src_id"))
+    val sAvg = pairs.withColumn("rs", row_number().over(wS))
+      .filter(col("rs") <= BITEXT_K)
+      .groupBy("src_id").agg(Num.r(avg("cosine"), 6).as("s_knn"))
+    val tAvg = pairs.withColumn("rt", row_number().over(wT))
+      .filter(col("rt") <= BITEXT_K)
+      .groupBy("tgt_id").agg(Num.r(avg("cosine"), 6).as("t_knn"))
+    val margins = pairs
+      .join(broadcast(sAvg), Seq("src_id"))
+      .join(broadcast(tAvg), Seq("tgt_id"))
+      .withColumn("margin", Num.r(
+        col("cosine") / ((col("s_knn") + col("t_knn")) / 2.0), 6))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    margins.withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1)
+      .select("src_id", "tgt_id", "cosine", "s_knn", "t_knn", "margin")
+      .orderBy("src_id")
+  }
+
+  private val bitextMarginSql = s"""
+    WITH pairs AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             round(list_dot_product(s.embedding::DOUBLE[],
+                                    t.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
+      FROM (SELECT * FROM embeddings WHERE label = 0) s,
+           (SELECT * FROM embeddings WHERE label = 1) t),
+    sa AS (
+      SELECT src_id, round(avg(cosine) + 1e-9, 6) AS s_knn
+      FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY cosine DESC, tgt_id) AS rs FROM pairs)
+      WHERE rs <= $BITEXT_K GROUP BY src_id),
+    ta AS (
+      SELECT tgt_id, round(avg(cosine) + 1e-9, 6) AS t_knn
+      FROM (SELECT *, row_number() OVER (PARTITION BY tgt_id
+              ORDER BY cosine DESC, src_id) AS rt FROM pairs)
+      WHERE rt <= $BITEXT_K GROUP BY tgt_id),
+    m AS (
+      SELECT p.src_id, p.tgt_id, p.cosine, sa.s_knn, ta.t_knn,
+             round(p.cosine / ((sa.s_knn + ta.t_knn) / 2.0) + 1e-9, 6)
+               AS margin
+      FROM pairs p JOIN sa USING (src_id) JOIN ta USING (tgt_id))
+    SELECT src_id, tgt_id, cosine, s_knn, t_knn, margin
+    FROM m
+    QUALIFY row_number() OVER (PARTITION BY src_id
+                               ORDER BY margin DESC, tgt_id) = 1
+    ORDER BY src_id"""
+
   /** Per-label embedding centroids in long (label, dim, centroid) form —
     * the class-prototype computation behind SemDeDup cluster centers,
     * nearest-centroid classifiers and IVF seeding. posexplode → ONE
@@ -1023,6 +1105,7 @@ object SimilarityQueries {
     QueryDef("q_ann_brute", annBrute, Some(annBruteSql), headline = false),
     QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    QueryDef("q_bitext_margin", bitextMargin, Some(bitextMarginSql)),
     // Correctness tier, not headline: the hyperplane family tops out at
     // 41% corpus scan for recall@1 = 1.00 on this data — the round-7
     // LshTune grid (README recall table) shows every ≤20%-visited layout

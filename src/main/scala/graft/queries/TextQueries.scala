@@ -1278,6 +1278,48 @@ object TextQueries {
     * is scanned twice but never shuffled by doc, and the wire carries
     * only per-lang partials. sqrt (not pow) because IEEE 754 requires
     * sqrt correctly rounded — identical bits on JVM and C libm. */
+  /** Temperature-scaled multilingual sampling (the XLM-R / mT5 recipe,
+    * Conneau et al. ACL'20 §3): sampling distribution qᵢ ∝ pᵢ^α with
+    * α = 0.3 over the per-language corpus shares pᵢ — flattens the
+    * head languages and boosts the tail without ever equalizing
+    * (α = 1 is proportional, α = 0 uniform). Reports each language's
+    * corpus share, its temperature-scaled sampling share, and the
+    * boost factor qᵢ/pᵢ (the per-language oversampling rate a data
+    * loader applies). One count aggregate over the corpus; all the
+    * temperature math lives on the |langs|-row table and its 1-row
+    * normalization fold. */
+  private def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("total"))
+    val shares = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs") / col("total").cast("double"))
+      .withColumn("pa", pow(col("p"), 0.3))
+    shares
+      .withColumn("q", col("pa")
+        / sum("pa").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("lang"), col("n_docs"),
+        Num.r(col("p"), 6).as("share"),
+        Num.rExp(col("q"), 6).as("sample_share"),
+        Num.rExp(col("q") / col("p"), 4).as("boost"))
+      .orderBy("lang")
+  }
+
+  private val temperatureMixSql = """
+    WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+    shares AS (
+      SELECT lang, n_docs,
+             n_docs / CAST(total AS DOUBLE) AS p,
+             pow(n_docs / CAST(total AS DOUBLE), 0.3) AS pa
+      FROM counts CROSS JOIN tot)
+    SELECT lang, n_docs,
+           round(p + 1e-9, 6) AS share,
+           round(pa / sum(pa) OVER () + 1e-8, 6) AS sample_share,
+           round((pa / sum(pa) OVER ()) / p + 1e-8, 4) AS boost
+    FROM shares
+    ORDER BY lang"""
+
   private def mixReweight(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -2313,6 +2355,7 @@ object TextQueries {
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_chunk_sliding", chunkSliding, Some(chunkSlidingSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
+    QueryDef("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QueryDef("q_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("q_pipeline_e2e", pipelineE2e, Some(pipelineE2eSql)),

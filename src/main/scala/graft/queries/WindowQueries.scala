@@ -454,6 +454,76 @@ object WindowQueries {
       .orderBy("event_id")
   }
 
+  /** Wilder-smoothed RSI — the [[rsi]] indicator's classic recursive
+    * form: avg_gain/avg_loss are EWMAs (α = 1/14) of the up/down moves,
+    * not box-window sums, so one bad tick decays geometrically instead
+    * of falling off a 14-row cliff. Both series ride ONE blocked scan
+    * ([[graft.operators.LinearRecurrence.ewmaCols]] — per-column inputs,
+    * shared windows and summary fold). Seeding follows ewm(adjust=False)
+    * (first move seeds the average); Wilder's original 14-SMA seed
+    * differs only during warmup, the steady state is identical.
+    * RSI = 100·g/(g+l); an all-zero-loss prefix gives exactly g+l = 0 in
+    * BOTH the scan algebra and literal recursion (no cancellation — all
+    * terms non-negative), so the NULL branch agrees across engines. */
+  private def rsiWilder(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "events")
+      .withColumn("_delta", col("value") - lag("value", 1).over(byUser))
+      .filter(col("_delta").isNotNull)
+    graft.operators.LinearRecurrence.ewmaCols(
+        base, "user_id", Seq(col("ts"), col("event_id")),
+        Seq(("avg_gain", greatest(col("_delta"), lit(0.0)), 1.0 / 14.0),
+          ("avg_loss", greatest(-col("_delta"), lit(0.0)), 1.0 / 14.0)))
+      .select(col("event_id"), col("user_id"),
+        Num.rExp(col("avg_gain"), 6).as("avg_gain"),
+        Num.rExp(col("avg_loss"), 6).as("avg_loss"),
+        when(col("avg_gain") + col("avg_loss") === 0.0, lit(null))
+          .otherwise(Num.rExp(
+            lit(100.0) * col("avg_gain")
+              / (col("avg_gain") + col("avg_loss")), 4)).as("rsi_w"))
+      .orderBy("event_id")
+  }
+
+  /** pandas-DEFAULT EWMA — `ewm(span=9).mean()` with adjust=True: the
+    * debiased finite-window form Σ(1−α)ⁱ·xₙ₋ᵢ / Σ(1−α)ⁱ. Both the
+    * weighted sum and the weight total are first-order linear
+    * recurrences with step factor 1 ([[graft.operators.LinearRecurrence
+    * .ewSumCols]]), so the pair rides ONE blocked scan and the mean is a
+    * per-row ratio. Complements [[ewma]] (adjust=False): together they
+    * cover both pandas ewm modes exactly. */
+  private def ewmaAdjusted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearRecurrence.ewSumCols(
+        Tables(spark, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")),
+        Seq(("sx", col("value"), 0.2), ("sw", lit(1.0), 0.2)))
+      .select(col("event_id"), col("user_id"), col("value"),
+        Num.rExp(col("sx") / col("sw"), 6).as("ewma_adj_9"))
+      .orderBy("event_id")
+
+  /** RiskMetrics EW volatility (J.P. Morgan TD4e, λ = 0.94): the
+    * exponentially-weighted mean and BIASED variance as ratios of three
+    * linear recurrences — S(1), S(x), S(x²), all with decay λ and step
+    * factor 1 — in ONE blocked scan: var = S(x²)/S(1) − mean²,
+    * vol = √max(var, 0). The one-pass streaming-friendly volatility
+    * estimator, exact at any series length (no window truncation). At
+    * n = 1 the variance is exactly 0 in both engines (identical products
+    * cancel bit-for-bit); beyond that the guard only clips float dust. */
+  private def ewmVolatility(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearRecurrence.ewSumCols(
+        Tables(spark, dir, "events"), "user_id",
+        Seq(col("ts"), col("event_id")),
+        Seq(("sx", col("value"), 0.06),
+          ("sx2", col("value") * col("value"), 0.06),
+          ("sw", lit(1.0), 0.06)))
+      .select(col("event_id"), col("user_id"), col("value"),
+        Num.rExp(col("sx") / col("sw"), 4).as("ewm_mean"),
+        // mean² as an explicit product: pow(x, 2) is libm territory where
+        // engines may differ by an ulp; x*x is a single IEEE multiply
+        Num.rExp(sqrt(greatest(
+          col("sx2") / col("sw")
+            - (col("sx") / col("sw")) * (col("sx") / col("sw")),
+          lit(0.0))), 4).as("ewm_vol"))
+      .orderBy("event_id")
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -752,17 +822,90 @@ object WindowQueries {
                CAST(0.0 AS DOUBLE) AS ysig
         FROM e WHERE rn = 1
         UNION ALL
+        -- e-notation keeps the constants DOUBLE in BOTH dialects: Spark
+        -- SQL parses 2.0/13.0 as DECIMAL division (scale-truncated ≈1e-6,
+        -- which compounds through the recursion), DuckDB as double
         SELECT e.event_id, e.user_id, e.value, e.rn,
-               (2.0 / 13.0) * e.value + (1.0 - 2.0 / 13.0) * r.yf,
-               (2.0 / 27.0) * e.value + (1.0 - 2.0 / 27.0) * r.ys,
-               0.2 * ((2.0 / 13.0) * e.value + (1.0 - 2.0 / 13.0) * r.yf
-                      - ((2.0 / 27.0) * e.value + (1.0 - 2.0 / 27.0) * r.ys))
+               (2e0 / 13e0) * e.value + (1e0 - 2e0 / 13e0) * r.yf,
+               (2e0 / 27e0) * e.value + (1e0 - 2e0 / 27e0) * r.ys,
+               0.2 * ((2e0 / 13e0) * e.value + (1e0 - 2e0 / 13e0) * r.yf
+                      - ((2e0 / 27e0) * e.value + (1e0 - 2e0 / 27e0) * r.ys))
                  + (1.0 - 0.2) * r.ysig
         FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
       SELECT event_id, user_id, value,
              round(yf - ys + 1e-8, 6) AS macd,
              round(ysig + 1e-8, 6) AS signal,
              round(yf - ys - ysig + 1e-8, 6) AS histogram
+      FROM r
+      ORDER BY event_id""")),
+    QueryDef("q_ewma_adjusted", ewmaAdjusted, Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER ($wUser) AS rn
+        FROM $E),
+      r AS (
+        SELECT event_id, user_id, value, rn,
+               CAST(value AS DOUBLE) AS sx, CAST(1.0 AS DOUBLE) AS sw
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.event_id, e.user_id, e.value, e.rn,
+               e.value + (1e0 - 2e-1) * r.sx,
+               1e0 + (1e0 - 2e-1) * r.sw
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, value,
+             round(sx / sw + 1e-8, 6) AS ewma_adj_9
+      FROM r
+      ORDER BY event_id""")),
+    QueryDef("q_ewm_volatility", ewmVolatility, Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER ($wUser) AS rn
+        FROM $E),
+      r AS (
+        SELECT event_id, user_id, value, rn,
+               CAST(value AS DOUBLE) AS sx,
+               CAST(value * value AS DOUBLE) AS sx2,
+               CAST(1.0 AS DOUBLE) AS sw
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.event_id, e.user_id, e.value, e.rn,
+               e.value + (1e0 - 6e-2) * r.sx,
+               e.value * e.value + (1e0 - 6e-2) * r.sx2,
+               1e0 + (1e0 - 6e-2) * r.sw
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, value,
+             round(sx / sw + 1e-8, 4) AS ewm_mean,
+             round(sqrt(greatest(
+               sx2 / sw - (sx / sw) * (sx / sw), 0)) + 1e-8, 4) AS ewm_vol
+      FROM r
+      ORDER BY event_id""")),
+    QueryDef("q_rsi_wilder", rsiWilder, Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, value,
+               value - lag(value, 1) OVER ($wUser) AS delta,
+               row_number() OVER ($wUser) AS rn
+        FROM $E),
+      f AS (
+        SELECT event_id, user_id,
+               CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS g,
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS l,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
+        FROM e WHERE delta IS NOT NULL),
+      r AS (
+        SELECT event_id, user_id, rn2, g AS ag, l AS al
+        FROM f WHERE rn2 = 1
+        UNION ALL
+        -- e-notation: DOUBLE division in both dialects (Spark SQL would
+        -- read 1.0/14.0 as scale-truncated DECIMAL division)
+        SELECT f.event_id, f.user_id, f.rn2,
+               (1e0 / 14e0) * f.g + (1e0 - 1e0 / 14e0) * r.ag,
+               (1e0 / 14e0) * f.l + (1e0 - 1e0 / 14e0) * r.al
+        FROM f JOIN r ON f.user_id = r.user_id AND f.rn2 = r.rn2 + 1)
+      SELECT event_id, user_id,
+             round(ag + 1e-8, 6) AS avg_gain,
+             round(al + 1e-8, 6) AS avg_loss,
+             CASE WHEN ag + al = 0 THEN NULL
+                  ELSE round(100.0 * ag / (ag + al) + 1e-8, 4) END AS rsi_w
       FROM r
       ORDER BY event_id""")),
     QueryDef("q_rank_stats", rankStats, Some(s"""

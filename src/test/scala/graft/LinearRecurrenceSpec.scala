@@ -74,6 +74,35 @@ class LinearRecurrenceSpec extends SparkSpec {
     }
   }
 
+  test("ewSumCols: unnormalized sums equal literal recursion; the ratio is pandas adjust=True") {
+    import spark.implicits._
+    val data = series(11)
+    val df = data.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x) }
+    }.toDF("k", "o", "x")
+    val al = 0.2
+    val got = LinearRecurrence.ewSumCols(df, "k", Seq(col("o")),
+        Seq(("sx", col("x"), al), ("sw", lit(1.0), al)))
+      .select("k", "o", "sx", "sw").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    data.foreach { case (k, xs) =>
+      // literal adjust=True: Sₙ = xₙ + (1−α)·Sₙ₋₁; mean = S(x)/S(1)
+      val sx = xs.tail.scanLeft(xs.head)((s, x) => x + (1.0 - al) * s)
+      val sw = xs.indices.map(i =>
+        (0 to i).map(j => math.pow(1.0 - al, j)).sum)
+      xs.indices.foreach { i =>
+        val (gx, gw) = got((k, i.toLong))
+        assert(math.abs(gx - sx(i)) <= 1e-9 * math.max(1.0, math.abs(sx(i))))
+        assert(math.abs(gw - sw(i)) <= 1e-9 * sw(i))
+        // the ratio reproduces the closed-form weighted mean
+        val want = xs.take(i + 1).reverse.zipWithIndex
+          .map { case (x, j) => x * math.pow(1.0 - al, j) }.sum / sw(i)
+        assert(math.abs(gx / gw - want) <= 1e-9 * math.max(1.0, math.abs(want)))
+      }
+    }
+  }
+
   test("α outside (0, 0.93] is rejected (block-bounded exponent contract)") {
     import spark.implicits._
     val df = Seq(("k", 0L, 1.0)).toDF("k", "o", "x")

@@ -193,7 +193,9 @@ class PropertySpec extends SparkSpec {
       "q_line_dedup", "q_text_normalize", "q_count_of_counts",
       "q_quality_classifier", "q_classifier_auc",
       "q_classifier_calibration", "q_ewma", "q_macd", "q_heaps",
-      "q_hard_negatives").foreach { q =>
+      "q_hard_negatives", "q_rsi_wilder", "q_bitext_margin",
+      "q_ewma_adjusted", "q_ewm_volatility",
+      "q_temperature_mix").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
