@@ -626,6 +626,75 @@ object AnalyticsQueries {
     GROUP BY event_type, day
     ORDER BY event_type, day"""
 
+  /** 14-day Average True Range over the daily OHLC bars (Cutler-style
+    * simple average — the recursive Wilder smoothing lives in
+    * [[WindowQueries]]' rsi_wilder family; the simple form is
+    * order-independent and engine-exact). True range follows Wilder's
+    * convention: day 1 per key is high−low (no prior close), later days
+    * are max(high−low, |high−prev_close|, |low−prev_close|). The
+    * prev-close null branch is EXPLICIT — Spark's `greatest` skips nulls
+    * while engines differ on null-propagation, so the CASE keeps both
+    * sides on the same arm. TR is rounded before the 14-day average so
+    * both engines smooth identical inputs; ATR is null until 14 TRs
+    * exist.
+    * Scale shape: one hash aggregate to daily bars (map-side partials,
+    * min_by/max_by — no per-event sort), then windows over the tiny
+    * per-(type, day) table. */
+  private def atr(spark: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val w14 = wDay.rowsBetween(-13, 0)
+    val bars = Tables(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+    val prevClose = lag("close", 1).over(wDay)
+    bars
+      .select(col("event_type"), col("day"), col("high"), col("low"),
+        col("close"),
+        Num.r(when(prevClose.isNull, col("high") - col("low"))
+          .otherwise(greatest(col("high") - col("low"),
+            abs(col("high") - prevClose), abs(col("low") - prevClose))), 4)
+          .as("tr"))
+      .select(col("event_type"), col("day"), col("high"), col("low"),
+        col("close"), col("tr"),
+        Num.r(when(count(col("tr")).over(w14) === 14, avg(col("tr")).over(w14)), 4)
+          .as("atr_14"))
+      .orderBy("event_type", "day")
+  }
+
+  private val atrSql = s"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+      FROM $E),
+    ranked AS (
+      SELECT event_type, day, value,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e),
+    bars AS (
+      SELECT event_type, day,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rl = 1 THEN value END) AS close
+      FROM ranked
+      GROUP BY event_type, day),
+    tr AS (
+      SELECT event_type, day, high, low, close,
+             round(CASE WHEN lag(close, 1) OVER wd IS NULL THEN high - low
+                   ELSE greatest(high - low,
+                                 abs(high - lag(close, 1) OVER wd),
+                                 abs(low - lag(close, 1) OVER wd)) END
+                   + 1e-9, 4) AS tr
+      FROM bars
+      WINDOW wd AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, high, low, close, tr,
+           round(CASE WHEN count(tr) OVER w14 = 14
+                 THEN avg(tr) OVER w14 END + 1e-9, 4) AS atr_14
+    FROM tr
+    WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day"""
+
   /** Calendar gap-fill with carry-forward — the distributed form of the
     * reference's pandas resample/ffill habit: build each key's full date
     * spine (min..max day, generated per key from a 5-row bounds
@@ -934,6 +1003,7 @@ object AnalyticsQueries {
     QueryDef("q_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q_winsorize", winsorize, Some(winsorizeSql)),
     QueryDef("q_ohlc_daily", ohlcDaily, Some(ohlcDailySql)),
+    QueryDef("q_atr", atr, Some(atrSql)),
     QueryDef("q_gap_fill", gapFill, Some(gapFillSql)),
     QueryDef("q_retention", retention, Some(retentionSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),

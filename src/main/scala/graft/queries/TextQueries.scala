@@ -1246,6 +1246,68 @@ object TextQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Okapi BM25 (k₁ = 1.2, b = 0.75): score every document against a
+    * fixed query-term set and return the top 20. The standard retrieval
+    * scorer behind search-based data curation (and the lexical half of
+    * hybrid RAG retrieval). Uses the +1 idf form
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) so scores stay positive at any
+    * df. Per-term scores round to 6 dp before the per-doc sum (both
+    * engines sum identical addends), and the top-20 cut orders by
+    * (rounded score DESC, doc_id) — engine-deterministic.
+    * Scale shape: the corpus explodes ONCE; doc lengths and corpus
+    * stats are map-side-combinable aggregates; df is vocabulary-sized
+    * and broadcast; (N, avgdl) ride a 1-row broadcast cross join. The
+    * final LIMIT is a distributed top-K heap (TakeOrderedAndProject),
+    * never a global sort. Constants in the oracle are e-notation so both
+    * dialects read them as DOUBLE, not DECIMAL. */
+  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("hash", "join", "vector")
+    val terms = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .selectExpr("doc_id", "lower(tok) AS term")
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    // literals written as PARSED decimals (2.2, 0.25), not compile-time
+    // arithmetic (1.2 + 1.0 rounds differently from parsing "2.2")
+    val score = idf * col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), Num.rExp(score, 6).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), Num.r(sum("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  private val bm25Sql = """
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round(ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1))
+                   * tf * 22e-1
+                   / (tf + 12e-1 * (25e-2 + 75e-2 * dl.dl / avgdl))
+                   + 1e-8, 6) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(s) + 1e-9, 6) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20"""
+
   private val tfidfSql = """
     WITH terms AS (
       SELECT doc_id,
@@ -2353,6 +2415,7 @@ object TextQueries {
     QueryDef("q_topk_per_doc", topkPerDoc, Some(topkPerDocSql)),
     QueryDef("q_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
+    QueryDef("q_bm25", bm25, Some(bm25Sql)),
     QueryDef("q_chunk_sliding", chunkSliding, Some(chunkSlidingSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
     QueryDef("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),

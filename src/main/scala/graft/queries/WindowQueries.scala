@@ -524,6 +524,121 @@ object WindowQueries {
           lit(0.0))), 4).as("ewm_vol"))
       .orderBy("event_id")
 
+  /** Stochastic oscillator: %K = 100·(close − low₁₄)/(high₁₄ − low₁₄)
+    * over a 14-row trailing window, %D = 3-row SMA of %K. Both are
+    * defined only on FULL windows (count guards), and %K is ROUNDED
+    * before %D averages it so both engines smooth identical inputs. A
+    * flat 14-row window (high = low) yields null %K — the 0/0 case.
+    * Scale shape: two stacked window passes over the same per-key sort —
+    * one shuffle on user_id, no re-sort between passes. */
+  private def stochastic(spark: SparkSession, dir: String): DataFrame = {
+    val w14 = byUser.rowsBetween(-13, 0)
+    val full = count(lit(1)).over(w14) === 14
+    val w3 = byUser.rowsBetween(-2, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(full, min("value").over(w14)).as("lo"),
+        when(full, max("value").over(w14)).as("hi"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        Num.r(when(col("hi") > col("lo"),
+          lit(100.0) * (col("value") - col("lo")) / (col("hi") - col("lo"))), 4)
+          .as("pct_k"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("pct_k"),
+        Num.r(when(count(col("pct_k")).over(w3) === 3,
+          avg(col("pct_k")).over(w3)), 4).as("pct_d"))
+      .orderBy("event_id")
+  }
+
+  /** On-balance volume: running sum of sign(Δprice)·volume per key, the
+    * classic volume-flow confirmation indicator. The price delta is
+    * compared as exact integer CENTS (like [[rsi]]) so the three-way
+    * sign branch is engine-exact, and volume (the `k` prop, an integer)
+    * accumulates as BIGINT — the whole query is exact integer math with
+    * zero float rounding. First row per key contributes 0 (no delta). */
+  private def obv(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (round(col("value") * 100).cast("long") -
+          round(lag("value", 1).over(byUser) * 100).cast("long")).as("d"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        sum(when(col("d") > 0, col("k"))
+          .when(col("d") < 0, -col("k")).otherwise(lit(0L))).over(wCum)
+          .as("obv"))
+      .orderBy("event_id")
+  }
+
+  /** Historical (empirical) 95% VaR and CVaR per key over 1-step simple
+    * returns. Deliberately DISCRETE, not interpolated: the tail is the
+    * ⌈n/20⌉ smallest returns under a (return, event_id) total order, VaR
+    * is the tail's max (the k-th order statistic) and CVaR its mean —
+    * exact set selection on both engines, no percentile-interpolation
+    * convention to disagree on (Spark `percentile` and DuckDB
+    * `quantile_cont` interpolate; rank selection sidesteps both).
+    * Returns are rounded to 6 dp BEFORE ranking so the order key is
+    * engine-identical. ⌈n/20⌉ is integer math — (n+19) div 20 — never a
+    * float ceil (0.05·280 in binary is 14.000000000000002). */
+  private def varCvar(spark: SparkSession, dir: String): DataFrame = {
+    val prev = lag("value", 1).over(byUser)
+    val wRank = Window.partitionBy("user_id")
+      .orderBy(col("ret").asc, col("event_id").asc)
+    val wAll = Window.partitionBy("user_id")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        Num.r(when(col("value") > 0 && prev > 0, col("value") / prev - 1), 6)
+          .as("ret"))
+      .filter(col("ret").isNotNull)
+      .select(col("user_id"), col("ret"), col("event_id"),
+        row_number().over(wRank).as("rk"),
+        count(lit(1)).over(wAll).as("n"))
+      .filter(col("rk") <= greatest(lit(1L), floor((col("n") + 19L) / 20L)))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_returns"),
+        max(col("ret")).as("var_95"),
+        Num.r(avg(col("ret")), 6).as("cvar_95"))
+      .orderBy("user_id")
+  }
+
+  /** Annualized Sharpe and Sortino ratios per key over daily close-to-
+    * close returns (rf = 0). The daily close is a `max_by` on
+    * (ts, event_id) — one hash aggregate, no per-event sort. Ratios are
+    * computed FROM the 6-dp-rounded mean/deviation columns (identical
+    * numerators and denominators on both engines, one division each);
+    * √252 is IEEE-exact on both. Sortino's downside deviation is the
+    * full-sample √E[min(ret,0)²] convention; zero-downside keys yield
+    * null. */
+  private def sharpe(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("user_id", "day")
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+    val wDay = Window.partitionBy("user_id").orderBy("day")
+    val prev = lag("close", 1).over(wDay)
+    val ann = math.sqrt(252.0)
+    daily
+      .select(col("user_id"),
+        Num.r(when(col("close") > 0 && prev > 0, col("close") / prev - 1), 6)
+          .as("ret"))
+      .filter(col("ret").isNotNull)
+      .groupBy("user_id")
+      // count guard: Spark's 1-sample stddev_samp is NaN, DuckDB's NULL —
+      // null both engines identically (same convention as [[bollinger]])
+      .agg(count(lit(1)).as("n_days"),
+        Num.r(avg("ret"), 6).as("mean_ret"),
+        Num.r(when(count(lit(1)) >= 2, stddev_samp("ret")), 6).as("sd_ret"),
+        Num.rExp(sqrt(avg(when(col("ret") < 0, col("ret") * col("ret"))
+          .otherwise(lit(0.0)))), 6).as("dd_ret"))
+      .select(col("user_id"), col("n_days"), col("mean_ret"), col("sd_ret"),
+        col("dd_ret"),
+        Num.r(when(col("sd_ret") > 0, lit(ann) * col("mean_ret") / col("sd_ret")), 4)
+          .as("sharpe"),
+        Num.r(when(col("dd_ret") > 0, lit(ann) * col("mean_ret") / col("dd_ret")), 4)
+          .as("sortino"))
+      .orderBy("user_id")
+  }
+
   private val wUser = "PARTITION BY user_id ORDER BY ts, event_id"
   private val E = OracleSources.events
 
@@ -917,5 +1032,88 @@ object WindowQueries {
                AS third_value
       FROM $E
       ORDER BY event_id""")),
+    QueryDef("q_stochastic", stochastic, Some(s"""
+      WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN count(*) OVER w = 14 THEN min(value) OVER w END AS lo,
+               CASE WHEN count(*) OVER w = 14 THEN max(value) OVER w END AS hi
+        FROM $E
+        WINDOW w AS ($wUser ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      k AS (
+        SELECT event_id, user_id, ts, value,
+               round(CASE WHEN hi > lo
+                     THEN 100.0 * (value - lo) / (hi - lo) END + 1e-9, 4) AS pct_k
+        FROM s)
+      SELECT event_id, user_id, ts, value, pct_k,
+             round(CASE WHEN count(pct_k) OVER w3 = 3
+                   THEN avg(pct_k) OVER w3 END + 1e-9, 4) AS pct_d
+      FROM k
+      WINDOW w3 AS ($wUser ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+    QueryDef("q_obv", obv, Some(s"""
+      WITH d AS (
+        SELECT event_id, user_id, ts,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+               CAST(round(value * 100) AS BIGINT) -
+               CAST(round(lag(value, 1) OVER ($wUser) * 100) AS BIGINT) AS d
+        FROM $E)
+      SELECT event_id, user_id, ts,
+             CAST(sum(CASE WHEN d > 0 THEN k WHEN d < 0 THEN -k ELSE 0 END)
+                  OVER ($wUser ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS obv
+      FROM d
+      ORDER BY event_id""")),
+    QueryDef("q_var_cvar", varCvar, Some(s"""
+      WITH r AS (
+        SELECT event_id, user_id,
+               round(CASE WHEN value > 0 AND lag(value, 1) OVER ($wUser) > 0
+                     THEN value / lag(value, 1) OVER ($wUser) - 1 END
+                     + 1e-9, 6) AS ret
+        FROM $E),
+      ranked AS (
+        SELECT user_id, ret, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ret, event_id) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM r WHERE ret IS NOT NULL)
+      SELECT user_id, CAST(max(n) AS BIGINT) AS n_returns,
+             max(ret) AS var_95,
+             round(avg(ret) + 1e-9, 6) AS cvar_95
+      FROM ranked
+      WHERE rk <= greatest(1, (n + 19) // 20)
+      GROUP BY user_id
+      ORDER BY user_id""")),
+    QueryDef("q_sharpe", sharpe, Some(s"""
+      WITH daily AS (
+        SELECT user_id, day, max(CASE WHEN rl = 1 THEN value END) AS close
+        FROM (
+          SELECT user_id, CAST(ts AS DATE) AS day, value,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rl
+          FROM $E)
+        GROUP BY user_id, day),
+      r AS (
+        SELECT user_id,
+               round(CASE WHEN close > 0 AND lag(close, 1) OVER wd > 0
+                     THEN close / lag(close, 1) OVER wd - 1 END
+                     + 1e-9, 6) AS ret
+        FROM daily
+        WINDOW wd AS (PARTITION BY user_id ORDER BY day)),
+      agg AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(ret) + 1e-9, 6) AS mean_ret,
+               round(CASE WHEN count(*) >= 2 THEN stddev_samp(ret) END
+                     + 1e-9, 6) AS sd_ret,
+               round(sqrt(avg(CASE WHEN ret < 0 THEN ret * ret ELSE 0e0 END))
+                     + 1e-8, 6) AS dd_ret
+        FROM r WHERE ret IS NOT NULL
+        GROUP BY user_id)
+      SELECT user_id, n_days, mean_ret, sd_ret, dd_ret,
+             round(CASE WHEN sd_ret > 0
+                   THEN sqrt(252e0) * mean_ret / sd_ret END + 1e-9, 4) AS sharpe,
+             round(CASE WHEN dd_ret > 0
+                   THEN sqrt(252e0) * mean_ret / dd_ret END + 1e-9, 4) AS sortino
+      FROM agg
+      ORDER BY user_id""")),
   )
 }
