@@ -31,6 +31,7 @@ object Bench {
         graft.queries.SimilarityQueries.trainIvfCentroids(spark, d)
         graft.queries.SimilarityQueries.trainPqCodebooks(spark, d)
         graft.queries.TextQueries.trainBpeMerges(spark, d)
+        graft.queries.TextQueries.trainUnigramPieces(spark, d)
       } catch { case e: Throwable =>
         warmupFailures += 1
         System.err.println(s"[bench] WARNING: offline model training failed on " +

@@ -451,6 +451,8 @@ object SqlCrossCheck {
               SimilarityQueries.pqModelPath(sfDir))
             .replace(graft.queries.TextQueries.BpeMergesToken,
               graft.queries.TextQueries.bpeModelPath(sfDir))
+            .replace(graft.queries.TextQueries.UnigramPiecesToken,
+              graft.queries.TextQueries.unigramModelPath(sfDir))
             .replace("list_dot_product", "dot_product")
             .replace(" AS VARCHAR)", " AS STRING)"),
           m => s"parquet.`${m.group(1)}`"),

@@ -22,6 +22,7 @@ object Verify {
       graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
       graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
       graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
+      graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] offline model training failed: ${e.getMessage}")
     }
@@ -57,6 +58,8 @@ object Verify {
             graft.queries.SimilarityQueries.pqModelPath(sfDir))
           .replace(graft.queries.TextQueries.BpeMergesToken,
             graft.queries.TextQueries.bpeModelPath(sfDir))
+          .replace(graft.queries.TextQueries.UnigramPiecesToken,
+            graft.queries.TextQueries.unigramModelPath(sfDir))
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

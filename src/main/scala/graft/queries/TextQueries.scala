@@ -433,6 +433,252 @@ object TextQueries {
     GROUP BY o.doc_id
     ORDER BY o.doc_id"""
 
+  /** Longest candidate piece (in code points) the unigram tokenizer
+    * considers. 6 covers every multi-char piece worth keeping at any of
+    * the test corpora and bounds the Viterbi inner loop. */
+  private val UnigramMaxPieceLen = 6
+
+  /** Kept vocabulary size for the unigram tokenizer (single-char pieces
+    * are always retained on top of this bound so every word stays
+    * segmentable). */
+  private val UnigramVocabSize = 400
+
+  /** Piece negative-log-probs are quantized to integer MICRO-NATS
+    * (round(−ln p · 1e6)) before persisting. Integer costs make the
+    * Viterbi argmin EXACT on every engine: the DP compares and adds only
+    * BIGINTs, so Spark and DuckDB pick bit-identical segmentations — no
+    * float tie can straddle an engine difference. */
+  private val UnigramCostScale = 1e6
+
+  /** Fallback combined cost for a piece missing from the model (possible
+    * only when the training vocab cap truncated a rare word's characters
+    * at 100 TB scale — test corpora always cover every char). ~30 nats,
+    * worse than any trained piece. */
+  private val UnigramUnkCombined: Long = 30000000L * 1024L + 1L
+
+  /** Placeholder the unigram-tokenizer oracle SQL carries for the trained
+    * piece-table parquet; [[graft.Verify]] substitutes the concrete
+    * [[unigramModelPath]] (same token mechanism as [[BpeMergesToken]]). */
+  val UnigramPiecesToken = "__UNIGRAM_PIECES__"
+
+  /** Where the trained unigram piece table for a lake dir persists —
+    * versioned and dir-hash-keyed exactly like [[bpeModelPath]]. */
+  def unigramModelPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"/root/repo/target/unigram/v1/${new java.io.File(dir).getName}-$tag/pieces.parquet"
+  }
+
+  def unigramModelTrained(spark: SparkSession, dir: String): Boolean =
+    graft.sources.Connectors.pathExists(spark,
+      s"${unigramModelPath(dir)}/_SUCCESS")
+
+  /** Offline SentencePiece-style unigram-LM tokenizer training (Kudo,
+    * ACL'18): corpus → capped (word, freq) vocabulary (the SAME
+    * distributed heap-cut stage as [[trainBpeMerges]] — the only
+    * corpus-scale pass), then EM over the collected vocabulary:
+    * candidate pieces are all substrings up to [[UnigramMaxPieceLen]]
+    * code points seeded ∝ weighted occurrence count, each iteration
+    * computes exact expected piece counts by forward–backward over every
+    * word's segmentation lattice, renormalizes, and prunes multi-char
+    * pieces below 1e-6 probability (single-char pieces are never pruned,
+    * keeping every word segmentable). Probabilities quantize to integer
+    * micro-nat costs ([[UnigramCostScale]]) and persist as
+    * (piece, cost_q, prob).
+    *
+    * Scale shape: identical to the BPE trainer — 100 TB of text reaches
+    * the driver only as the capped vocabulary; EM is O(vocab · len · 6)
+    * per iteration, corpus-size-independent.
+    *
+    * Determinism: words iterate in the heap-cut's total order
+    * (freq DESC, word ASC); expected counts accumulate per word in
+    * position order; normalization sums run over SORTED piece keys — the
+    * model is reproducible bit-for-bit run-to-run. */
+  def trainUnigramPieces(spark: SparkSession, dir: String): Unit = {
+    val path = unigramModelPath(dir)
+    if (unigramModelTrained(spark, dir)) return
+    import spark.implicits._
+    val vocabFreqs: Array[(String, Long)] =
+      bpeVocabTopK(Tables(spark, dir, "documents"))
+        .as[(String, Long)].collect()
+    unigramEm(vocabFreqs).toDF("piece", "cost_q", "prob").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The driver-side EM core of [[trainUnigramPieces]], factored out so
+    * specs can exercise it on synthetic vocabularies (frequency-scaling
+    * invariance, pruning behavior) without a lake dir. */
+  private[graft] def unigramEm(
+      vocabFreqs: Array[(String, Long)]): Seq[(String, Long, Double)] = {
+    // code-point symbols (same rationale as the BPE trainer: Spark and
+    // DuckDB substr index code points, so pieces must too)
+    val words: Array[(Array[String], Long)] = vocabFreqs
+      .filter(_._1.nonEmpty)
+      .map { case (w, f) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+      }
+    require(words.nonEmpty, "unigram training found no words")
+    def pieceAt(syms: Array[String], s: Int, e: Int): String = {
+      val sb = new StringBuilder
+      var i = s; while (i < e) { sb.append(syms(i)); i += 1 }
+      sb.toString
+    }
+    // candidate seed: weighted substring counts
+    val seed = scala.collection.mutable.HashMap.empty[String, Double]
+    for ((syms, f) <- words; s <- syms.indices;
+         e <- (s + 1) to math.min(s + UnigramMaxPieceLen, syms.length))
+      seed.updateWith(pieceAt(syms, s, e))(c => Some(c.getOrElse(0.0) + f))
+    val chars = seed.keysIterator
+      .filter(p => p.codePointCount(0, p.length) == 1).toSeq
+    val multi = seed.iterator
+      .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+      .toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, UnigramVocabSize - chars.size)).map(_._1)
+    def normalize(counts: collection.Map[String, Double]): collection.immutable.TreeMap[String, Double] = {
+      val sorted = collection.immutable.TreeMap.from(counts)
+      val total = sorted.valuesIterator.sum
+      sorted.map { case (p, c) => p -> c / total }
+    }
+    var probs = normalize((chars ++ multi).map(p => p -> seed(p)).toMap)
+    for (_ <- 1 to 4) {
+      val exp = scala.collection.mutable.HashMap.empty[String, Double]
+      for ((syms, f) <- words) {
+        val L = syms.length
+        val alpha = Array.fill(L + 1)(0.0); alpha(0) = 1.0
+        for (i <- 1 to L; j <- 1 to math.min(UnigramMaxPieceLen, i))
+          probs.get(pieceAt(syms, i - j, i))
+            .foreach(p => alpha(i) += alpha(i - j) * p)
+        val beta = Array.fill(L + 1)(0.0); beta(L) = 1.0
+        for (i <- (L - 1) to 0 by -1;
+             j <- 1 to math.min(UnigramMaxPieceLen, L - i))
+          probs.get(pieceAt(syms, i, i + j))
+            .foreach(p => beta(i) += p * beta(i + j))
+        val z = alpha(L)
+        if (z > 0)
+          for (s <- 0 until L;
+               j <- 1 to math.min(UnigramMaxPieceLen, L - s)) {
+            val piece = pieceAt(syms, s, s + j)
+            probs.get(piece).foreach { p =>
+              exp.updateWith(piece)(c =>
+                Some(c.getOrElse(0.0) + alpha(s) * p * beta(s + j) / z * f))
+            }
+          }
+      }
+      val expTotal = collection.immutable.TreeMap.from(exp).valuesIterator.sum
+      val kept = exp.filter { case (p, c) =>
+        p.codePointCount(0, p.length) == 1 || c / expTotal >= 1e-6
+      }
+      probs = normalize(kept)
+    }
+    probs.toSeq.map { case (p, pr) =>
+      (p, math.round(-math.log(pr) * UnigramCostScale), pr)
+    }
+  }
+
+  private def readUnigramPieces(spark: SparkSession, dir: String): DataFrame = {
+    if (!unigramModelTrained(spark, dir))
+      throw new IllegalStateException(
+        s"unigram piece model missing for $dir (expected at " +
+          s"${unigramModelPath(dir)}) — run TextQueries.trainUnigramPieces " +
+          "first; Bench warmup and Verify setup do this automatically")
+    spark.read.parquet(unigramModelPath(dir))
+  }
+
+  /** The learned piece table: the 50 highest-probability pieces. */
+  private def unigramPieces(spark: SparkSession, dir: String): DataFrame =
+    readUnigramPieces(spark, dir)
+      .selectExpr("piece", "cost_q", s"${Num.sqlR("prob", 8)} AS prob")
+      .orderBy(col("cost_q"), col("piece")).limit(50)
+
+  private val unigramPiecesSql = s"""
+    SELECT piece, cost_q, ${Num.sqlR("prob", 8)} AS prob
+    FROM read_parquet('$UnigramPiecesToken/*.parquet')
+    ORDER BY cost_q, piece
+    LIMIT 50"""
+
+  /** Unigram-LM (Viterbi) tokenization of every document under the
+    * trained piece model. The DP runs over INTEGER combined costs —
+    * each piece contributes cost_q·1024 + 1, so one BIGINT min-plus fold
+    * simultaneously minimizes (total cost, piece count) lexicographically
+    * (piece counts stay < 1024 per word) and both engines agree exactly;
+    * best[i] = min over piece lengths j ≤ 6 of best[i−j] + cost(w[i−j+1..i]).
+    * The fold is a Spark higher-order `aggregate` over the word's
+    * positions with the piece map as a 1-row broadcast scalar; like
+    * [[bpeTokenize]], it runs once per DISTINCT word (vocab-bounded),
+    * never per token. Per-doc totals come from the (doc, word, count)
+    * join: piece count = combined % 1024, cost = combined DIV 1024
+    * micro-nats → neg_logprob. */
+  /** The integer min-plus Viterbi fold as one SQL expression over a word
+    * column and a piece→combined-cost map column. Exposed package-private
+    * so specs can check the fold against brute-force segmentation
+    * enumeration. */
+  private[graft] def unigramViterbiSql(wordCol: String, pmCol: String): String = s"""
+    IF(length($wordCol) = 0, 0L,
+      aggregate(
+        sequence(1, length($wordCol)),
+        array(0L),
+        (acc, i) -> concat(acc, array(
+          array_min(transform(sequence(1, least(i, $UnigramMaxPieceLen)),
+            j -> element_at(acc, i - j + 1) +
+                 coalesce(element_at($pmCol, substr($wordCol, i - j + 1, j)),
+                          ${UnigramUnkCombined}L))))),
+        acc -> element_at(acc, size(acc))))"""
+
+  private def unigramTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val pm = readUnigramPieces(spark, dir)
+      .agg(map_from_entries(collect_list(struct(col("piece"),
+        (col("cost_q") * lit(1024L) + lit(1L)).as("combined")))).as("pm"))
+    val occ = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val tokenized = occ.select("word").distinct()
+      .crossJoin(broadcast(pm))
+      .selectExpr("word", s"${unigramViterbiSql("word", "pm")} AS best")
+    occ.join(tokenized, "word")
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(c * (best % 1024)) AS BIGINT)").as("n_pieces"),
+        Num.r(expr("CAST(sum(c * (best DIV 1024)) AS DOUBLE)") / lit(1e6), 4)
+          .as("neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramTokenizeSql = s"""
+    WITH occ AS (
+      SELECT doc_id, token AS word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents)
+      GROUP BY doc_id, token),
+    pm AS (
+      SELECT map(list(piece), list(cost_q * 1024 + 1)) AS pm
+      FROM read_parquet('$UnigramPiecesToken/*.parquet')),
+    tok AS (
+      SELECT word,
+             CASE WHEN length(word) = 0 THEN 0 ELSE CAST(
+               string_split(
+                 list_reduce(
+                   list_prepend('0', list_transform(range(1, length(word) + 1),
+                     i -> CAST(i AS VARCHAR))),
+                   (acc, si) -> acc || ',' || CAST(
+                     list_min(list_transform(
+                       range(1, least(CAST(si AS BIGINT), $UnigramMaxPieceLen) + 1),
+                       j -> CAST(string_split(acc, ',')[CAST(si AS BIGINT) - j + 1] AS BIGINT)
+                            + coalesce(
+                                map_extract(pm, substr(word,
+                                  CAST(CAST(si AS BIGINT) - j AS INTEGER) + 1,
+                                  CAST(j AS INTEGER)))[1],
+                                ${UnigramUnkCombined})))
+                     AS VARCHAR)),
+                 ',')[length(word) + 1] AS BIGINT) END AS best
+      FROM (SELECT DISTINCT word FROM occ) CROSS JOIN pm)
+    SELECT o.doc_id,
+           CAST(sum(o.c * (t.best % 1024)) AS BIGINT) AS n_pieces,
+           round(CAST(sum(o.c * (t.best // 1024)) AS DOUBLE) / 1e6 + 1e-9, 4)
+             AS neg_logprob
+    FROM occ o JOIN tok t USING (word)
+    GROUP BY o.doc_id
+    ORDER BY o.doc_id"""
+
   /** Good–Turing count-of-counts: N_r = how many vocabulary types occur
     * exactly r times, with the Good–Turing reestimate
     * r* = (r+1)·N_{r+1}/N_r — the frequency-spectrum table behind
@@ -2489,6 +2735,8 @@ object TextQueries {
       FROM read_parquet('$BpeMergesToken/*.parquet')
       ORDER BY merge_rank""")),
     QueryDef("q_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
+    QueryDef("q_unigram_pieces", unigramPieces, Some(unigramPiecesSql)),
+    QueryDef("q_unigram_tokenize", unigramTokenize, Some(unigramTokenizeSql)),
     QueryDef("q_tok_fertility", tokFertility, Some(tokFertilitySql)),
     QueryDef("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     QueryDef("q_count_of_counts", countOfCounts, Some(countOfCountsSql)),

@@ -287,6 +287,29 @@ class PlanSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("unigram tokenizer: fold runs per distinct word; model rides a 1-row broadcast") {
+    graft.queries.TextQueries.trainUnigramPieces(spark, sf)
+    val plan = finalPlan("q_unigram_tokenize")
+    // the Viterbi fold's input must be the DISTINCT word table (a hash
+    // aggregate), never the raw token stream — at 100 TB the fold cost is
+    // vocabulary-bounded, not corpus-bounded
+    assert(plan.contains("HashAggregate"),
+      s"q_unigram_tokenize lost its distinct-word aggregation:\n$plan")
+    // the piece map is ONE broadcast scalar row (BroadcastNestedLoopJoin
+    // of a 1-row aggregate); the corpus must never shuffle to meet it
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q_unigram_tokenize model must be a 1-row broadcast cross join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q_unigram_tokenize must not plan a cartesian product:\n$plan")
+    // BM25 shares the shape requirement: df/stats broadcast, top-20 is a
+    // distributed heap, never a global sort
+    val bm = finalPlan("q_bm25")
+    assert(bm.contains("TakeOrderedAndProject"),
+      s"q_bm25 top-20 cut lost its top-K heap:\n$bm")
+    assert(bm.contains("BroadcastHashJoin"),
+      s"q_bm25 must broadcast the df table:\n$bm")
+  }
+
   test("as-of queries execute through the native merge operator") {
     Seq("q_asof_exec", "q_asof_forward", "q_asof_tolerance", "q_pit_join")
       .foreach { q =>

@@ -195,9 +195,65 @@ class PropertySpec extends SparkSpec {
       "q_classifier_calibration", "q_ewma", "q_macd", "q_heaps",
       "q_hard_negatives", "q_rsi_wilder", "q_bitext_margin",
       "q_ewma_adjusted", "q_ewm_volatility",
-      "q_temperature_mix").foreach { q =>
+      "q_temperature_mix", "q_sharpe", "q_var_cvar", "q_bm25",
+      "q_unigram_tokenize", "q_obv", "q_atr").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
+  }
+
+  test("unigram tokenizer: Viterbi fold matches brute-force optimal segmentation") {
+    import graft.queries.TextQueries
+    val sf = "/root/testdata/sf0.001"
+    TextQueries.trainUnigramPieces(spark, sf)
+    val model: Map[String, Long] = spark.read
+      .parquet(TextQueries.unigramModelPath(sf))
+      .collect().map(r => r.getString(0) -> (r.getLong(1) * 1024L + 1L)).toMap
+    // brute-force DP in plain Scala over the SAME integer combined costs
+    val Unk = 30000000L * 1024L + 1L
+    def brute(w: String): Long = {
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      val best = Array.fill(cps.length + 1)(Long.MaxValue)
+      best(0) = 0L
+      for (i <- 1 to cps.length; j <- 1 to math.min(6, i)
+           if best(i - j) != Long.MaxValue) {
+        val piece = cps.slice(i - j, i).mkString
+        val c = best(i - j) + model.getOrElse(piece, Unk)
+        if (c < best(i)) best(i) = c
+      }
+      best(cps.length)
+    }
+    val pm = spark.read.parquet(TextQueries.unigramModelPath(sf))
+      .agg(org.apache.spark.sql.functions.expr(
+        "map_from_entries(collect_list(struct(piece, cost_q * 1024 + 1)))")
+        .as("pm"))
+    val words = graft.Tables(spark, sf, "documents")
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS word")
+      .distinct().limit(200)
+      .crossJoin(pm)
+      .selectExpr("word", s"${TextQueries.unigramViterbiSql("word", "pm")} AS best")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(words.nonEmpty)
+    words.foreach { case (w, sparkBest) =>
+      assert(sparkBest == brute(w),
+        s"Viterbi fold for '$w' gave $sparkBest, brute force ${brute(w)}")
+      // the combined encoding must decode: piece count fits its 10 bits
+      assert(sparkBest % 1024 <= math.max(1, w.codePointCount(0, w.length)))
+    }
+  }
+
+  test("unigram EM: model is invariant under uniform frequency scaling") {
+    import graft.queries.TextQueries
+    val vocab = Array(("sparkly", 40L), ("sparse", 30L), ("spark", 25L),
+      ("park", 20L), ("lark", 10L), ("spa", 8L), ("ark", 5L))
+    val m1 = TextQueries.unigramEm(vocab)
+    val m4 = TextQueries.unigramEm(vocab.map { case (w, f) => (w, f * 4) })
+    // piece probabilities are frequency-RATIO statistics: scaling every
+    // word count 4× (verbatim corpus replication) must not move the model
+    assert(m1 == m4, "unigram model changed under 4x frequency scaling")
+    // single-char pieces survive pruning: every word stays segmentable
+    val pieces = m1.map(_._1).toSet
+    assert("sparklye".forall(c => pieces.contains(c.toString)))
   }
 }

@@ -16,6 +16,7 @@ class RegistrySpec extends SparkSpec {
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
     graft.queries.TextQueries.trainBpeMerges(spark, sf)
+    graft.queries.TextQueries.trainUnigramPieces(spark, sf)
   }
 
   test("query names are unique and non-empty") {
