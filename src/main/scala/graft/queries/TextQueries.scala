@@ -625,6 +625,31 @@ object TextQueries {
                           ${UnigramUnkCombined}L))))),
         acc -> element_at(acc, size(acc))))"""
 
+  /** Serving-shape unigram tokenizer: ONE SQL expression computing
+    * `textCol`'s total (piece count, cost in micro-nats) as a
+    * struct(n, c), with the trained piece map baked in as a literal —
+    * per-arriving-row enrichment with no join and no streaming state,
+    * the exact analogue of [[bpeTokenCountExpr]] (StreamingSpec proves
+    * stream ≡ batch). Catalyst constant-folds the literal map once; the
+    * per-word fold is the same integer Viterbi as the batch query, so
+    * served and batch counts agree exactly. */
+  def unigramTokenStatsExpr(spark: SparkSession, dir: String,
+      textCol: String): String = {
+    val pieces = readUnigramPieces(spark, dir).orderBy("piece")
+      .selectExpr("piece", "cost_q * 1024 + 1 AS combined")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // literal escaping: backslashes first, then quotes (see
+    // [[bpeTokenCountExpr]] for why the order matters)
+    val entries = pieces.map { case (p, c) =>
+      "'" + p.replace("\\", "\\\\").replace("'", "''") + "', " + c + "L"
+    }.mkString(", ")
+    s"""aggregate(
+         transform(split(trim($textCol), '\\\\s+'),
+           w -> ${unigramViterbiSql("w", s"map($entries)")}),
+         named_struct('n', 0L, 'c', 0L),
+         (a, b) -> named_struct('n', a.n + b % 1024, 'c', a.c + b DIV 1024))"""
+  }
+
   private def unigramTokenize(spark: SparkSession, dir: String): DataFrame = {
     val pm = readUnigramPieces(spark, dir)
       .agg(map_from_entries(collect_list(struct(col("piece"),
