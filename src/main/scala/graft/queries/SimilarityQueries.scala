@@ -113,6 +113,73 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    * SIGIR'09): fuse the dense cosine ranking against doc 0's embedding
+    * with the lexical BM25 ranking ([[TextQueries.bm25Scores]]) as
+    * RRF(d) = Σ 1/(60 + rankᵢ(d)) over the rankings that retrieved d —
+    * the standard score-free fusion behind hybrid RAG retrieval.
+    *
+    * Scale shape: each branch cuts to its top-50 with a DISTRIBUTED
+    * top-K heap (TakeOrderedAndProject) FIRST; rank assignment (a global
+    * window) runs on the 50-row bounded set, never the corpus. The
+    * fusion is a full outer join of two ≤50-row sides. Determinism: both
+    * branch rankings order by (rounded score DESC, doc_id); each RRF
+    * term is one IEEE division of exact small integers and the fusion
+    * adds at most two terms in fixed branch order. */
+  private def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 50
+    val e = embeddingsOf(spark, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(K)
+      .withColumn("d_rank", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+    val lex = TextQueries.bm25Scores(spark, dir)
+      .filter(col("doc_id") =!= 0) // doc 0 is the query; exclude self
+      .orderBy(col("score").desc, col("doc_id")).limit(K)
+      .withColumn("l_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    dense.select("doc_id", "d_rank")
+      .join(lex.select("doc_id", "l_rank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("d_rank"), col("l_rank"),
+        Num.r(
+          coalesce(lit(1.0) / (lit(60L) + col("d_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("l_rank")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
+  private val hybridRrfSql = s"""
+    WITH ${TextQueries.bm25CoreSql},
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> 0
+      WHERE q.vec_id = 0),
+    dense_top AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+               AS d_rank
+      FROM (SELECT doc_id, cosine FROM dense
+            ORDER BY cosine DESC, doc_id LIMIT 50)),
+    lex_top AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS l_rank
+      FROM (SELECT doc_id, score FROM bm25agg WHERE doc_id <> 0
+            ORDER BY score DESC, doc_id LIMIT 50))
+    SELECT doc_id, d_rank, l_rank,
+           round(coalesce(1e0 / (60 + d_rank), 0e0) +
+                 coalesce(1e0 / (60 + l_rank), 0e0) + 1e-9, 6) AS rrf
+    FROM dense_top FULL OUTER JOIN lex_top USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20"""
+
   private val annBruteSql = s"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -1116,5 +1183,6 @@ object SimilarityQueries {
     QueryDef("q_ann_ivf", annIvf, Some(annIvfSql)),
     QueryDef("q_ann_pq", annPq, Some(annPqSql)),
     QueryDef("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
+    QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
   )
 }

@@ -704,6 +704,85 @@ object TextQueries {
     GROUP BY o.doc_id
     ORDER BY o.doc_id"""
 
+  /** Count-Min sketch (Cormode & Muthukrishnan '05): depth-4 × width-256
+    * frequency sketch over the token stream, then point estimates for a
+    * fixed query-term set next to their exact counts. The sketch is the
+    * canonical MERGEABLE frequency summary — at 100 TB each partition
+    * builds its 1024-cell array map-side and cells add across partitions
+    * (one map-side-combinable aggregate; the token stream never shuffles
+    * whole). Estimates use the row-wise min; CM guarantees
+    * est ≥ exact (one-sided error), which the spec asserts. Hashes are
+    * the portable 60-bit md5 ([[graft.functions.Md5Hash60]]) with a
+    * per-row salt, so both engines address identical cells; every output
+    * is exact integer math — no float rounding anywhere. An empty cell
+    * has no sketch row, so the estimate join is LEFT with coalesce-0
+    * (an absent-everywhere term must estimate 0, not drop). */
+  private def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val width = 256
+    val depth = 4
+    val qTerms = Seq("a", "customer", "hash", "join", "slow", "spark",
+      "the", "vector")
+    val toksDf = Tables(spark, dir, "documents")
+      .selectExpr(s"explode($toks) AS tok").selectExpr("lower(tok) AS term")
+    val cellsExpr = (0 until depth).map(j =>
+      s"named_struct('j', $j, 'b', pmod(md5_60(concat('cm$j:', term)), $width))")
+      .mkString("array(", ", ", ")")
+    val sketch = toksDf
+      .selectExpr(s"explode($cellsExpr) AS cell")
+      .selectExpr("cell.j AS j", "cell.b AS b")
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val qDf = spark.range(1)
+      .selectExpr(s"explode(array(${qTerms.map("'" + _ + "'").mkString(", ")})) AS term")
+      .selectExpr("term", s"explode($cellsExpr) AS cell")
+      .selectExpr("term", "cell.j AS j", "cell.b AS b")
+    val est = qDf.join(broadcast(sketch), Seq("j", "b"), "left")
+      .select(col("term"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy("term").agg(min("c").as("cm_est"))
+    val exact = toksDf.filter(col("term").isin(qTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), col("cm_est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("cm_est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+      .orderBy("term")
+  }
+
+  private val countMinSql = {
+    val qList = Seq("a", "customer", "hash", "join", "slow", "spark",
+      "the", "vector").map("'" + _ + "'").mkString(", ")
+    def h(saltExpr: String, termExpr: String) =
+      s"CAST(concat('0x', substr(md5(concat($saltExpr, $termExpr)), 1, 15)) AS BIGINT) % 256"
+    val cellRows = (0 until 4).map(j =>
+      s"SELECT $j AS j, ${h(s"'cm$j:'", "term")} AS b FROM t")
+      .mkString("\n      UNION ALL ")
+    val qCellRows = (0 until 4).map(j =>
+      s"SELECT term, $j AS j, ${h(s"'cm$j:'", "term")} AS b FROM q")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    cells AS (
+      $cellRows),
+    sketch AS (SELECT j, b, CAST(count(*) AS BIGINT) AS c
+               FROM cells GROUP BY 1, 2),
+    q AS (SELECT unnest([$qList]) AS term),
+    qcells AS (
+      $qCellRows),
+    est AS (
+      SELECT term, min(coalesce(c, 0)) AS cm_est
+      FROM qcells LEFT JOIN sketch USING (j, b)
+      GROUP BY term),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact
+      FROM t WHERE term IN ($qList)
+      GROUP BY term)
+    SELECT term, cm_est, coalesce(exact, 0) AS exact,
+           cm_est - coalesce(exact, 0) AS overcount
+    FROM est LEFT JOIN exact USING (term)
+    ORDER BY term"""
+  }
+
   /** Good–Turing count-of-counts: N_r = how many vocabulary types occur
     * exactly r times, with the Good–Turing reestimate
     * r* = (r+1)·N_{r+1}/N_r — the frequency-spectrum table behind
@@ -1531,7 +1610,13 @@ object TextQueries {
     * final LIMIT is a distributed top-K heap (TakeOrderedAndProject),
     * never a global sort. Constants in the oracle are e-notation so both
     * dialects read them as DOUBLE, not DECIMAL. */
-  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+
+  /** The BM25 scorer without the top-k cut, shared with the hybrid RRF
+    * fusion in [[SimilarityQueries]]. */
+  private[queries] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val queryTerms = Seq("hash", "join", "vector")
     val terms = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"explode($toks) AS tok")
@@ -1552,11 +1637,12 @@ object TextQueries {
       .select(col("doc_id"), Num.rExp(score, 6).as("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), Num.r(sum("s"), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
 
-  private val bm25Sql = """
-    WITH terms AS (
+  /** CTE chain producing (doc_id, n_terms, score) — the oracle twin of
+    * [[bm25Scores]], shared with the hybrid-RRF oracle. */
+  private[queries] val bm25CoreSql = """
+    terms AS (
       SELECT doc_id,
              unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
       FROM documents),
@@ -1565,17 +1651,23 @@ object TextQueries {
     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
            WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    scored AS (
+    bm25scored AS (
       SELECT tf.doc_id,
              round(ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1))
                    * tf * 22e-1
                    / (tf + 12e-1 * (25e-2 + 75e-2 * dl.dl / avgdl))
                    + 1e-8, 6) AS s
-      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-           round(sum(s) + 1e-9, 6) AS score
-    FROM scored
-    GROUP BY doc_id
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+    bm25agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             round(sum(s) + 1e-9, 6) AS score
+      FROM bm25scored
+      GROUP BY doc_id)"""
+
+  private val bm25Sql = s"""
+    WITH $bm25CoreSql
+    SELECT doc_id, n_terms, score
+    FROM bm25agg
     ORDER BY score DESC, doc_id
     LIMIT 20"""
 
@@ -2687,6 +2779,7 @@ object TextQueries {
     QueryDef("q_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
+    QueryDef("q_countmin", countMin, Some(countMinSql)),
     QueryDef("q_chunk_sliding", chunkSliding, Some(chunkSlidingSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
     QueryDef("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),

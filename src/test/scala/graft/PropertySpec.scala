@@ -196,9 +196,28 @@ class PropertySpec extends SparkSpec {
       "q_hard_negatives", "q_rsi_wilder", "q_bitext_margin",
       "q_ewma_adjusted", "q_ewm_volatility",
       "q_temperature_mix", "q_sharpe", "q_var_cvar", "q_bm25",
-      "q_unigram_tokenize", "q_obv", "q_atr").foreach { q =>
+      "q_unigram_tokenize", "q_obv", "q_atr", "q_countmin",
+      "q_hybrid_rrf").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
+    }
+  }
+
+  test("count-min sketch: one-sided error (estimate never undercounts)") {
+    import graft.queries.Registry
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val rows = Registry.byName("q_countmin").fn(spark, sf)
+        .collect().map(r => (r.getAs[String]("term"),
+          r.getAs[Long]("cm_est"), r.getAs[Long]("exact")))
+      assert(rows.nonEmpty)
+      rows.foreach { case (t, est, exact) =>
+        assert(est >= exact, s"CM undercounted '$t': est $est < exact $exact")
+      }
+      // the common terms must dominate their cells: estimates stay within
+      // the CM bound est ≤ exact + εN with ε = e/width ≈ 1.06e-2
+      val n = rows.map(_._3).sum // lower bound on stream length is enough
+      assert(rows.forall { case (_, est, exact) => est - exact <= n },
+        "CM overcount exceeded the coarse epsilon-N sanity bound")
     }
   }
 
