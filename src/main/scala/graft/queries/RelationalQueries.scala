@@ -320,6 +320,88 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** HyperLogLog distinct-count (Flajolet et al. '07): 64 registers per
+    * key over the portable 60-bit hash — bucket = h mod 64, register =
+    * max ρ where ρ is the position of w = h div 64's lowest set bit
+    * (via `length(bin(w & -w))`, identical strings on both engines).
+    * The harmonic sum Σ2^(−M_j) is computed as the EXACT integer
+    * Σ2^(56−M_j) (registers capped at 56, so 64 terms stay under 2^63):
+    * both engines divide the same α·m²·2^56 by the same BIGINT — the
+    * raw-estimate branch decision (small-range linear counting when
+    * est ≤ 2.5m with empty registers) is therefore bit-deterministic.
+    * Scale shape: the sketch is the canonical MERGEABLE distinct
+    * summary — registers max-combine map-side, so the wire carries at
+    * most keys × 64 rows regardless of corpus size (the exact-count
+    * column beside it is the verification tier, itself one
+    * count-distinct aggregate). */
+  private def hll(spark: SparkSession, dir: String): DataFrame = {
+    val regs = Tables(spark, dir, "events")
+      .selectExpr("event_type",
+        "md5_60(cast(user_id AS STRING)) AS h")
+      .selectExpr("event_type", "h % 64 AS bucket",
+        "least(length(bin((h DIV 64) & -(h DIV 64))), 56) AS rho")
+      .groupBy("event_type", "bucket").agg(max("rho").as("mreg"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("observed"),
+        sum(expr("shiftleft(1L, 56 - mreg)")).as("sb_obs"))
+      .selectExpr("event_type", "64 - observed AS zeros",
+        "sb_obs + (64 - observed) * shiftleft(1L, 56) AS sb")
+      // alpha_64 = 0.7213/(1 + 1.079/64), written as the same 6-dp
+      // literal in both dialects so the product chain is bit-identical
+      .selectExpr("event_type", "zeros",
+        "0.709358e0 * 4096 * shiftleft(1L, 56) / sb AS est_raw")
+      .selectExpr("event_type", "zeros",
+        """CASE WHEN est_raw <= 160e0 AND zeros > 0
+                THEN 64 * ln(64e0 / zeros) ELSE est_raw END AS est""")
+    val exact = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("exact_distinct"))
+    regs.join(exact, "event_type")
+      .select(col("event_type"), Num.rExp(col("est"), 2).as("hll_est"),
+        col("exact_distinct"))
+      .withColumn("err_pct",
+        Num.r(lit(100.0) * abs(col("hll_est") - col("exact_distinct")) /
+          col("exact_distinct"), 2))
+      .orderBy("event_type")
+  }
+
+  private val hllSql = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events),
+    r AS (
+      SELECT event_type, h % 64 AS bucket,
+             least(length(bin((h // 64) & -(h // 64))), 56) AS rho
+      FROM h),
+    regs AS (
+      SELECT event_type, bucket, max(rho) AS mreg
+      FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, 64 - count(*) AS zeros,
+             CAST(sum(1::BIGINT << (56 - mreg)) AS BIGINT)
+               + (64 - count(*)) * (1::BIGINT << 56) AS sb
+      FROM regs GROUP BY 1),
+    est0 AS (
+      SELECT event_type, zeros,
+             0.709358e0 * 4096 * (1::BIGINT << 56) / sb AS est_raw
+      FROM agg),
+    est AS (
+      SELECT event_type,
+             CASE WHEN est_raw <= 160e0 AND zeros > 0
+                  THEN 64 * ln(64e0 / zeros) ELSE est_raw END AS est
+      FROM est0),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1),
+    rounded AS (
+      SELECT e.event_type, round(est + 1e-8, 2) AS hll_est, exact_distinct
+      FROM est e JOIN exact USING (event_type))
+    SELECT event_type, hll_est, exact_distinct,
+           round(100.0 * abs(hll_est - exact_distinct) / exact_distinct
+                 + 1e-9, 2) AS err_pct
+    FROM rounded
+    ORDER BY event_type"""
+
   /** Salted JOIN, oracle-proven: enrich every event with its type's mean
     * and keep the extreme deviations. The whole 100k-row (100 TB: N-row)
     * fact collapses onto 5 join keys — the degenerate skew where a plain
@@ -984,6 +1066,7 @@ object RelationalQueries {
       FROM scrubbed
       GROUP BY event_type
       ORDER BY event_type""")),
+    QueryDef("q_hll", hll, Some(hllSql)),
     QueryDef("q_distinct_sketch", distinctSketch, Some("""
       WITH h AS (
         SELECT event_type, user_id,

@@ -540,4 +540,33 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"vocab cap is not a heap cut:\n$plan")
   }
+
+  test("unigram Viterbi fold cost is vocabulary-bounded, not corpus-bounded") {
+    import graft.queries.TextQueries
+    val sf = "/root/testdata/sf0.01"
+    TextQueries.trainUnigramPieces(spark, sf)
+    val pm = spark.read.parquet(TextQueries.unigramModelPath(sf))
+      .agg(org.apache.spark.sql.functions.expr(
+        "map_from_entries(collect_list(struct(piece, cost_q * 1024 + 1)))")
+        .as("pm"))
+    // the fold's input relation — distinct words × 1-row model — for the
+    // base corpus and a 4x verbatim replication: same vocabulary ⇒ the
+    // expensive stage (one Viterbi DP per row) must see EXACTLY the same
+    // row count; only the cheap per-doc count join grows with the corpus
+    def foldInputRows(docs: org.apache.spark.sql.DataFrame): Long =
+      docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS word")
+        .distinct().crossJoin(pm)
+        .selectExpr("word",
+          s"${TextQueries.unigramViterbiSql("word", "pm")} AS best")
+        .count()
+    val base = Tables(spark, sf, "documents").select("doc_id", "text")
+    val rep4 = (0 until 4).map(r =>
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        col("text"))).reduce(_ unionByName _)
+    val f1 = foldInputRows(base)
+    val f4 = foldInputRows(rep4)
+    assert(f1 > 0)
+    assert(f4 == f1,
+      s"Viterbi fold rows moved under 4x corpus replication: $f1 -> $f4")
+  }
 }
