@@ -426,6 +426,7 @@ object SqlCrossCheck {
     SimilarityQueries.trainIvfCentroids(spark, sfDir)
     SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
+    graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
     // one view per testdata table, through the SAME read path as the
     // DataFrame queries (events ns→µs truncation included)
     Tables.names.foreach { n =>

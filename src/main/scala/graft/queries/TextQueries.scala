@@ -704,6 +704,55 @@ object TextQueries {
     GROUP BY o.doc_id
     ORDER BY o.doc_id"""
 
+  /** T5-style span-corruption statistics (Raffel et al., JMLR'20 §3.1.4):
+    * the denoising objective masks ~15% of tokens in contiguous spans of
+    * mean length 3. Masking here is DETERMINISTIC — position group
+    * g = pos div 3 is masked iff hash(doc_id:g) mod 100 < 15 — so the
+    * corruption schedule is reproducible on any cluster and both engines
+    * agree exactly. Reports per doc: token count, masked count, span
+    * count (distinct masked groups ≡ sentinel count), and the realized
+    * corruption rate — the sanity panel an objective builder checks
+    * before a pretraining run (a rate drifting from 15% or a span/mask
+    * ratio far from 1/3 means a broken scheduler).
+    * Scale shape: one posexplode + one map-side-combinable aggregate per
+    * doc; masking is pure row-local hash math — no joins, no windows. */
+  private def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"posexplode($toks) AS (pos, tok)")
+      .selectExpr("doc_id", "pos DIV 3 AS g")
+      .selectExpr("doc_id", "g",
+        "pmod(md5_60(concat(cast(doc_id AS STRING), ':', cast(g AS STRING))), 100) < 15 AS masked")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        expr("CAST(count(DISTINCT CASE WHEN masked THEN g END) AS BIGINT)")
+          .as("n_spans"))
+      .withColumn("corruption_rate",
+        Num.r(col("n_masked").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+
+  private val spanCorruptSql = """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos
+      FROM documents),
+    m AS (
+      SELECT doc_id, pos // 3 AS g,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+                  CAST(pos // 3 AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 15
+               AS masked
+      FROM t)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(count(DISTINCT CASE WHEN masked THEN g END) AS BIGINT) AS n_spans,
+           round(CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 4) AS corruption_rate
+    FROM m
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   /** Count-Min sketch (Cormode & Muthukrishnan '05): depth-4 × width-256
     * frequency sketch over the token stream, then point estimates for a
     * fixed query-term set next to their exact counts. The sketch is the
@@ -2780,6 +2829,7 @@ object TextQueries {
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
     QueryDef("q_countmin", countMin, Some(countMinSql)),
+    QueryDef("q_span_corrupt", spanCorrupt, Some(spanCorruptSql)),
     QueryDef("q_chunk_sliding", chunkSliding, Some(chunkSlidingSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
     QueryDef("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
