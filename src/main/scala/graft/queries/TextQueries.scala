@@ -766,23 +766,29 @@ object TextQueries {
     * is exact integer math — no float rounding anywhere. An empty cell
     * has no sketch row, so the estimate join is LEFT with coalesce-0
     * (an absent-everywhere term must estimate 0, not drop). */
+  /** The (j, b) cell projection of the Count-Min sketch for a `term`
+    * column — shared by the batch query and the streaming-maintenance
+    * spec (the sketch IS the bounded streaming state: ≤ depth·width
+    * rows no matter how long the stream runs). */
+  private[graft] val countMinCellsExpr: String =
+    (0 until 4).map(j =>
+      s"named_struct('j', $j, 'b', pmod(md5_60(concat('cm$j:', term)), 256))")
+      .mkString("array(", ", ", ")")
+
+  private[graft] def countMinCells(terms: DataFrame): DataFrame =
+    terms.selectExpr(s"explode($countMinCellsExpr) AS cell")
+      .selectExpr("cell.j AS j", "cell.b AS b")
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+
   private def countMin(spark: SparkSession, dir: String): DataFrame = {
-    val width = 256
-    val depth = 4
     val qTerms = Seq("a", "customer", "hash", "join", "slow", "spark",
       "the", "vector")
     val toksDf = Tables(spark, dir, "documents")
       .selectExpr(s"explode($toks) AS tok").selectExpr("lower(tok) AS term")
-    val cellsExpr = (0 until depth).map(j =>
-      s"named_struct('j', $j, 'b', pmod(md5_60(concat('cm$j:', term)), $width))")
-      .mkString("array(", ", ", ")")
-    val sketch = toksDf
-      .selectExpr(s"explode($cellsExpr) AS cell")
-      .selectExpr("cell.j AS j", "cell.b AS b")
-      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val sketch = countMinCells(toksDf)
     val qDf = spark.range(1)
       .selectExpr(s"explode(array(${qTerms.map("'" + _ + "'").mkString(", ")})) AS term")
-      .selectExpr("term", s"explode($cellsExpr) AS cell")
+      .selectExpr("term", s"explode($countMinCellsExpr) AS cell")
       .selectExpr("term", "cell.j AS j", "cell.b AS b")
     val est = qDf.join(broadcast(sketch), Seq("j", "b"), "left")
       .select(col("term"), coalesce(col("c"), lit(0L)).as("c"))
@@ -1687,6 +1693,67 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), Num.r(sum("s"), 6).as("score"))
   }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+    * SIGIR'01, μ = 2000): log P(q|d) = Σ_t ln((tf + μ·P(t|C)) / (dl + μ))
+    * over the same query terms as [[bm25Scores]] — the other classic
+    * lexical scorer (language-modeling family next to BM25's
+    * probabilistic-relevance family). Every query term contributes to
+    * every document (smoothing ⇒ no zero probabilities), so scoring
+    * starts from the doc-length table and LEFT-joins tf — a doc missing
+    * a term still pays the background cost. P(t|C) = ctf/|C| is an exact
+    * integer ratio broadcast with the corpus stats; per-term logs round
+    * before the per-doc sum (identical addends both engines).
+    * Scale shape: identical to BM25 — one corpus explode, broadcast
+    * model tables, top-20 via a distributed heap. */
+  private def dirichletQl(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("hash", "join", "vector")
+    val mu = 2000.0
+    val terms = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"explode($toks) AS tok")
+      .selectExpr("doc_id", "lower(tok) AS term")
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val ctot = terms.agg(count(lit(1)).as("c_tokens"))
+    val ctf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ql = dl.crossJoin(broadcast(
+        ctf.crossJoin(broadcast(ctot))
+          .select(col("term"), col("ctf"), col("c_tokens"))))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .select(col("doc_id"),
+        Num.rExp(log(
+          (coalesce(col("tf"), lit(0L)) +
+            lit(mu) * col("ctf") / col("c_tokens")) /
+          (col("dl") + lit(mu))), 6).as("s"))
+    ql.groupBy("doc_id")
+      .agg(Num.r(sum("s"), 6).as("log_ql"))
+      .orderBy(col("log_ql").desc, col("doc_id")).limit(20)
+  }
+
+  private val dirichletQlSql = """
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+    ctot AS (SELECT count(*) AS c_tokens FROM terms),
+    ctf AS (SELECT term, count(*) AS ctf FROM terms
+            WHERE term IN ('hash', 'join', 'vector') GROUP BY 1),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+    scored AS (
+      SELECT dl.doc_id,
+             round(ln((coalesce(tf.tf, 0) + 2000e0 * ctf.ctf / c_tokens)
+                      / (dl.dl + 2000e0)) + 1e-8, 6) AS s
+      FROM dl CROSS JOIN ctot CROSS JOIN ctf
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = ctf.term)
+    SELECT doc_id, round(sum(s) + 1e-9, 6) AS log_ql
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY log_ql DESC, doc_id
+    LIMIT 20"""
 
   /** CTE chain producing (doc_id, n_terms, score) — the oracle twin of
     * [[bm25Scores]], shared with the hybrid-RRF oracle. */
@@ -2830,6 +2897,7 @@ object TextQueries {
     QueryDef("q_bm25", bm25, Some(bm25Sql)),
     QueryDef("q_countmin", countMin, Some(countMinSql)),
     QueryDef("q_span_corrupt", spanCorrupt, Some(spanCorruptSql)),
+    QueryDef("q_dirichlet_ql", dirichletQl, Some(dirichletQlSql)),
     QueryDef("q_chunk_sliding", chunkSliding, Some(chunkSlidingSql)),
     QueryDef("q_mix_reweight", mixReweight, Some(mixReweightSql)),
     QueryDef("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),

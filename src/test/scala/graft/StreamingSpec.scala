@@ -5,6 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamingPipeline
 
 /** End-to-end Structured Streaming semantics with MemoryStream sources and
@@ -455,6 +456,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
     // and the stream's plan is stateless: no aggregation state operator
     assert(!served.queryExecution.analyzed.toString.contains("Aggregate"))
+  }
+
+  test("streaming sketch maintenance: Count-Min cells over a stream equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.TextQueries
+    val dir = "/root/testdata/sf0.001"
+    val termsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+        .selectExpr("lower(tok) AS term")
+    val batchCells = TextQueries.countMinCells(
+      termsOf(Tables(spark, dir, "documents").select("text")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    // the sketch IS the streaming state: a grouped count over (j, b) —
+    // bounded at depth×width = 1024 rows however long the stream runs,
+    // exactly the mergeability that makes CM the streaming frequency
+    // summary; complete-mode memory sink exposes the final cells
+    val mem = MemoryStream[String]
+    Tables(spark, dir, "documents").select("text").as[String]
+      .collect().grouped(64).foreach(c => mem.addData(c.toSeq))
+    val streamCells = TextQueries.countMinCells(termsOf(mem.toDF.toDF("text")))
+    val q = streamCells.writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cm_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batchCells))
+    assert(streamed.length <= 1024, "CM state exceeded its depth x width bound")
   }
 
   test("streaming model serving: unigram tokenization over a stream equals batch") {
