@@ -99,6 +99,120 @@ object LinearRecurrence {
       (name, x, al, 1.0)
     })
 
+  /** Holt's linear-trend double exponential smoothing — the COUPLED
+    * 2-state extension of the scalar scan:
+    *
+    *   l₁ = x₁, t₁ = 0;
+    *   lₙ = α·xₙ + (1−α)(lₙ₋₁ + tₙ₋₁)
+    *   tₙ = β(lₙ − lₙ₋₁) + (1−β)tₙ₋₁
+    *
+    * i.e. sₙ = A·sₙ₋₁ + b·xₙ with the CONSTANT matrix
+    * A = [[1−α, 1−α], [−αβ, 1−αβ]], b = [α, αβ]. A's eigenvalues are
+    * complex for typical (α, β) — damped oscillation — so the scalar
+    * scan's pow-weighted window trick doesn't diagonalize over the
+    * reals. Instead each block folds its ≤[[BlockSize]] rows row-locally
+    * (ONE `aggregate` per block producing the whole prefix-state array),
+    * blocks reduce to their end state, the per-key carry fold applies
+    * A^len per block (all 32 matrix powers precomputed on the driver and
+    * baked as a literal array — constant-folded once), and every row
+    * closes locally as A^pos·carry + prefix. Linearity makes the
+    * decomposition exact; block 0's special y₁ = [x₁, 0] seed rides the
+    * zero carry.
+    *
+    * Cost at any scale: the fact shuffles ONCE (the row_number sort; the
+    * (key, blk) groupBy reuses the key hash partitioning), summaries are
+    * blocks-count-sized, the carry join is co-partitioned on key. Unlike
+    * the pow-window scalar scan there is no a^{−B} magnitude constraint:
+    * folds never form negative powers, so any α, β ∈ (0, 1) is safe at
+    * any block size.
+    *
+    * Determinism: every fold walks its array in sorted (_pos / _blk)
+    * order — bit-reproducible under any partitioning (PropertySpec). */
+  def holt(df: DataFrame, key: String, order: Seq[Column], x: Column,
+           alpha: Double, beta: Double,
+           outLevel: String, outTrend: String): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0 && beta > 0.0 && beta < 1.0,
+      "Holt smoothing needs alpha, beta in (0, 1)")
+    type M = (Double, Double, Double, Double)
+    val a: M = (1 - alpha, 1 - alpha, -alpha * beta, 1 - alpha * beta)
+    def mul(m: M, n: M): M = (
+      m._1 * n._1 + m._2 * n._3, m._1 * n._2 + m._2 * n._4,
+      m._3 * n._1 + m._4 * n._3, m._3 * n._2 + m._4 * n._4)
+    // A^1..A^BlockSize as a literal array (1-indexed by element_at);
+    // Double.toString + "D" round-trips each coefficient bit-exactly
+    // through the SQL parser
+    def d(v: Double): String = java.lang.Double.toString(v) + "D"
+    val pows = Iterator.iterate(a)(mul(a, _)).take(BlockSize).toSeq
+    val amLit = pows.map { m =>
+      s"named_struct('m11', ${d(m._1)}, 'm12', ${d(m._2)}, " +
+        s"'m21', ${d(m._3)}, 'm22', ${d(m._4)})"
+    }.mkString("array(", ", ", ")")
+    val (bl, bt) = (d(alpha), d(alpha * beta))
+    val (a11, a12, a21, a22) = (d(a._1), d(a._2), d(a._3), d(a._4))
+    val wKey = Window.partitionBy(key).orderBy(order: _*)
+    val rows = df
+      .withColumn("_pay", struct(df.columns.map(col): _*))
+      .withColumn("_x", x.cast("double"))
+      .withColumn("_rn", row_number().over(wKey))
+      .withColumn("_blk", expr(s"CAST((_rn - 1) div $BlockSize AS INT)"))
+      .withColumn("_pos", expr(s"CAST(_rn - _blk * $BlockSize AS INT)"))
+    val payType = rows.schema("_pay").dataType.sql
+    // one fold per block: the full prefix-state array from the zero state
+    // (block 0 seeds [x₁, 0] at pos 1 — the only special step)
+    val prevL = "IF(size(acc) = 0, 0.0D, element_at(acc, -1).l)"
+    val prevT = "IF(size(acc) = 0, 0.0D, element_at(acc, -1).t)"
+    val blocks = rows.groupBy(col(key), col("_blk"))
+      .agg(expr("array_sort(collect_list(struct(_pos, _x, _pay)))").as("_arr"))
+      .withColumn("_pref", expr(
+        s"""aggregate(_arr,
+              CAST(array() AS array<struct<p: int, pay: $payType,
+                                           l: double, t: double>>),
+              (acc, e) -> concat(acc, array(named_struct(
+                'p', e._pos, 'pay', e._pay,
+                'l', IF(_blk = 0 AND e._pos = 1, e._x,
+                        $a11 * ($prevL) + $a12 * ($prevT) + $bl * e._x),
+                't', IF(_blk = 0 AND e._pos = 1, 0.0D,
+                        $a21 * ($prevL) + $a22 * ($prevT) + $bt * e._x)))))"""))
+      .select(col(key), col("_blk"), col("_pref"),
+        expr("size(_pref)").as("_len"),
+        expr("element_at(_pref, -1).l").as("_sl"),
+        expr("element_at(_pref, -1).t").as("_st"))
+    // per-key carry fold over sorted block summaries: carry INTO block
+    // k+1 = A^len_k · carry_k + T_k (matrix power via the literal table)
+    val carries = blocks
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(
+        expr("named_struct('_blk', _blk, '_len', _len, '_sl', _sl, '_st', _st)")))
+        .as("_sums"))
+      .select(col(key), explode(expr(
+        s"""aggregate(_sums,
+              named_struct('cl', 0.0D, 'ct', 0.0D,
+                'out', CAST(array() AS array<struct<b: int, cl: double,
+                                                    ct: double>>)),
+              (acc, s) -> named_struct(
+                'cl', element_at($amLit, s._len).m11 * acc.cl
+                    + element_at($amLit, s._len).m12 * acc.ct + s._sl,
+                'ct', element_at($amLit, s._len).m21 * acc.cl
+                    + element_at($amLit, s._len).m22 * acc.ct + s._st,
+                'out', concat(acc.out, array(named_struct(
+                  'b', s._blk, 'cl', acc.cl, 'ct', acc.ct)))),
+              acc -> acc.out)""")).as("_c"))
+      .select(col(key), col("_c.b").as("_blk"),
+        col("_c.cl").as("_cl"), col("_c.ct").as("_ct"))
+    // close every row locally: s_pos = A^pos · carry + prefix_pos; the
+    // inline generator re-emits the original row columns from the payload
+    blocks.join(carries, Seq(key, "_blk"))
+      .selectExpr(s"""inline(transform(_pref, r -> named_struct(
+          'pay', r.pay,
+          '$outLevel', IF(_blk = 0, r.l,
+            element_at($amLit, r.p).m11 * _cl
+              + element_at($amLit, r.p).m12 * _ct + r.l),
+          '$outTrend', IF(_blk = 0, r.t,
+            element_at($amLit, r.p).m21 * _cl
+              + element_at($amLit, r.p).m22 * _ct + r.t))))""")
+      .selectExpr("pay.*", outLevel, outTrend)
+  }
+
   /** yₙ = step·xₙ + (1−α)·yₙ₋₁ with y₁ = x₁ — the shared scan. */
   private def scan(df: DataFrame, key: String, order: Seq[Column],
                    specs: Seq[(String, Column, Double, Double)]): DataFrame = {

@@ -524,6 +524,30 @@ object WindowQueries {
           lit(0.0))), 4).as("ewm_vol"))
       .orderBy("event_id")
 
+  /** Holt double exponential smoothing (α = 0.2, β = 0.1): level, trend
+    * and the one-step forecast l + t per key — the trend-aware cousin of
+    * [[ewma]], running on [[graft.operators.LinearRecurrence.holt]]'s
+    * blocked 2-state matrix scan (the recurrence matrix has COMPLEX
+    * eigenvalues, so this is the family the scalar pow-window scan
+    * can't diagonalize; see the operator's scaladoc). The oracle is the
+    * literal recursive CTE, so the gate cross-checks the blocked matrix
+    * algebra against row-by-row recursion. Forecast sums the ROUNDED
+    * level and trend (identical addends on both engines). */
+  private def holt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearRecurrence.holt(
+        Tables(spark, dir, "events")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq(col("ts"), col("event_id")), col("value"),
+        0.2, 0.1, "_hl", "_ht")
+      // + 0.0 folds IEEE −0.0 to +0.0: a trend hovering at −1e-8 rounds
+      // to −0 in DuckDB (std::round) but 0 in Spark (BigDecimal), and
+      // the driver stringifies them differently
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (Num.rExp(col("_hl"), 6) + lit(0.0)).as("level"),
+        (Num.rExp(col("_ht"), 6) + lit(0.0)).as("trend"))
+      .withColumn("forecast", Num.r(col("level") + col("trend"), 6) + lit(0.0))
+      .orderBy("event_id")
+
   /** Stochastic oscillator: %K = 100·(close − low₁₄)/(high₁₄ − low₁₄)
     * over a 14-row trailing window, %D = 3-row SMA of %K. Both are
     * defined only on FULL windows (count guards), and %K is ROUNDED
@@ -1031,6 +1055,34 @@ object WindowQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS third_value
       FROM $E
+      ORDER BY event_id""")),
+    QueryDef("q_holt", holt, Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT event_id, user_id, ts, value,
+               row_number() OVER ($wUser) AS rn
+        FROM $E),
+      r AS (
+        SELECT event_id, user_id, ts, value, rn,
+               CAST(value AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS t
+        FROM e WHERE rn = 1
+        UNION ALL
+        -- e-notation keeps every constant DOUBLE in both dialects; the
+        -- trend line re-states the new level inline (recursive terms
+        -- can't name intermediates)
+        SELECT e.event_id, e.user_id, e.ts, e.value, e.rn,
+               2e-1 * e.value + (1e0 - 2e-1) * (r.l + r.t),
+               1e-1 * ((2e-1 * e.value + (1e0 - 2e-1) * (r.l + r.t)) - r.l)
+                 + (1e0 - 1e-1) * r.t
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+      o AS (
+        -- + 0e0 folds −0.0 to +0.0 (see the Spark side)
+        SELECT event_id, user_id, ts, value,
+               round(l + 1e-8, 6) + 0e0 AS level,
+               round(t + 1e-8, 6) + 0e0 AS trend
+        FROM r)
+      SELECT event_id, user_id, ts, value, level, trend,
+             round(level + trend + 1e-9, 6) + 0e0 AS forecast
+      FROM o
       ORDER BY event_id""")),
     QueryDef("q_stochastic", stochastic, Some(s"""
       WITH s AS (

@@ -103,6 +103,36 @@ class LinearRecurrenceSpec extends SparkSpec {
     }
   }
 
+  test("holt: blocked 2-state matrix scan equals literal coupled recursion") {
+    import spark.implicits._
+    val data = series(13)
+    val df = data.toSeq.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, i.toLong, x) }
+    }.toDF("k", "o", "x")
+    // literal Holt: l₁=x₁, t₁=0; lₙ=αx+(1−α)(l+t); tₙ=β(lₙ−l)+(1−β)t
+    def foldHolt(xs: Seq[Double], al: Double, be: Double): Seq[(Double, Double)] =
+      xs.tail.scanLeft((xs.head, 0.0)) { case ((l, t), x) =>
+        val ln = al * x + (1 - al) * (l + t)
+        (ln, be * (ln - l) + (1 - be) * t)
+      }
+    Seq((0.2, 0.1), (0.5, 0.3), (0.9, 0.9)).foreach { case (al, be) =>
+      val got = LinearRecurrence
+        .holt(df, "k", Seq(col("o")), col("x"), al, be, "l", "t")
+        .select("k", "o", "l", "t").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      data.foreach { case (k, xs) =>
+        foldHolt(xs, al, be).zipWithIndex.foreach { case ((wl, wt), i) =>
+          val (gl, gt) = got((k, i.toLong))
+          assert(math.abs(gl - wl) <= 1e-9 * math.max(1.0, math.abs(wl)),
+            s"α=$al β=$be key=$k row=$i level: scan=$gl fold=$wl")
+          assert(math.abs(gt - wt) <= 1e-9 * math.max(1.0, math.abs(wt)),
+            s"α=$al β=$be key=$k row=$i trend: scan=$gt fold=$wt")
+        }
+      }
+    }
+  }
+
   test("α outside (0, 0.93] is rejected (block-bounded exponent contract)") {
     import spark.implicits._
     val df = Seq(("k", 0L, 1.0)).toDF("k", "o", "x")

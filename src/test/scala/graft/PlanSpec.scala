@@ -287,6 +287,31 @@ class PlanSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("holt 2-state scan: block folds over collected arrays, no cartesian, one fact shuffle") {
+    val plan = executedPlan("q_holt")
+    assert(!plan.contains("CartesianProduct"),
+      s"q_holt must never cross rows:\n$plan")
+    // the block fold input must be COLLECTED arrays per (key, blk) — the
+    // prefix-state computation is one aggregate() per block, never a
+    // row-count-proportional window of matrix ops
+    assert(plan.contains("collect_list"),
+      s"q_holt lost the block-array fold:\n$plan")
+    // the (key, blk) groupBy must ride the row_number sort's key hash
+    // partitioning (subset clustering — NO exchange between window and
+    // aggregate), and the summary branch must REUSE the one fact
+    // exchange rather than re-shuffling the corpus. Count inside the
+    // final plan only (AdaptiveSparkPlan's toString appends the initial
+    // plan, which still shows the pre-reuse shape).
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val factExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(finalPlan).length
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    assert(factExchanges - reused <= 1,
+      s"q_holt fact shuffled ${factExchanges - reused} times:\n$finalPlan")
+    assert(reused >= 1,
+      s"q_holt summary branch stopped reusing the fact exchange:\n$finalPlan")
+  }
+
   test("unigram tokenizer: fold runs per distinct word; model rides a 1-row broadcast") {
     graft.queries.TextQueries.trainUnigramPieces(spark, sf)
     val plan = finalPlan("q_unigram_tokenize")

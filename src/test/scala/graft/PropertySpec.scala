@@ -197,7 +197,8 @@ class PropertySpec extends SparkSpec {
       "q_ewma_adjusted", "q_ewm_volatility",
       "q_temperature_mix", "q_sharpe", "q_var_cvar", "q_bm25",
       "q_unigram_tokenize", "q_obv", "q_atr", "q_countmin",
-      "q_hybrid_rrf", "q_hll").foreach { q =>
+      "q_hybrid_rrf", "q_hll", "q_holt", "q_dirichlet_ql",
+      "q_span_corrupt").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
