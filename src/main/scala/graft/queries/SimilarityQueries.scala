@@ -180,6 +180,106 @@ object SimilarityQueries {
     ORDER BY rrf DESC, doc_id
     LIMIT 20"""
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein SIGIR'98,
+    * λ = 0.7): greedily pick 10 of the dense top-20 candidates, each step
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the standard
+    * diversity pass behind RAG retrieval, penalizing candidates too
+    * similar to what's already selected.
+    *
+    * Scale shape: the candidate set is HEAP-CUT to 20 upstream
+    * (TakeOrderedAndProject over the corpus), so the greedy runs over a
+    * CONSTANT-bounded model — the same driver-arithmetic-over-a-bounded-
+    * model pattern as TextRank's ≤400-row edge table; corpus size only
+    * ever affects the distributed heap cut. Pair similarities are
+    * computed distributed and ROUNDED before collection, so the greedy
+    * compares bit-identical doubles on both engines: each step's key is
+    * one multiply-subtract of 6-dp inputs (λ literals written as parsed
+    * decimals — 0.3, never 1 − 0.7, which is 0.30000000000000004), ties
+    * broken by doc_id. The oracle unrolls the same 10 greedy steps as
+    * chained CTEs. Output scores are computed in the ENGINE (round of
+    * the same two collected inputs), never driver floats. */
+  private def mmr(spark: SparkSession, dir: String): DataFrame = {
+    val K = 20; val Sel = 10
+    val e = embeddingsOf(spark, dir)
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Num.r(expr(dotSpark.format("qv", "v")), 6).as("rel"), col("v"))
+      .orderBy(col("rel").desc, col("doc_id")).limit(K)
+    val pairs = cand.select(col("doc_id").as("ida"), col("v").as("va"))
+      .join(broadcast(cand.select(col("doc_id").as("idb"), col("v").as("vb"))),
+        col("ida") =!= col("idb"))
+      .selectExpr("ida", "idb",
+        s"${Num.sqlR(dotSpark.format("va", "vb"), 6)} AS sim")
+    val rel: Map[Long, Double] = cand.select("doc_id", "rel")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim: Map[(Long, Long), Double] = pairs
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var selected = Vector.empty[(Long, Double)] // (doc_id, max-sim at pick)
+    var remaining = rel.keySet.toVector.sorted
+    while (selected.size < Sel && remaining.nonEmpty) {
+      val scored = remaining.map { d =>
+        val mc = selected.map { case (s, _) => sim((d, s)) }
+          .maxOption.getOrElse(0.0)
+        (0.7 * rel(d) - 0.3 * mc, mc, d)
+      }
+      val (_, mc, pick) = scored.minBy { case (s, _, d) => (-s, d) }
+      selected :+= ((pick, mc))
+      remaining = remaining.filterNot(_ == pick)
+    }
+    import spark.implicits._
+    val picks = selected.zipWithIndex
+      .map { case ((d, mc), i) => (i + 1L, d, mc) }
+      .toDF("rank", "doc_id", "max_sim")
+    picks.join(cand.select("doc_id", "rel"), "doc_id")
+      .selectExpr("rank", "doc_id", "rel", "max_sim",
+        s"${Num.sqlR("0.7e0 * rel - 0.3e0 * max_sim", 6)} AS score")
+      .orderBy("rank")
+  }
+
+  private val mmrSql: String = {
+    val base = s"""
+    WITH cand AS MATERIALIZED (
+      SELECT doc_id, rel, embedding FROM (
+        SELECT e.vec_id AS doc_id,
+               round(list_dot_product(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]) + 1e-9, 6) AS rel,
+               e.embedding
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> 0
+        WHERE q.vec_id = 0)
+      ORDER BY rel DESC, doc_id LIMIT 20),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             round(list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) + 1e-9, 6) AS sim
+      FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS rank, doc_id, 0e0 AS max_sim FROM cand
+      ORDER BY 0.7e0 * rel - 0.3e0 * 0e0 DESC, doc_id LIMIT 1)"""
+    val steps = (2 to 10).map { k =>
+      val prev = s"sel${k - 1}"
+      s""",
+    rem$k AS MATERIALIZED (
+      SELECT c.doc_id, c.rel,
+             (SELECT max(p.sim) FROM pairs p JOIN $prev s
+              ON p.idb = s.doc_id AND p.ida = c.doc_id) AS mc
+      FROM cand c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)),
+    pick$k AS MATERIALIZED (
+      SELECT doc_id, mc FROM rem$k
+      ORDER BY 0.7e0 * rel - 0.3e0 * mc DESC, doc_id LIMIT 1),
+    sel$k AS MATERIALIZED (
+      SELECT * FROM $prev
+      UNION ALL SELECT $k, doc_id, mc FROM pick$k)"""
+    }.mkString
+    base + steps + s"""
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel, max_sim,
+           round(0.7e0 * rel - 0.3e0 * max_sim + 1e-9, 6) AS score
+    FROM sel10 JOIN cand USING (doc_id)
+    ORDER BY rank"""
+  }
+
   private val annBruteSql = s"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -1184,5 +1284,6 @@ object SimilarityQueries {
     QueryDef("q_ann_pq", annPq, Some(annPqSql)),
     QueryDef("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    QueryDef("q_mmr", mmr, Some(mmrSql)),
   )
 }

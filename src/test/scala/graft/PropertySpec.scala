@@ -198,10 +198,32 @@ class PropertySpec extends SparkSpec {
       "q_temperature_mix", "q_sharpe", "q_var_cvar", "q_bm25",
       "q_unigram_tokenize", "q_obv", "q_atr", "q_countmin",
       "q_hybrid_rrf", "q_hll", "q_holt", "q_dirichlet_ql",
-      "q_span_corrupt").foreach { q =>
+      "q_span_corrupt", "q_mmr").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
+  }
+
+  test("MMR re-rank diversifies: selected set no more self-similar than plain top-k") {
+    import graft.queries.Registry
+    val sf = "/root/testdata/sf0.01"
+    val rows = Registry.byName("q_mmr").fn(spark, sf)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rel"), r.getAs[Double]("max_sim")))
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (1L to 10L))
+    // rank 1 is the pure-relevance argmax; later picks pay the diversity
+    // penalty, so every selected doc's at-pick similarity to the already-
+    // selected set stays below 1 (a duplicate would score its twin out)
+    assert(rows.head._4 == 0.0)
+    assert(rows.tail.forall(_._4 < 0.999),
+      s"MMR admitted a near-duplicate: ${rows.toSeq}")
+    // and relevance is NOT simply sorted — at least one swap happened,
+    // i.e. the penalty actually changed the order vs plain top-k
+    // (guards against the greedy silently degenerating to rel order;
+    // holds on this data where near-neighbors rank adjacently)
+    val rels = rows.sortBy(_._1).map(_._3)
+    assert(rels.zip(rels.tail).exists { case (a, b) => b > a },
+      s"MMR output is plain relevance order — no diversification: ${rels.toSeq}")
   }
 
   test("count-min sketch: one-sided error (estimate never undercounts)") {
