@@ -9,6 +9,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, Outp
 case class KeyedValue(key: String, ts: java.sql.Timestamp, seq: Long,
     value: Double)
 
+/** One smoothed point of a key's Holt level+trend stream. */
+case class HoltPoint(key: String, ts: java.sql.Timestamp, seq: Long,
+    level: Double, trend: Double)
+
 /** One observation of a key's mutable attribute — streaming SCD2 input. */
 case class AttrObs(key: String, ts: java.sql.Timestamp, seq: Long,
     attr: String)
@@ -200,6 +204,51 @@ object StreamingPipeline {
                 cur = Some((r.ts, r.seq, y))
                 out += KeyedValue(r.key, r.ts, r.seq, y)
               } // else: late row — the recursion's frontier already passed it
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._1.getTime, lateness)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** [[ewmaState]]'s coupled-state sibling: Holt level+trend smoothing
+    * served online. State per key is ONE (ts, seq, level, trend) tuple
+    * with event-time timeout eviction; late rows (at or behind the
+    * frontier) are dropped, never folded out of order — the recursion a
+    * re-ordered fold would silently corrupt. StreamingSpec proves
+    * cross-micro-batch equality with the batch blocked matrix scan
+    * ([[graft.operators.LinearRecurrence.holt]]). */
+  def holtState(src: Dataset[KeyedValue], alpha: Double, beta: Double,
+      lateness: String): Dataset[HoltPoint] = {
+    import src.sparkSession.implicits._
+    src.withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[
+        (java.sql.Timestamp, Long, Double, Double), HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.seq))
+            val out = Seq.newBuilder[HoltPoint]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val accept = cur.forall { case (ts, seq, _, _) =>
+                r.ts.getTime > ts.getTime ||
+                  (r.ts.getTime == ts.getTime && r.seq > seq) }
+              if (accept) {
+                val (l, t) = cur match {
+                  case None => (r.value, 0.0)
+                  case Some((_, _, pl, pt)) =>
+                    val ln = alpha * r.value + (1.0 - alpha) * (pl + pt)
+                    (ln, beta * (ln - pl) + (1.0 - beta) * pt)
+                }
+                cur = Some((r.ts, r.seq, l, t))
+                out += HoltPoint(r.key, r.ts, r.seq, l, t)
+              }
             }
             cur.foreach { c =>
               state.update(c)

@@ -294,6 +294,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming twin: holtState over chunked real events equals the batch matrix scan") {
+    import spark.implicits._
+    import graft.streaming.KeyedValue
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(spark, dir, "events")
+      .filter(col("user_id") < 30)
+      .select("user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => KeyedValue(r.getLong(0).toString, r.getTimestamp(1),
+        r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r.ts.getTime, r.seq))
+    val mem = MemoryStream[KeyedValue]
+    val n = ev.length
+    val out = StreamingPipeline.holtState(mem.toDS(), 0.2, 0.1, "3650 days")
+    val q = out.toDF.writeStream.format("memory").queryName("holt_twin_t")
+      .outputMode("append").start()
+    Seq(ev.slice(0, n / 3), ev.slice(n / 3, 2 * n / 3),
+      ev.slice(2 * n / 3, n)).foreach { c =>
+        mem.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.sql("SELECT key, seq, level, trend FROM holt_twin_t")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val batch = graft.operators.LinearRecurrence.holt(
+        ev.toSeq.toDF("key", "ts", "seq", "x"),
+        "key", Seq(col("ts"), col("seq")), col("x"), 0.2, 0.1, "l", "t")
+      .select("key", "seq", "l", "t")
+      .as[(String, Long, Double, Double)].collect()
+    assert(streamed.size == n)
+    batch.foreach { case (k, seq, l, t) =>
+      val (sl, st) = streamed((k, seq))
+      // online coupled recursion vs blocked matrix scan: same algebra,
+      // float association differs — equal far below the oracle's 6 dp
+      assert(math.abs(sl - l) <= 1e-9 * math.max(1.0, math.abs(l)),
+        s"key=$k seq=$seq level streamed=$sl batch=$l")
+      assert(math.abs(st - t) <= 1e-9 * math.max(1.0, math.abs(t)),
+        s"key=$k seq=$seq trend streamed=$st batch=$t")
+    }
+  }
+
   test("scd2State: closed rows on change, late drop, open rows on timeout") {
     import spark.implicits._
     import graft.streaming.AttrObs
