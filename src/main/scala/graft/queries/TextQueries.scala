@@ -1261,7 +1261,9 @@ object TextQueries {
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
         FROM documents),
       bg AS (
-        SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        -- i rides along for consumers that need a positional tiebreak
+        -- (q_minkprob's within-doc rank); LM consumers ignore it
+        SELECT doc_id, i, t[i] AS prev, t[i+1] AS cur
         FROM t, unnest(range(1, len(t))) AS u(i)
         WHERE len(t) >= 2),
       uni AS (SELECT token, count(*) AS freq
@@ -1278,7 +1280,7 @@ object TextQueries {
       bgm AS (SELECT b.prev, b.cur,
                      round(log10(CAST(b.c2 AS DOUBLE) / u.freq) + 1e-8, 6) AS lp_bg
               FROM bgtop b JOIN uni u ON u.token = b.prev),
-      lp AS (SELECT g.doc_id,
+      lp AS (SELECT g.doc_id, g.i,
                     coalesce(m.lp_bg,
                       round(log10(0.4) +
                         log10(coalesce(CAST(v.freq AS DOUBLE), 0.5) / total)
@@ -1294,6 +1296,59 @@ object TextQueries {
                      CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                      coalesce(p.logprob, 0.0) AS logprob
               FROM documents d LEFT JOIN per p USING (doc_id))"""
+
+  /** Min-K% prob membership signal (Shi et al. ICLR'24, "Detecting
+    * Pretraining Data from Large Language Models"): per document, the
+    * mean of its lowest-20% token log-probabilities under the corpus
+    * bigram LM. Member-like text has no pathologically-unlikely spans,
+    * so a HIGH min-k% score flags probable training-set membership; a
+    * low score marks outlier spans — the contamination-audit complement
+    * of [[decontaminate]]'s exact shingle overlap. The tail selection
+    * ranks each doc's ROUNDED per-bigram scores with the bigram position
+    * as tiebreak (both engines rank identical keys); k = ⌈n/5⌉ in exact
+    * integer math; the tail mean uses the quantized-BIGINT summation of
+    * the LM family.
+    * Scale shape: reuses [[bigramLogprob]]'s pinned heap-cut model +
+    * broadcast scoring joins; the only new work is one per-doc window
+    * over the already-scored pair stream (the same user-keyed window
+    * pattern every per-doc ranking uses). */
+  private def minkProb(spark: SparkSession, dir: String): DataFrame = {
+    val p = lmParts(spark, dir)
+    // per-bigram scored stream WITH position (the tiebreak)
+    val scored = p.docs.selectExpr("doc_id", s"$toks AS t")
+      .filter(size(col("t")) >= 2)
+      .selectExpr("doc_id",
+        """posexplode(arrays_zip(slice(t, 1, size(t) - 1),
+                                 slice(t, 2, size(t) - 1))) AS (i, z)""")
+      .selectExpr("doc_id", "i", "z['0'] AS prev", "z['1'] AS cur")
+      .join(broadcast(p.bgModel), Seq("prev", "cur"), "left")
+      .join(broadcast(p.uniTop.select(col("token").as("cur"),
+        col("freq").as("cfreq"))), Seq("cur"), "left")
+      .crossJoin(broadcast(p.total))
+      .withColumn("lp", coalesce(col("lp_bg"), Num.rExp(
+        log10(lit(0.4)) +
+          log10(coalesce(col("cfreq").cast("double"), lit(0.5)) / col("total")),
+        6)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("lp").asc, col("i").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sel = scored
+      .select(col("doc_id"), col("lp"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(wAll).as("n"))
+      .filter(col("rk") <= greatest(lit(1L), expr("(n + 4) DIV 5")))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_bigrams"),
+        count(lit(1)).as("k_used"),
+        Num.r(sum(round(col("lp") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
+          .as("mink_score"))
+    p.docs.select("doc_id").join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"),
+        coalesce(col("mink_score"), lit(0.0)).as("mink_score"))
+      .orderBy("doc_id")
+  }
 
   /** CCNet-style LM quality filter (Wenzek et al. LREC'20): bucket every
     * document into head/middle/tail thirds of the corpus bigram-LM
@@ -3002,6 +3057,27 @@ object TextQueries {
       SELECT doc_id, n_bigrams, logprob
       FROM lpd
       ORDER BY doc_id""")),
+    QueryDef("q_minkprob", minkProb, Some(s"""
+      WITH $bigramLpdCtes,
+      ranked AS (
+        SELECT doc_id, lp,
+               row_number() OVER (PARTITION BY doc_id ORDER BY lp, i) AS rk,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM lp),
+      sel AS (
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS k_used,
+               round(CAST(sum(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / count(*) + 1e-9, 4) AS mink_score
+        FROM ranked
+        WHERE rk <= greatest(1, (n + 4) // 5)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(s.n_bigrams, 0) AS n_bigrams,
+             coalesce(s.k_used, 0) AS k_used,
+             coalesce(s.mink_score, 0.0) AS mink_score
+      FROM documents d LEFT JOIN sel s USING (doc_id)
+      ORDER BY d.doc_id""")),
     QueryDef("q_lm_interp", jmInterpLogprob, Some(s"""
       WITH $bigramLpdCtes,
       bgp AS (SELECT b.prev, b.cur, CAST(b.c2 AS DOUBLE) / u.freq AS p_bg

@@ -198,7 +198,7 @@ class PropertySpec extends SparkSpec {
       "q_temperature_mix", "q_sharpe", "q_var_cvar", "q_bm25",
       "q_unigram_tokenize", "q_obv", "q_atr", "q_countmin",
       "q_hybrid_rrf", "q_hll", "q_holt", "q_dirichlet_ql",
-      "q_span_corrupt", "q_mmr").foreach { q =>
+      "q_span_corrupt", "q_mmr", "q_minkprob").foreach { q =>
       assert(run(q, 3).sameElements(run(q, 7)),
         s"$q results changed with shuffle partitioning")
     }
