@@ -1262,7 +1262,9 @@ object TextQueries {
         FROM documents),
       bg AS (
         -- i rides along for consumers that need a positional tiebreak
-        -- (q_minkprob's within-doc rank); LM consumers ignore it
+        -- (the q_minkprob within-doc rank); LM consumers ignore it.
+        -- NB: no apostrophes in these comments — the dialect rewriter
+        -- tracks quote state across the whole SQL string
         SELECT doc_id, i, t[i] AS prev, t[i+1] AS cur
         FROM t, unnest(range(1, len(t))) AS u(i)
         WHERE len(t) >= 2),
