@@ -402,6 +402,106 @@ object RelationalQueries {
     FROM rounded
     ORDER BY event_type"""
 
+  /** HLL set algebra via register MERGE — the property that makes the
+    * sketch distributed: registers max-combine, so est(A ∪ B) needs only
+    * the two 64-register summaries, never a re-scan, and
+    * est(A ∩ B) = est(A) + est(B) − est(A ∪ B) by inclusion–exclusion.
+    * Demonstrated on the click/view event slices next to their exact
+    * counterparts. Same exact-integer harmonic sums as [[hll]], so every
+    * estimate (and the small-range branch) is bit-deterministic; the
+    * merge itself is max() over (bucket) — associative, map-side
+    * combinable, the shape a 1000-executor rollup would use. */
+  private def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val regs = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .selectExpr("event_type", "user_id",
+        "md5_60(cast(user_id AS STRING)) AS h")
+      .selectExpr("event_type", "user_id", "h % 64 AS bucket",
+        "least(length(bin((h DIV 64) & -(h DIV 64))), 56) AS rho")
+    def estimate(df: DataFrame, label: String): DataFrame =
+      df.groupBy("bucket").agg(max("rho").as("mreg"))
+        .agg(count(lit(1)).as("observed"),
+          sum(expr("shiftleft(1L, 56 - mreg)")).as("sb_obs"))
+        .selectExpr("64 - observed AS zeros",
+          "sb_obs + (64 - observed) * shiftleft(1L, 56) AS sb")
+        .selectExpr("zeros",
+          "0.709358e0 * 4096 * shiftleft(1L, 56) / sb AS est_raw")
+        .selectExpr(s"'$label' AS side",
+          """CASE WHEN est_raw <= 160e0 AND zeros > 0
+                  THEN 64 * ln(64e0 / zeros) ELSE est_raw END AS est""")
+    val a = estimate(regs.filter(col("event_type") === "click"), "a")
+    val b = estimate(regs.filter(col("event_type") === "view"), "b")
+    // the union estimate comes from MERGED registers (max per bucket
+    // across both slices) — the sketch combine, not a data re-scan
+    val u = estimate(regs, "u")
+    val ests = a.unionByName(b).unionByName(u)
+      .groupBy().pivot("side", Seq("a", "b", "u")).agg(first("est"))
+    val exact = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .agg(
+        countDistinct(when(col("event_type") === "click", col("user_id")))
+          .as("exact_a"),
+        countDistinct(when(col("event_type") === "view", col("user_id")))
+          .as("exact_b"),
+        countDistinct("user_id").as("exact_union"))
+    ests.crossJoin(exact)
+      .select(
+        Num.rExp(col("a"), 2).as("est_a"),
+        Num.rExp(col("b"), 2).as("est_b"),
+        Num.rExp(col("u"), 2).as("est_union"),
+        Num.rExp(col("a") + col("b") - col("u"), 2).as("est_intersect"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union"))
+          .as("exact_intersect"))
+  }
+
+  private val hllUnionSql = """
+    WITH src AS (
+      SELECT event_type, user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type IN ('click', 'view')),
+    r AS (
+      SELECT event_type, h % 64 AS bucket,
+             least(length(bin((h // 64) & -(h // 64))), 56) AS rho
+      FROM src),
+    est AS (
+      SELECT side, CASE WHEN est_raw <= 160e0 AND zeros > 0
+                        THEN 64 * ln(64e0 / zeros) ELSE est_raw END AS est
+      FROM (
+        SELECT side, zeros,
+               0.709358e0 * 4096 * (1::BIGINT << 56) / sb AS est_raw
+        FROM (
+          SELECT side, 64 - count(*) AS zeros,
+                 CAST(sum(1::BIGINT << (56 - mreg)) AS BIGINT)
+                   + (64 - count(*)) * (1::BIGINT << 56) AS sb
+          FROM (
+            SELECT CASE event_type WHEN 'click' THEN 'a' ELSE 'b' END AS side,
+                   bucket, max(rho) AS mreg
+            FROM r GROUP BY 1, 2
+            UNION ALL
+            SELECT 'u' AS side, bucket, max(rho) AS mreg
+            FROM r GROUP BY 1, 2)
+          GROUP BY side))),
+    p AS (
+      SELECT max(CASE WHEN side = 'a' THEN est END) AS a,
+             max(CASE WHEN side = 'b' THEN est END) AS b,
+             max(CASE WHEN side = 'u' THEN est END) AS u
+      FROM est),
+    exact AS (
+      SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+               AS exact_a,
+             count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+               AS exact_b,
+             count(DISTINCT user_id) AS exact_union
+      FROM events WHERE event_type IN ('click', 'view'))
+    SELECT round(a + 1e-8, 2) AS est_a,
+           round(b + 1e-8, 2) AS est_b,
+           round(u + 1e-8, 2) AS est_union,
+           round(a + b - u + 1e-8, 2) AS est_intersect,
+           exact_a, exact_b, exact_union,
+           CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersect
+    FROM p CROSS JOIN exact"""
+
   /** Salted JOIN, oracle-proven: enrich every event with its type's mean
     * and keep the extreme deviations. The whole 100k-row (100 TB: N-row)
     * fact collapses onto 5 join keys — the degenerate skew where a plain
