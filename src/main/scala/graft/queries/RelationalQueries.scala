@@ -1167,6 +1167,7 @@ object RelationalQueries {
       GROUP BY event_type
       ORDER BY event_type""")),
     QueryDef("q_hll", hll, Some(hllSql)),
+    QueryDef("q_hll_union", hllUnion, Some(hllUnionSql)),
     QueryDef("q_distinct_sketch", distinctSketch, Some("""
       WITH h AS (
         SELECT event_type, user_id,

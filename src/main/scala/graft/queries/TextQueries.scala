@@ -456,6 +456,17 @@ object TextQueries {
     * worse than any trained piece. */
   private val UnigramUnkCombined: Long = 30000000L * 1024L + 1L
 
+  /** Longest word (in code points) the Viterbi fold will segment. The
+    * combined-cost packing gives the piece count 10 bits (cost_q·1024+1),
+    * and single-char pieces are always in the vocab, so a word of 1024+
+    * code points could legitimately need ≥1024 pieces — the count would
+    * overflow into the cost field IDENTICALLY on both engines, corrupting
+    * n_pieces/neg_logprob in a way the oracle gate cannot catch. Words
+    * past the bound (no natural-language word is 1024 code points; at
+    * 100 TB this is binary junk, not text) are treated as ONE UNK piece
+    * instead, on both engines. PropertySpec asserts the bound. */
+  private[graft] val UnigramMaxWordLen = 1023
+
   /** Placeholder the unigram-tokenizer oracle SQL carries for the trained
     * piece-table parquet; [[graft.Verify]] substitutes the concrete
     * [[unigramModelPath]] (same token mechanism as [[BpeMergesToken]]). */
@@ -615,6 +626,7 @@ object TextQueries {
     * enumeration. */
   private[graft] def unigramViterbiSql(wordCol: String, pmCol: String): String = s"""
     IF(length($wordCol) = 0, 0L,
+    IF(length($wordCol) > $UnigramMaxWordLen, ${UnigramUnkCombined}L,
       aggregate(
         sequence(1, length($wordCol)),
         array(0L),
@@ -623,7 +635,7 @@ object TextQueries {
             j -> element_at(acc, i - j + 1) +
                  coalesce(element_at($pmCol, substr($wordCol, i - j + 1, j)),
                           ${UnigramUnkCombined}L))))),
-        acc -> element_at(acc, size(acc))))"""
+        acc -> element_at(acc, size(acc)))))"""
 
   /** Serving-shape unigram tokenizer: ONE SQL expression computing
     * `textCol`'s total (piece count, cost in micro-nats) as a
@@ -679,7 +691,9 @@ object TextQueries {
       FROM read_parquet('$UnigramPiecesToken/*.parquet')),
     tok AS (
       SELECT word,
-             CASE WHEN length(word) = 0 THEN 0 ELSE CAST(
+             CASE WHEN length(word) = 0 THEN 0
+                  WHEN length(word) > $UnigramMaxWordLen THEN $UnigramUnkCombined
+                  ELSE CAST(
                string_split(
                  list_reduce(
                    list_prepend('0', list_transform(range(1, length(word) + 1),

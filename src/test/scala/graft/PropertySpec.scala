@@ -283,6 +283,30 @@ class PropertySpec extends SparkSpec {
       // the combined encoding must decode: piece count fits its 10 bits
       assert(sparkBest % 1024 <= math.max(1, w.codePointCount(0, w.length)))
     }
+    // over-long word guard: a word past UnigramMaxWordLen would need more
+    // pieces than the 10-bit count field holds (single-char pieces always
+    // exist), so the fold must collapse it to ONE UNK piece instead of
+    // silently overflowing the packing — identically on both engines
+    assert(TextQueries.UnigramMaxWordLen * 1L + 1L <= 1024L,
+      "max word length must keep the worst-case piece count inside 10 bits")
+    val longWord = "z" * (TextQueries.UnigramMaxWordLen + 1)
+    val guarded = spark.range(1).toDF("i")
+      .selectExpr(s"'$longWord' AS word")
+      .crossJoin(pm)
+      .selectExpr(s"${TextQueries.unigramViterbiSql("word", "pm")} AS best")
+      .collect().head.getLong(0)
+    assert(guarded == Unk,
+      s"fold on a ${longWord.length}-cp word must yield one UNK piece " +
+        s"(combined $Unk), got $guarded (count ${guarded % 1024})")
+    // a word AT the bound still segments normally
+    val atBound = "z" * TextQueries.UnigramMaxWordLen
+    val atBest = spark.range(1).toDF("i")
+      .selectExpr(s"'$atBound' AS word")
+      .crossJoin(pm)
+      .selectExpr(s"${TextQueries.unigramViterbiSql("word", "pm")} AS best")
+      .collect().head.getLong(0)
+    assert(atBest == brute(atBound),
+      s"fold at the length bound diverged from brute force")
   }
 
   test("unigram EM: model is invariant under uniform frequency scaling") {
