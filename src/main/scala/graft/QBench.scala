@@ -20,6 +20,9 @@ object QBench {
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
+    graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
+    graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)
+    graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sfDir)
     val qs = names.toSeq.map(Registry.byName)
     qs.foreach(_.fn(spark, sfDir).count()) // warmup: codegen + page cache
     val times = Array.fill(qs.size, reps)(0.0)

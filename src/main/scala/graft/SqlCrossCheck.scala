@@ -26,6 +26,9 @@ import graft.queries.SimilarityQueries
   *    BIGINT)` (Spark casts '0x…' strings to NULL instead of parsing);
   *  - `AS VARCHAR)` becomes `AS STRING)` (same type, Spark rejects the
   *    unparameterized VARCHAR spelling);
+  *  - the CTE `MATERIALIZED` hint is stripped (pure evaluation-strategy
+  *    hint — DuckDB needs it to evaluate a multiply-referenced CTE once;
+  *    Spark's parser rejects it and its optimizer handles reuse itself);
   *  - name-for-name function spellings: `string_split_regex`/
   *    `string_split` → `split`, select-list `unnest` → `explode`,
   *    `list_filter` → `filter`, `json_extract_string` →
@@ -176,6 +179,10 @@ object SqlCrossCheck {
     import java.util.regex.Matcher.quoteReplacement
     def q(s: String) = quoteReplacement(s)
     Seq(
+      // CTE MATERIALIZED is a pure evaluation-strategy hint (DuckDB 1.0
+      // inlines plain CTEs per reference; the hint forces one evaluation)
+      // — stripping it cannot change results, only plan shape
+      ("""\bAS MATERIALIZED \(""", _ => "AS ("),
       // DuckDB list[i] is 1-based, like Spark's element_at (NOT [] )
       ("""string_split\(([^,()]+), '([^']*)'\)\[(\d+)\]""",
         m => q(s"element_at(split(${m.group(1)}, '${m.group(2)}'), ${m.group(3)})")),
@@ -427,6 +434,8 @@ object SqlCrossCheck {
     SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
+    graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)
+    graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sfDir)
     // one view per testdata table, through the SAME read path as the
     // DataFrame queries (events ns→µs truncation included)
     Tables.names.foreach { n =>

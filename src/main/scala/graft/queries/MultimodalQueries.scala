@@ -91,34 +91,29 @@ object MultimodalQueries {
   private val mediaSigCacheMap =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** One cluster-label table per (session, dir), built over the shared
-    * signature artifact — clusters and canonical dedup are two views
-    * over ONE clustering, the text side's exact discipline. */
-  private val mediaLabelCacheMap =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def mediaClusterLabelsCached(spark: SparkSession,
-      dir: String): DataFrame = {
-    mediaLabelCacheMap.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) mediaLabelCacheMap.remove(k)
-    }
-    mediaLabelCacheMap.getOrElseUpdate((spark, dir),
-      DedupQueries.clusterLabels(
-        Multimodal.mediaNearDups(mediaSigsDs(spark, dir), maxHamming = 3)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-        .select(col("doc_id").as("media_id"), col("cluster_id")))
-  }
+  /** Offline media-clustering setup (idempotent): persist the image
+    * cluster labels under [[DedupQueries.clusterModelPath]] kind "media"
+    * — the same trained-artifact pattern as the text labels, so the two
+    * cluster-view queries are pure reads that fail fast. Trained over
+    * the shared decoded-signature artifact (the decode is not re-paid). */
+  def trainMediaClusterLabels(spark: SparkSession, dir: String): Unit =
+    DedupQueries.trainLabelArtifact(spark, dir, "media")(
+      Multimodal.mediaNearDups(mediaSigsDs(spark, dir), maxHamming = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
 
-  /** Evict the decoded-signature and cluster-label artifacts (paired
-    * with [[DedupQueries.clearShingleCache]] — Bench calls both after
-    * its warmup pass so warmup-dir checkpoint blocks don't occupy
-    * executor storage during the measured run). */
+  private def mediaClusterLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    DedupQueries.persistedLabels(spark, dir, "media")
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+
+  /** Evict the decoded-signature artifact (paired with
+    * [[DedupQueries.clearShingleCache]] — Bench calls both after its
+    * warmup pass so warmup-dir checkpoint blocks don't occupy executor
+    * storage during the measured run). */
   def clearMediaSigCache(): Unit = {
     mediaSigCacheMap.values.foreach(df =>
       try df.unpersist() catch { case _: Throwable => () })
     mediaSigCacheMap.clear()
-    mediaLabelCacheMap.values.foreach(df =>
-      try df.unpersist() catch { case _: Throwable => () })
-    mediaLabelCacheMap.clear()
   }
   private def mediaSigsCached(spark: SparkSession, dir: String): DataFrame = {
     mediaSigCacheMap.keys.foreach { case k @ (s, _) =>
@@ -159,14 +154,14 @@ object MultimodalQueries {
     * keep-one-representative dedup. Runs off the shared decoded-signature
     * artifact, so the decode is not re-paid. */
   private def mediaClusters(spark: SparkSession, dir: String): DataFrame =
-    mediaClusterLabelsCached(spark, dir).orderBy("media_id")
+    mediaClusterLabels(spark, dir).orderBy("media_id")
 
   /** The image-dedup end-product: keep the min-media_id representative
     * of each near-dup cluster, with survivor accounting per source
     * (image count + total pixels retained) — the image twin of
     * `q_dedup_canonical`, off the same shared clustering. */
   private def mediaCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val drops = mediaClusterLabelsCached(spark, dir)
+    val drops = mediaClusterLabels(spark, dir)
       .filter(col("media_id") =!= col("cluster_id"))
       .select(col("media_id").as("doc_id"))
     Tables(spark, dir, "documents")
@@ -417,30 +412,27 @@ object MultimodalQueries {
     FROM pairs
     ORDER BY id_a, id_b"""
 
-  /** Recursive transitive-closure chain ending in `mlabels` =
-    * (media_id, cluster_id), shared by the clusters and canonical
-    * oracles. */
-  private val mediaLabelCtes = s"""$mediaPairCtes,
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION ALL SELECT id_b, id_a FROM pairs),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-      WHERE r.src <> e.dst),
-    mlabels AS (
-      SELECT src AS media_id, least(src, min(dst)) AS cluster_id
-      FROM reach GROUP BY src)"""
+  /** Unrolled (non-recursive) label-propagation chain ending in
+    * `mlabels` = (media_id, cluster_id), shared by the clusters and
+    * canonical oracles — the dialect-portable spelling from
+    * [[DedupQueries.unrolledLabelCtes]]; like the text side, the oracle
+    * re-derives labels independently of the engine's persisted artifact.
+    * The `pairs` chain is MATERIALIZED: the unrolled edge list reads it
+    * four times and DuckDB 1.0 would re-derive the banded signature
+    * pipeline per reference. */
+  private val mediaLabelCtes = s"""${mediaPairCtes.replace(
+      "pairs AS (", "pairs AS MATERIALIZED (")},
+    ${DedupQueries.unrolledLabelCtes("pairs", "id_a", "id_b", "m",
+      "mlabels", "media_id")}"""
 
   private val mediaClustersSql = s"""
-    WITH RECURSIVE $mediaLabelCtes
+    WITH $mediaLabelCtes
     SELECT media_id, cluster_id
     FROM mlabels
     ORDER BY media_id"""
 
   private val mediaCanonicalSql = s"""
-    WITH RECURSIVE $mediaLabelCtes,
+    WITH $mediaLabelCtes,
     drops AS (SELECT media_id FROM mlabels WHERE media_id <> cluster_id)
     SELECT source, count(*) AS n_images,
            CAST(sum((16 + (doc_id % 6) * 8) * (16 + (doc_id % 4) * 8))

@@ -143,19 +143,31 @@ class DedupSpec extends SparkSpec {
       Set((0L, 100L)))
   }
 
-  test("dedupClusters does not accumulate cached RDDs across iterations") {
+  test("cluster training does not accumulate cached RDDs; query is a pure read") {
     import graft.queries.{DedupQueries, Registry}
+    val sf = "/root/testdata/sf0.001"
     val q = Registry.all.find(_.name == "q_dedup_clusters").get
     DedupQueries.clearShingleCache()
     System.gc() // let ContextCleaner drop unreferenced RDDs from prior tests
     val before = spark.sparkContext.getPersistentRDDs.size
-    val out = q.fn(spark, "/root/testdata/sf0.001")
+    DedupQueries.trainClusterLabels(spark, sf) // may be a no-op if trained
+    val out = q.fn(spark, sf)
     assert(out.count() > 0)
     val after = spark.sparkContext.getPersistentRDDs.size
     // retained by design: the shingle cache + the final labels generation
-    // (+ possibly one localCheckpoint RDD pending GC) — NOT one per iteration
+    // (+ possibly one localCheckpoint RDD pending GC) — NOT one per
+    // propagation iteration
     assert(after - before <= 3,
-      s"cached RDDs grew by ${after - before} — loop is leaking generations")
+      s"cached RDDs grew by ${after - before} — training leaks generations")
+    // the query itself must be a pure read of the persisted artifact:
+    // no iterative-propagation LogicalRDD, just the labels parquet scan
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LogicalRDD"),
+      s"q_dedup_clusters re-ran propagation in the query path:\n$plan")
+    val files = out.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("labels-text")),
+      s"q_dedup_clusters must read ONLY the label artifact, read: " +
+        files.mkString(", "))
     DedupQueries.clearShingleCache()
   }
 

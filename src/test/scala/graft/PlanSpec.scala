@@ -29,6 +29,8 @@ class PlanSpec extends SparkSpec {
     super.beforeAll()
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
+    graft.queries.DedupQueries.trainClusterLabels(spark, sf)
+    graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sf)
   }
 
   test("keep-last family plans have no Window: max_by hash aggregation") {
@@ -273,17 +275,22 @@ class PlanSpec extends SparkSpec {
       s"q_media_neardup must not sort-merge:\n$finalPlan")
   }
 
-  test("cluster labels are a shared per-(session,dir) artifact") {
+  test("cluster labels are a persisted offline artifact: consumers are pure reads") {
     import graft.queries.{DedupQueries, Registry}
     DedupQueries.clearShingleCache()
-    val a = Registry.byName("q_dedup_clusters").fn(spark, sf)
-    a.count()
-    val b = Registry.byName("q_split_leakfree").fn(spark, sf)
-    // the second consumer must NOT re-run min-label propagation: its plan
-    // reads the checkpointed label RDD, so no iterative join appears
-    val planB = b.queryExecution.optimizedPlan.toString
-    assert(planB.contains("LogicalRDD") || planB.contains("Scan ExistingRDD"),
-      s"q_split_leakfree did not reuse the checkpointed cluster labels:\n$planB")
+    // trained in beforeAll; every label consumer must READ the artifact —
+    // no propagation LogicalRDD, no shingle pipeline — so first touch in
+    // a measured/production run costs one parquet scan
+    Seq("q_dedup_clusters", "q_split_leakfree", "q_dedup_weights",
+      "q_dedup_canonical").foreach { q =>
+      val df = Registry.byName(q).fn(spark, sf)
+      assert(df.inputFiles.exists(_.contains("labels-text")),
+        s"$q does not read the persisted label artifact, read: " +
+          df.inputFiles.mkString(", "))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LogicalRDD"),
+        s"$q re-ran propagation in the query path:\n$plan")
+    }
     DedupQueries.clearShingleCache()
   }
 

@@ -170,8 +170,11 @@ class PropertySpec extends SparkSpec {
   test("exact-integer aggregates are shuffle-partition invariant") {
     import graft.queries.Registry
     val sf = "/root/testdata/sf0.001"
-    // q_tok_fertility reads the trained BPE merge table (idempotent train)
+    // q_tok_fertility reads the trained BPE merge table, the cluster-view
+    // queries the persisted label artifacts (idempotent trains)
     graft.queries.TextQueries.trainBpeMerges(spark, sf)
+    graft.queries.DedupQueries.trainClusterLabels(spark, sf)
+    graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sf)
     def run(q: String, parts: Int): Array[String] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {

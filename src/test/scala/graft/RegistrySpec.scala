@@ -17,6 +17,8 @@ class RegistrySpec extends SparkSpec {
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
     graft.queries.TextQueries.trainBpeMerges(spark, sf)
     graft.queries.TextQueries.trainUnigramPieces(spark, sf)
+    graft.queries.DedupQueries.trainClusterLabels(spark, sf)
+    graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sf)
   }
 
   test("query names are unique and non-empty") {

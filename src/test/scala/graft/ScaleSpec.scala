@@ -199,6 +199,70 @@ class ScaleSpec extends SparkSpec {
       "— LSH candidate generation is superlinear")
   }
 
+  test("incremental CC: merge graph is bounded by batch + touched components, never lake size") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // a 100k-doc lake in 50k two-doc components (label = the even member)
+    val lakeLab = spark.range(0, 100000L)
+      .select(col("id").as("doc_id"), (col("id") - col("id") % 2).as("cluster_id"))
+    // a 6-pair batch: 4 batch-lake pairs touching 3 lake components
+    // (two pairs land in component 40), 1 batch-batch pair, 1 pair
+    // bridging TWO lake components (10 and 20) through batch doc 1000001
+    val batchPairs = Seq(
+      (1000001L, 11L), (1000001L, 21L), (1000002L, 41L), (1000003L, 40L),
+      (1000004L, 1000005L), (1000002L, 1000003L)).toDF("doc_a", "doc_b")
+    val contracted = DedupQueries.contractPairs(lakeLab, batchPairs)
+    val cRows = contracted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // endpoints contract to lake component labels; the merge graph holds
+    // ONLY the 5 batch docs + the 3 touched components (10, 20, 40) out
+    // of 50k — its size is O(batch), independent of the 100k-row lake
+    val nodes = cRows.flatMap { case (a, b) => Seq(a, b) }
+    assert(nodes == Set(10L, 20L, 40L, 1000001L, 1000002L, 1000003L,
+      1000004L, 1000005L), s"merge graph nodes: $nodes")
+    assert(cRows.size <= 6, s"contracted edge count ${cRows.size}")
+    val out = DedupQueries.incrementalLabels(lakeLab, batchPairs)
+    val labs = out.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // bridge: components 10 and 20 merge through batch doc 1000001 → min 10
+    Seq(10L, 11L, 20L, 21L, 1000001L).foreach(d => assert(labs(d) == 10L,
+      s"doc $d got ${labs(d)}, expected merged label 10"))
+    // component 40 absorbs three batch docs → min stays 40
+    Seq(40L, 41L, 1000002L, 1000003L).foreach(d => assert(labs(d) == 40L))
+    // pure-batch pair forms its own component
+    assert(labs(1000004L) == 1000004L && labs(1000005L) == 1000004L)
+    // untouched lake components keep their labels verbatim
+    assert(labs(99998L) == 99998L && labs(99999L) == 99998L &&
+      labs(500L) == 500L)
+    assert(out.count() == 100000L + 5)
+  }
+
+  test("incremental CC ≡ full recomputation on a random lake+batch graph") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val rnd = new scala.util.Random(42)
+    // lake: 200 docs (ids 0-199), random sparse edges; batch: 30 docs
+    // (ids 1000-1029) with batch-batch AND batch-lake edges — includes
+    // multi-component bridges and previously-unclustered lake docs
+    val lakeEdges = Seq.fill(120)((rnd.nextInt(200).toLong,
+      rnd.nextInt(200).toLong)).filter(p => p._1 != p._2)
+    val batchEdges = (Seq.fill(25)((1000L + rnd.nextInt(30),
+      rnd.nextInt(250).toLong)) ++ // some lake ids 200-249 have NO lake edges
+      Seq.fill(15)((1000L + rnd.nextInt(30), 1000L + rnd.nextInt(30))))
+      .filter(p => p._1 != p._2)
+    val lakeDf = lakeEdges.toDF("doc_a", "doc_b")
+    val batchDf = batchEdges.toDF("doc_a", "doc_b")
+    val full = DedupQueries.clusterLabels(lakeDf.unionByName(batchDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lakeLab = DedupQueries.clusterLabels(lakeDf)
+    val inc = DedupQueries.incrementalLabels(lakeLab, batchDf)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full,
+      s"incremental labels diverge from full recomputation:\n" +
+        s"only-inc: ${(inc -- full).toSeq.sorted.take(10)}\n" +
+        s"only-full: ${(full -- inc).toSeq.sorted.take(10)}")
+  }
+
   /** Per-stage (max task records, total records, task count) from
     * shuffle-read metrics — the quantity a hot-key pile-up inflates. */
   private class StageSkewListener extends org.apache.spark.scheduler.SparkListener {
