@@ -45,7 +45,10 @@ import graft.queries.SimilarityQueries
   *    `string_agg(x, sep ORDER BY o)` → `listagg(x, sep) WITHIN GROUP
   *    (ORDER BY o)`, DuckDB 1-based `string_split(…)[i]` →
   *    `element_at(split(…), i)`, `[lit, …]::DOUBLE[]` → `array(lit, …)`,
-  *    `col::DOUBLE[]` → `CAST(col AS ARRAY<DOUBLE>)`;
+  *    `col::DOUBLE[]` → `CAST(col AS ARRAY<DOUBLE>)`, half-open
+  *    `range(n)` / `range(a, b)` → inclusive `sequence(0, n-1)` /
+  *    `sequence(a, b-1)` (paren-matched — bounds nest comma-bearing
+  *    calls);
   *  - `QUALIFY pred` (DuckDB's post-window filter) → the equivalent
   *    subquery-plus-WHERE via [[rewriteQualify]], a depth/quote-aware
   *    token transform (no regex guessing at nesting).
@@ -219,13 +222,12 @@ object SqlCrossCheck {
       ("""\barray_to_string\(""", _ => "array_join("),
       // DuckDB generate_series is inclusive both ends, like sequence
       ("""\bgenerate_series\(""", _ => "sequence("),
-      // range(a, b) is the half-open [a, b)
-      ("""\brange\(((?:[^(),]|\([^()]*\))+), ((?:[^(),]|\([^()]*\))+)\)""",
-        m => q(s"sequence(${m.group(1)}, (${m.group(2)}) - 1)")),
       // list_slice is 1-based inclusive both ends; slice takes a length
       ("""\blist_slice\(((?:[^(),]|\([^()]*\))+), ((?:[^(),]|\([^()]*\))+), ((?:[^(),]|\([^()]*\))+)\)""",
         m => q(s"slice(${m.group(1)}, ${m.group(2)}, (${m.group(3)}) - (${m.group(2)}) + 1)")),
       (""" // """, _ => " div "),
+      // two-list map constructor (map(keys, values) in DuckDB)
+      ("""\bmap\(""", _ => "map_from_arrays("),
       ("""\blist_transform\(""", _ => "transform("),
       ("""\blist_distinct\(""", _ => "array_distinct("),
       ("""\blist_min\(""", _ => "array_min("),
@@ -384,7 +386,10 @@ object SqlCrossCheck {
             while (s > 0 && isIdent(sql(s - 1))) s -= 1
             val expr = sql.substring(s, lb)
             val call =
-              if (colon < 0) s"element_at($expr, $inner)"
+              // Spark element_at requires an IntegerType index; DuckDB
+              // bracket indices are any integral (BIGINT expressions in
+              // the tokenizer oracles) — the cast is semantics-preserving
+              if (colon < 0) s"element_at($expr, CAST(($inner) AS INT))"
               else {
                 val (a, b) = (inner.substring(0, colon), inner.substring(colon + 1))
                 s"slice($expr, $a, ($b) - ($a) + 1)"
@@ -414,7 +419,22 @@ object SqlCrossCheck {
       // default (its own 4th arg is a start position, not a flag)
       .replace(", 'g')", ")")
     val called = rewriteCall(
-      rewriteCall(spelled, "xor", a => s"(${a(0)} ^ ${a(1)})"),
+      rewriteCall(
+        // DuckDB range is half-open — range(n) = [0, n), range(a, b) =
+        // [a, b); Spark sequence is inclusive both ends. Real paren
+        // matching (rewriteCall), because the bound expressions nest
+        // calls with commas (least(CAST(…), k)) beyond what a regex
+        // argument pattern reaches.
+        rewriteCall(
+          // DuckDB map_extract returns the matches as a LIST (callers
+          // index [1]); element_at returns the value — re-wrap in array
+          // so the later bracket rewrite keeps the list semantics
+          rewriteCall(spelled, "map_extract", a =>
+            s"array(element_at(${a(0)}, ${a(1)}))"),
+          "range", a =>
+            if (a.length == 1) s"sequence(0, (${a(0)}) - 1)"
+            else s"sequence(${a(0)}, (${a(1)}) - 1)"),
+        "xor", a => s"(${a(0)} ^ ${a(1)})"),
       // only the fold-with-init composition is expressible in Spark
       "list_reduce", a =>
         if (a(0).toLowerCase.startsWith("list_prepend(")) {
@@ -449,8 +469,12 @@ object SqlCrossCheck {
     // "AS BIGINT)" cast (the capture would cut short and garble the
     // rewrite) — today every hex oracle nests only "AS VARCHAR" casts,
     // which the STRING rewrite above has already renamed
-    val hexCast = """(?s)CAST\(concat\('0x', (.*?)\) AS BIGINT\)""".r
-    val hexCast2 = """(?s)CAST\('0x' \|\| (.*?) AS BIGINT\)""".r
+    // `\s+` before AS: multi-line oracles break the line there, and a
+    // single-space-only pattern silently fails to match — the non-greedy
+    // capture then swallows everything to some LATER "AS BIGINT)" and
+    // garbles the rewrite (surfaced as a wrong-arity conv)
+    val hexCast = """(?s)CAST\(concat\('0x', (.*?)\)\s+AS BIGINT\)""".r
+    val hexCast2 = """(?s)CAST\('0x' \|\| (.*?)\s+AS BIGINT\)""".r
     def fullRewrite(sql0: String): String =
       toSparkDialect(hexCast2.replaceAllIn(hexCast.replaceAllIn(
         readParquet.replaceAllIn(
@@ -473,9 +497,14 @@ object SqlCrossCheck {
       println(fullRewrite(SparkEntry.oracleSql(n)))
       spark.stop(); return
     }
+    // GRAFT_ONLY=q_a,q_b → check just those queries (fast iteration on a
+    // rewrite, same contract as Verify); the full report still needs an
+    // unfiltered run
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     var agree, differ, incompatible, planErr = 0
     val incompatRows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val lines = SparkEntry.oracleSql.toSeq.sortBy(_._1).map {
+    val lines = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map {
       case (name, sql0) =>
         def firstLine(e: Throwable): String = {
           val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)

@@ -227,6 +227,78 @@ object MultimodalQueries {
     FROM fr
     ORDER BY doc_id, frame"""
 
+  /** Chromaprint-style audio fingerprint over per-frame features: each
+    * of the first three frames contributes a (quantized-energy,
+    * zero-crossing) byte pair, packed little-endian into one 48-bit
+    * signature — reference fingerprinting quantizes per-frame spectral
+    * energies the same way (Chromaprint's filter bank over chroma
+    * frames); integer energy+zc are this engine's codegen-decoded frame
+    * features. Exactly the FIRST THREE frames: every doc has ≥ 200
+    * samples = 3 full 64-sample frames, while frame 3+ content depends
+    * on each doc's length — including it would make equal-prefix
+    * recordings look different. Factored so specs can drive it with
+    * planted frame features. */
+  private[graft] def audioFingerprints(fr: DataFrame): DataFrame =
+    fr.filter(col("frame") < 3)
+      .selectExpr("media_id",
+        """shiftleft((energy div 4096) % 256, cast(frame * 16 + 8 AS INT)) +
+           shiftleft(zc % 256, cast(frame * 16 AS INT)) AS part""")
+      .groupBy("media_id").agg(sum("part").as("phash"))
+
+  /** Audio near-dup pairs — the third leg of the media-dedup matrix
+    * (text shingles / image aHash / audio fingerprint): the 48-bit
+    * [[audioFingerprints]] signature rides the SAME banded pigeonhole
+    * join as the image side ([[Multimodal.mediaNearDups]]) — candidates
+    * from (band, value) buckets with the hot-bucket cap, never
+    * all-pairs, so the linear-growth and cap bounds ScaleSpec proves for
+    * the image path carry over verbatim. The top 16-bit band is
+    * structurally zero (48 bits in a 64-bit sig), so once the corpus
+    * exceeds the bucket cap it is over-cap and the cut removes it — the
+    * effective pigeonhole is 3 bands, still exact for Hamming ≤ 2 and
+    * mirrored by the oracle for 3 (below the cap the zero band survives
+    * and candidate generation degenerates to exact all-pairs — also
+    * mirrored). Synthetic-lake note: true matches need waveform class, dither
+    * phase AND length class to agree (doc_id ≡ doc_id' mod 768), so
+    * pairs appear from sf0.1 up; smaller SFs legitimately emit zero rows
+    * and the planted-recall proof lives in MediaSpec. */
+  private def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = audioFingerprints(
+      Multimodal.pcmFrameFeatures(audioBlobs(spark, dir)))
+      .as[Multimodal.MediaSig]
+    Multimodal.mediaNearDups(sigs, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val audioNearDupSql = s"""
+    WITH $audioFrameCtes,
+    afp AS (
+      SELECT doc_id,
+             CAST(sum((((energy // 4096) % 256) << CAST(frame * 16 + 8 AS INT)) +
+                      ((zc % 256) << CAST(frame * 16 AS INT))) AS BIGINT) AS fp
+      FROM fr WHERE frame < 3 GROUP BY doc_id),
+    abands AS (
+      SELECT doc_id, fp, band,
+             CASE band WHEN 0 THEN fp & 65535
+                       WHEN 1 THEN (fp >> 16) & 65535
+                       WHEN 2 THEN (fp >> 32) & 65535
+                       ELSE (fp >> 48) & 65535 END AS v
+      FROM afp, unnest([0, 1, 2, 3]) AS u(band)),
+    ainf AS (
+      SELECT band, v FROM abands GROUP BY band, v
+      HAVING count(*) <= ${Multimodal.BandBucketCap}),
+    aokb AS (SELECT abands.* FROM abands JOIN ainf USING (band, v)),
+    acand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.fp AS fa, c.fp AS fb
+      FROM aokb a JOIN aokb c
+        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM acand
+    WHERE bit_count(xor(fa, fb)) <= 3
+    ORDER BY id_a, id_b"""
+
   /** Energy threshold separating the sawtooth's active frames (~350k)
     * from the dithered near-silent ones (≤ 1024): VAD with an order-of-
     * magnitude margin on both sides. */
@@ -455,6 +527,7 @@ object MultimodalQueries {
       ORDER BY doc_id""")),
     QueryDef("q_media_phash", mediaPhash, Some(mediaPhashSql)),
     QueryDef("q_audio_frames", audioFrames, Some(audioFramesSql)),
+    QueryDef("q_audio_neardup", audioNearDup, Some(audioNearDupSql)),
     QueryDef("q_audio_segments", audioSilence, Some(audioSilenceSql)),
     QueryDef("q_video_scenes", videoScenes, Some(videoScenesSql)),
   )

@@ -254,29 +254,67 @@ object SimilarityQueries {
              round(list_dot_product(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]) + 1e-9, 6) AS sim
       FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
-    sel1 AS MATERIALIZED (
-      SELECT 1 AS rank, doc_id, 0e0 AS max_sim FROM cand
-      ORDER BY 0.7e0 * rel - 0.3e0 * 0e0 DESC, doc_id LIMIT 1)"""
+    st1 AS (
+      SELECT doc_id, rel,
+             CASE WHEN rn = 1 THEN 1 ELSE CAST(NULL AS INT) END AS rank,
+             CAST(NULL AS DOUBLE) AS max_sim,
+             pick AS last_pick
+      FROM (SELECT doc_id, rel,
+                   row_number() OVER (ORDER BY 0.7e0 * rel DESC, doc_id)
+                     AS rn,
+                   first_value(doc_id) OVER (
+                     ORDER BY 0.7e0 * rel DESC, doc_id) AS pick
+            FROM cand))"""
+    // One state CTE per greedy step, each referencing the PREVIOUS step
+    // exactly once: state = one row per candidate with (rank = step it
+    // was selected, NULL if not yet; max_sim = max similarity to the
+    // selected set, frozen at selection; last_pick = the id selected by
+    // the state's own step, carried as a COLUMN so the next step can
+    // join `pairs` on it without a second reference). Step order
+    // matters: max_sim is updated with the previous pick FIRST, then the
+    // window ranks unselected rows by the UPDATED score to choose this
+    // step's pick (first_value broadcasts its id). The previous spelling
+    // (rem/pick/sel triples) read the prior step THREE times per round —
+    // fine in DuckDB under MATERIALIZED, but an engine that inlines CTEs
+    // per reference (Spark after the hint strip) got 3^9 plan copies and
+    // died on heap; this chain is linear on both.
     val steps = (2 to 10).map { k =>
-      val prev = s"sel${k - 1}"
+      val prev = s"st${k - 1}"
+      // NULL max_sim = "no selected neighbor yet" (empty-set identity —
+      // a 0 floor would be WRONG when every similarity is negative, and
+      // greatest() NULL-propagation differs across engines, so the NULL
+      // is coalesced away only at scoring time)
+      val w = """ORDER BY CASE WHEN u.rank IS NULL THEN 0 ELSE 1 END,
+                              0.7e0 * u.rel - 0.3e0 * coalesce(u.ns, 0e0)
+                                DESC,
+                              u.doc_id"""
       s""",
-    rem$k AS MATERIALIZED (
-      SELECT c.doc_id, c.rel,
-             (SELECT max(p.sim) FROM pairs p JOIN $prev s
-              ON p.idb = s.doc_id AND p.ida = c.doc_id) AS mc
-      FROM cand c
-      WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)),
-    pick$k AS MATERIALIZED (
-      SELECT doc_id, mc FROM rem$k
-      ORDER BY 0.7e0 * rel - 0.3e0 * mc DESC, doc_id LIMIT 1),
-    sel$k AS MATERIALIZED (
-      SELECT * FROM $prev
-      UNION ALL SELECT $k, doc_id, mc FROM pick$k)"""
+    st$k AS (
+      SELECT q.doc_id, q.rel,
+             CASE WHEN q.rank IS NOT NULL THEN q.rank
+                  WHEN q.rn = 1 THEN $k ELSE CAST(NULL AS INT) END AS rank,
+             q.ns AS max_sim,
+             q.pick AS last_pick
+      FROM (SELECT u.doc_id, u.rel, u.rank, u.ns,
+                   row_number() OVER ($w) AS rn,
+                   first_value(u.doc_id) OVER ($w) AS pick
+            FROM (SELECT s.doc_id, s.rel, s.rank,
+                         CASE WHEN s.rank IS NOT NULL THEN s.max_sim
+                              WHEN p.sim IS NULL THEN s.max_sim
+                              ELSE greatest(coalesce(s.max_sim, p.sim),
+                                            p.sim) END
+                           AS ns
+                  FROM $prev s
+                  LEFT JOIN pairs p
+                    ON p.ida = s.doc_id AND p.idb = s.last_pick) u) q)"""
     }.mkString
     base + steps + s"""
-    SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel, max_sim,
-           round(0.7e0 * rel - 0.3e0 * max_sim + 1e-9, 6) AS score
-    FROM sel10 JOIN cand USING (doc_id)
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel,
+           coalesce(max_sim, 0e0) AS max_sim,
+           round(0.7e0 * rel - 0.3e0 * coalesce(max_sim, 0e0) + 1e-9, 6)
+             AS score
+    FROM st10
+    WHERE rank IS NOT NULL
     ORDER BY rank"""
   }
 

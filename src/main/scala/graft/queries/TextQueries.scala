@@ -425,9 +425,9 @@ object TextQueries {
                  list_prepend(
                    array_to_string(list_transform(range(1, length(word) + 1),
                      i -> chr(1) || substr(word, i, 1) || chr(2)), ''),
-                   (SELECT ml FROM ml)),
+                   ml.ml),
                  (acc, m) -> replace(acc, m, replace(m, chr(2) || chr(1), ''))) AS enc
-        FROM (SELECT DISTINCT word FROM occ)))
+        FROM (SELECT DISTINCT word FROM occ) CROSS JOIN ml))
     SELECT o.doc_id, CAST(sum(o.c * t.n_tok) AS BIGINT) AS n_bpe_tokens
     FROM occ o JOIN tok t USING (word)
     GROUP BY o.doc_id
@@ -746,11 +746,12 @@ object TextQueries {
       .orderBy("doc_id")
 
   private val spanCorruptSql = """
-    WITH t AS (
-      SELECT doc_id,
-             unnest(string_split_regex(trim(text), '\s+')) AS tok,
-             generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       FROM documents),
+    t AS (
+      SELECT doc_id, i - 1 AS pos
+      FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)),
     m AS (
       SELECT doc_id, pos // 3 AS g,
              CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
@@ -1488,6 +1489,123 @@ object TextQueries {
              THEN 1.0 - size(array_distinct(grams)) / cast(size(grams) AS DOUBLE)
              ELSE 0.0 END + 1e-9, 4) AS rep_ratio""")
       .orderBy("doc_id")
+
+  /** The Gopher rule suite (Rae et al. 2021, Appendix A1.1) as ONE pass
+    * over `documents`: every document gets the standard per-rule
+    * pass/fail vector — word count in [50, 100k], mean word length in
+    * [3, 10], symbol-to-word ratio (# / ellipsis) ≤ 0.1, ≤ 90% of lines
+    * bullet-led, ≤ 30% of lines ellipsis-ended, ≥ 80% of words with an
+    * alphabetic character, ≥ 2 of the 8 Gopher stop words present — plus
+    * the conjunction, the canonical pretraining-filter report that
+    * q_repetition / q_content_flags / q_text_quality only cover
+    * piecemeal. Engine-portability notes: "word contains a letter" is
+    * spelled lower(w) <> upper(w) (case-variance — avoids regex-in-
+    * lambda dialect gaps); stop-word PRESENCE (distinct, not
+    * occurrences) is a nested filter over the literal 8-word list; all
+    * ratios are epsilon-rounded BEFORE thresholding so both engines
+    * compare identical values. Scale shape: one narrow projection, no
+    * joins, no shuffles except the output sort. */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stops = gopherStops.map(s => s"'$s'").mkString(", ")
+    Tables(spark, dir, "documents")
+      .selectExpr("doc_id", s"$toks AS t", "split(text, '\n') AS lines",
+        "text")
+      .selectExpr("doc_id",
+        "size(t) AS n_words",
+        "length(regexp_replace(text, '\\\\s', '')) AS word_chars",
+        """(length(text) - length(replace(text, '#', ''))) +
+           size(regexp_extract_all(text, '\\.\\.\\.', 0)) AS n_symbols""",
+        "size(lines) AS n_lines",
+        "size(filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet",
+        "size(filter(lines, l -> right(l, 3) = '...' OR right(l, 1) = '…')) AS n_ellipsis",
+        "size(filter(t, w -> lower(w) <> upper(w))) AS n_alpha",
+        s"size(filter(array($stops), s -> size(filter(t, w -> w = s)) > 0)) AS n_stop")
+      .selectExpr("doc_id",
+        "cast(n_words AS BIGINT) AS n_words",
+        """round(CASE WHEN n_words > 0
+             THEN word_chars / cast(n_words AS DOUBLE) ELSE 0.0 END
+           + 1e-9, 4) AS mean_word_len""",
+        """round(CASE WHEN n_words > 0
+             THEN n_symbols / cast(n_words AS DOUBLE) ELSE 0.0 END
+           + 1e-9, 4) AS symbol_ratio""",
+        """round(CASE WHEN n_lines > 0
+             THEN n_bullet / cast(n_lines AS DOUBLE) ELSE 0.0 END
+           + 1e-9, 4) AS bullet_ratio""",
+        """round(CASE WHEN n_lines > 0
+             THEN n_ellipsis / cast(n_lines AS DOUBLE) ELSE 0.0 END
+           + 1e-9, 4) AS ellipsis_ratio""",
+        """round(CASE WHEN n_words > 0
+             THEN n_alpha / cast(n_words AS DOUBLE) ELSE 0.0 END
+           + 1e-9, 4) AS alpha_ratio""",
+        "cast(n_stop AS BIGINT) AS n_stop")
+      .selectExpr("*",
+        "n_words BETWEEN 50 AND 100000 AS r_word_count",
+        "mean_word_len BETWEEN 3 AND 10 AS r_word_len",
+        "symbol_ratio <= 0.1 AS r_symbol",
+        "bullet_ratio <= 0.9 AS r_bullet",
+        "ellipsis_ratio <= 0.3 AS r_ellipsis",
+        "alpha_ratio >= 0.8 AS r_alpha",
+        "n_stop >= 2 AS r_stopwords")
+      .selectExpr("*",
+        """r_word_count AND r_word_len AND r_symbol AND r_bullet AND
+           r_ellipsis AND r_alpha AND r_stopwords AS pass_all""")
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesSql = s"""
+    WITH gbase AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+             string_split(text, chr(10)) AS lines, text
+      FROM documents),
+    gm AS (
+      SELECT doc_id,
+        len(t) AS n_words,
+        length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+        (length(text) - length(replace(text, '#', ''))) +
+          len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+        len(lines) AS n_lines,
+        len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+        len(list_filter(lines, l -> right(l, 3) = '...' OR right(l, 1) = '…')) AS n_ellipsis,
+        len(list_filter(t, w -> lower(w) <> upper(w))) AS n_alpha,
+        len(list_filter([${gopherStops.map(s => s"'$s'").mkString(", ")}],
+          s -> len(list_filter(t, w -> w = s)) > 0)) AS n_stop
+      FROM gbase),
+    gr AS (
+      SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        round(CASE WHEN n_words > 0
+          THEN word_chars / CAST(n_words AS DOUBLE) ELSE 0.0 END
+          + 1e-9, 4) AS mean_word_len,
+        round(CASE WHEN n_words > 0
+          THEN n_symbols / CAST(n_words AS DOUBLE) ELSE 0.0 END
+          + 1e-9, 4) AS symbol_ratio,
+        round(CASE WHEN n_lines > 0
+          THEN n_bullet / CAST(n_lines AS DOUBLE) ELSE 0.0 END
+          + 1e-9, 4) AS bullet_ratio,
+        round(CASE WHEN n_lines > 0
+          THEN n_ellipsis / CAST(n_lines AS DOUBLE) ELSE 0.0 END
+          + 1e-9, 4) AS ellipsis_ratio,
+        round(CASE WHEN n_words > 0
+          THEN n_alpha / CAST(n_words AS DOUBLE) ELSE 0.0 END
+          + 1e-9, 4) AS alpha_ratio,
+        CAST(n_stop AS BIGINT) AS n_stop
+      FROM gm)
+    SELECT *,
+      (n_words BETWEEN 50 AND 100000) AS r_word_count,
+      (mean_word_len BETWEEN 3 AND 10) AS r_word_len,
+      (symbol_ratio <= 0.1) AS r_symbol,
+      (bullet_ratio <= 0.9) AS r_bullet,
+      (ellipsis_ratio <= 0.3) AS r_ellipsis,
+      (alpha_ratio >= 0.8) AS r_alpha,
+      (n_stop >= 2) AS r_stopwords,
+      ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+        AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+        AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+        AND (n_stop >= 2)) AS pass_all
+    FROM gr
+    ORDER BY doc_id"""
 
   /** Content-pattern flags (C4-style cleanup signals): URL/email
     * mentions and the digit character ratio. */
@@ -3260,6 +3378,7 @@ object TextQueries {
                ELSE 0.0 END + 1e-9, 4) AS digit_ratio
       FROM documents
       ORDER BY doc_id""")),
+    QueryDef("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("q_winnow", winnow, Some(winnowSql)),
     QueryDef("q_dedup_exact", dedupExact, Some("""
       SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,

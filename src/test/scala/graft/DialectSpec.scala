@@ -52,10 +52,12 @@ class DialectSpec extends AnyFunSuite {
   test("bracket literal vs 1-based postfix indexing vs slicing") {
     assert(SqlCrossCheck.rewriteBrackets("SELECT [1, 2, 3] AS xs") ==
       "SELECT array(1, 2, 3) AS xs")
+    // index is cast to INT: Spark element_at rejects BIGINT indices
+    // (the tokenizer oracles compute them)
     assert(SqlCrossCheck.rewriteBrackets("SELECT xs[2] FROM t") ==
-      "SELECT element_at(xs, 2) FROM t")
+      "SELECT element_at(xs, CAST((2) AS INT)) FROM t")
     assert(SqlCrossCheck.rewriteBrackets("SELECT f(x)[1] FROM t") ==
-      "SELECT element_at(f(x), 1) FROM t")
+      "SELECT element_at(f(x), CAST((1) AS INT)) FROM t")
     // 1-based inclusive slice → slice(expr, a, b-a+1)
     assert(SqlCrossCheck.rewriteBrackets("SELECT xs[2:5] FROM t") ==
       "SELECT slice(xs, 2, (5) - (2) + 1) FROM t")
@@ -81,6 +83,19 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("date_format(ts, 'yyyy-MM-dd HH:mm')"))
     assert(out.contains("unix_micros(ts) / 1e6"))
     assert(out.contains("size(xs)"))
+  }
+
+  test("range arities map to inclusive sequence; MATERIALIZED hint is stripped") {
+    // half-open range(n)/range(a,b) → inclusive sequence, through real
+    // paren matching (the 2-arg bound nests a comma-bearing call)
+    val out = SqlCrossCheck.toSparkDialect(
+      "SELECT unnest(range(256)) AS b, range(1, least(n, 8) + 1) FROM t")
+    assert(out.contains("explode(sequence(0, (256) - 1))"), out)
+    assert(out.contains("sequence(1, (least(n, 8) + 1) - 1)"), out)
+    // the CTE MATERIALIZED evaluation hint is DuckDB-only syntax
+    val cte = SqlCrossCheck.toSparkDialect(
+      "WITH e AS MATERIALIZED (SELECT 1 AS x) SELECT * FROM e")
+    assert(cte.contains("WITH e AS (SELECT"), cte)
   }
 
   test("norm distinguishes NULL from empty string (planted drift → DISAGREE)") {

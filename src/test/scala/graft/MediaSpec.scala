@@ -263,6 +263,34 @@ class MediaSpec extends SparkSpec {
       (2L, 1L, 1L, energy(2L, 64, 65), 0L)))
   }
 
+  test("audio fingerprint planted recall: quantization-local edits pair up, different audio does not") {
+    import spark.implicits._
+    import graft.queries.MultimodalQueries
+    // planted per-frame features (media_id, frame, energy, zc):
+    //   doc 1 — the reference recording
+    //   doc 2 — same energies, frame-0 zc 5→4 (one fingerprint bit)
+    //   doc 3 — same but zc 5→26 (≥ 4 fingerprint bits from BOTH doc 1
+    //           and doc 2: candidate via shared bands 1-2, then rejected
+    //           by the exact Hamming filter)
+    //   doc 4 — exact copy of doc 1 (Hamming 0)
+    //   doc 9 — entirely different audio (below the bucket cap the
+    //           all-zero top band makes every doc a candidate; the
+    //           Hamming filter must reject it)
+    val base = Seq((0L, 4096L * 10, 5L), (1L, 4096L * 20, 6L),
+      (2L, 4096L * 30, 7L))
+    def doc(id: Long, f0zc: Long, shift: Long = 0) = base.map {
+      case (f, e, z) => (id, f, e + shift * 4096, if (f == 0) f0zc else z)
+    }
+    val fr = (doc(1, 5) ++ doc(2, 4) ++ doc(3, 26) ++ doc(4, 5) ++
+      doc(9, 5, shift = 77)).toDF("media_id", "frame", "energy", "zc")
+    val sigs = MultimodalQueries.audioFingerprints(fr)
+      .as[Multimodal.MediaSig]
+    val pairs = Multimodal.mediaNearDups(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)),
+      s"planted audio near-dups missed/over-matched: $pairs")
+  }
+
   test("synthVideoLuma: in-scene deltas are ±1-ish texture, cross-scene jumps clear the cut") {
     // the constructed margins the scene detector's threshold relies on:
     // every |delta| within a scene < 32, every scene-boundary |delta| ≥ 32

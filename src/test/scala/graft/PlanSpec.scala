@@ -275,6 +275,55 @@ class PlanSpec extends SparkSpec {
       s"q_media_neardup must not sort-merge:\n$finalPlan")
   }
 
+  test("AsOfJoinExec under AQE on a skewed key: exec survives re-planning, no skew-join rewrite, results match non-AQE") {
+    import graft.plans.AsOfJoin
+    // 80% of both sides on one hot key, with aggressive skew thresholds
+    // so OptimizeSkewedJoin WOULD fire if it (wrongly) applied: the
+    // skew rewrite replicates partitions, which corrupts a merge-join
+    // exec that requires exact co-partitioning. AsOfJoinExec must come
+    // out of AQE re-planning intact: same exec, no skewed=true reads
+    // under it, and — the decisive check — bit-identical results to the
+    // non-adaptive plan.
+    val aggr = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = aggr.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def run(): (String, Seq[String]) = {
+      val left = spark.range(100000).select(
+        when(col("id") % 5 =!= 0, 0L).otherwise(col("id") % 97).as("k"),
+        col("id").as("t"), col("id").as("lv"))
+      val right = spark.range(100000).select(
+        when(col("id") % 5 =!= 0, 0L).otherwise(col("id") % 97).as("rk"),
+        (col("id") - 3).as("rt"), (col("id") * 7).as("pay"))
+      val df = AsOfJoin.backward(left, right, "k", "rk", "t", "rt",
+        Seq("pay"))
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head,
+        rows)
+    }
+    try {
+      aggr.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (planAqe, rowsAqe) = run()
+      assert(planAqe.contains("AsOfJoin"),
+        s"AsOfJoinExec lost in AQE re-planning:\n$planAqe")
+      assert(!planAqe.contains("skewed=true"),
+        s"skew-join rewrite applied to a co-partitioning exec:\n$planAqe")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (planPlain, rowsPlain) = run()
+      assert(planPlain.contains("AsOfJoin"))
+      assert(rowsAqe == rowsPlain,
+        s"AQE changed as-of results on skewed data: " +
+          s"${rowsAqe.size} vs ${rowsPlain.size} rows")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("cluster labels are a persisted offline artifact: consumers are pure reads") {
     import graft.queries.{DedupQueries, Registry}
     DedupQueries.clearShingleCache()
