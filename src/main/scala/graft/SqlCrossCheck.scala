@@ -53,9 +53,12 @@ import graft.queries.SimilarityQueries
   *    subquery-plus-WHERE via [[rewriteQualify]], a depth/quote-aware
   *    token transform (no regex guessing at nesting).
   * Everything else must parse as-is or the query is reported
-  * DIALECT-INCOMPATIBLE (remaining DuckDB-only surface: FROM-clause
-  * `unnest(…) AS t(c)` lateral aliases, 1-based `list[i]` indexing,
-  * `ASOF JOIN`, struct literals, `list(x ORDER BY y)` in aggregate, …).
+  * DIALECT-INCOMPATIBLE. As of round 11 every oracle crosses: the last
+  * genuinely unportable spellings were removed from the oracles
+  * themselves (zip-unnest → FROM-clause lateral, scalar-subquery HOF
+  * init → CROSS JOIN column, exponential multi-reference CTE chains →
+  * linear state chains), so a future incompatible row signals a NEW
+  * unportable spelling, not accepted legacy.
   * No result is ever "fixed up" — rows either match exactly under the
   * driver's own normalization (columns sorted by name, floats to 9
   * significant digits, rows sorted) or the query is a DISAGREE.

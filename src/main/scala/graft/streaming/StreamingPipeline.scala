@@ -83,6 +83,63 @@ object StreamingPipeline {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Online near-dup CLUSTER ASSIGNMENT — the serving twin of the batch
+    * incremental connected components (q_clusters_incremental's
+    * batch-lake stage): each arriving document shingles ROW-LOCALLY
+    * (word 3-grams → 60-bit hashes, the exact batch spelling), probes
+    * the static lake shingle index, verifies exact Jaccard ≥ 0.5, and
+    * emits its best match's persisted cluster label (an unclustered lake
+    * doc represents itself). A document matching nothing emits NO row —
+    * absence means "novel, cluster = itself" (emitting it would need a
+    * stream-stream outer self-join for zero information gain).
+    *
+    * Granularity trade (the [[dedupByContent]] discipline): assignment
+    * is per-document vs the LAKE — pairs among in-flight streamed docs
+    * wait for the batch incremental merge, which also heals lake-side
+    * label merges the per-doc view cannot see. Static sides re-bind per
+    * micro-batch, so a lake recompaction (retrained labels, fresh
+    * shingle artifact) is picked up without restarting the query.
+    *
+    * Plan shape: two chained streaming aggregations in append mode
+    * (common-shingle count per candidate, then best-candidate max_by),
+    * both keyed on the watermarked event time — Spark 4's
+    * multiple-stateful-operator support; state is O(in-horizon docs ×
+    * their candidates), never lake-sized. Only (doc_id, h) pairs
+    * shuffle; the probe is the SAME join skeleton as the batch
+    * incremental's batch-lake stage. */
+  def assignClusters(src: DataFrame, lakeShingles: DataFrame,
+      lakeLabels: DataFrame, tsCol: String, lateness: String): DataFrame = {
+    val sh = src.withWatermark(tsCol, lateness)
+      .selectExpr("doc_id", tsCol, "split(trim(text), '\\\\s+') AS t")
+      .selectExpr("doc_id", tsCol,
+        """CASE WHEN size(t) >= 3
+             THEN array_distinct(transform(sequence(0, size(t) - 3),
+                    i -> md5_60(concat_ws(' ', t[i], t[i+1], t[i+2]))))
+             ELSE array() END AS hs""")
+      .selectExpr("doc_id", tsCol, "size(hs) AS nb", "explode(hs) AS h")
+    val lk = lakeShingles.select(col("doc_id").as("lake_id"), col("h"))
+    val sizes = lk.groupBy("lake_id").agg(count(lit(1)).as("ne"))
+    val common = sh.join(lk, "h")
+      .groupBy(col("doc_id"), col(tsCol), col("nb"), col("lake_id"))
+      .agg(count(lit(1)).as("c"))
+    val cand = common.join(sizes, "lake_id")
+      .withColumn("jaccard",
+        expr("round(c / CAST(nb + ne - c AS DOUBLE) + 1e-9, 6)"))
+      .filter(col("jaccard") >= 0.5)
+    val lbl = lakeLabels.select(col("doc_id").as("lake_id"),
+      col("cluster_id"))
+    cand.join(lbl, Seq("lake_id"), "left")
+      .selectExpr("doc_id", tsCol, "lake_id", "jaccard",
+        "coalesce(cluster_id, lake_id) AS cluster_id")
+      .groupBy(col("doc_id"), col(tsCol))
+      .agg(max_by(
+        struct(col("cluster_id"), col("lake_id"), col("jaccard")),
+        // best jaccard; ties to the smaller lake doc id
+        struct(col("jaccard"), col("lake_id") * -1)).as("m"))
+      .select(col("doc_id"), col(tsCol), col("m.cluster_id").as("cluster_id"),
+        col("m.lake_id").as("matched_id"), col("m.jaccard").as("jaccard"))
+  }
+
   /** The enrichment projection of data_processing.py:69-83 applied on a
     * stream: symbol normalize + guarded change_day. Stateless → appends. */
   def enrich(src: DataFrame): DataFrame =

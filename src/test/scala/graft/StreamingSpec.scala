@@ -460,6 +460,52 @@ class StreamingSpec extends SparkSpec {
     assert(twin.nonEmpty && twin.toSeq == batch.toSeq)
   }
 
+  test("streaming cluster assignment: arrivals get persisted lake labels, batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.DedupQueries
+    // a 3-doc lake: 10+11 are a near-dup cluster (label 10), 20 is
+    // unclustered (absent from the label table = represents itself)
+    val lakeDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta"),
+      (20L, "one two three four five six")).toDF("doc_id", "text")
+    val lakeSh = DedupQueries.shingleHashesOf(lakeDocs, 1000)
+    val labels = Seq((10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    def m(min: Long) = ts(min * 60)
+    val arrivals = Seq(
+      // copy of doc 10: candidates 10 (j=1.0) AND 11 (j=0.6) — max_by
+      // must pick 10, and its label is the cluster id
+      (100L, m(1), "alpha beta gamma delta epsilon zeta"),
+      // copy of the unclustered doc 20 → cluster = the doc itself
+      (101L, m(2), "one two three four five six"),
+      // novel document → no candidates → NO emitted row (absence =
+      // "cluster of itself" by contract)
+      (102L, m(3), "seven eight nine ten eleven twelve"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(arrivals)
+    // second batch: far-future sentinel advances the watermark so append
+    // mode emits the first batch's closed groups
+    mem.addData(Seq((999L, m(60 * 24), "sentinel advances the watermark")))
+    val streamed = StreamingPipeline.assignClusters(
+      mem.toDF.toDF("doc_id", "ts", "text"), lakeSh, labels,
+      "ts", "10 minutes")
+    StreamingPipeline.drainAvailableNow(streamed, "cluster_assign")
+    val got = spark.table("cluster_assign")
+      .select("doc_id", "cluster_id", "matched_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((100L, 10L, 10L), (101L, 20L, 20L)), got)
+    // batch ≡ stream: the same function over the same rows as a batch
+    // frame (withWatermark is a no-op on batch) yields identical rows
+    val batch = StreamingPipeline.assignClusters(
+      (arrivals :+ ((999L, m(60 * 24), "sentinel advances the watermark")))
+        .toDF("doc_id", "ts", "text"),
+      lakeSh, labels, "ts", "10 minutes")
+      .select("doc_id", "cluster_id", "matched_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got, s"batch=$batch stream=$got")
+  }
+
   test("streaming model serving: stateless IVF assignment over a stream equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
