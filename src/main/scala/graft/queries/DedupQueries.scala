@@ -1075,20 +1075,33 @@ object DedupQueries {
         col("prior_id"))
   }
 
-  /** Incremental cluster formation — the label twin of
-    * [[dedupIncremental]] and the continual-ingest story offline
-    * clustering needs at 100 TB: the new batch's (src10+) near-dup pairs
-    * are merged into the PERSISTED lake-side label artifact via
-    * [[incrementalLabels]], never re-propagating the lake graph. Batch
-    * edges come from two batch-bounded stages: jaccard among batch docs,
-    * and batch shingles probing the lake index (the [[dedupIncremental]]
-    * shape, keeping pairs instead of dropping survivors). The oracle
-    * recomputes the FULL-graph closure from scratch, so a green hash
-    * proves the incremental merge is exactly equivalent to full
-    * recomputation. Output: every clustered doc with its post-merge
-    * cluster id and how the merge touched it ('batch' = new doc,
-    * 'merged' = lake doc whose label changed, 'stable' = untouched). */
-  private def clustersIncremental(spark: SparkSession,
+  /** The compaction step closing the continual-ingest loop:
+    * assign online ([[graft.streaming.StreamingPipeline.assignClusters]])
+    * → merge incrementally ([[clustersIncremental]]) → COMPACT the merge
+    * back into the artifact (here). Computes the batch's near-dup edges
+    * (the same two batch-bounded stages as the query), merges them into
+    * the persisted lake prior via [[incrementalLabels]], and overwrites
+    * the full-corpus "text" artifact with the result — which equals a
+    * from-scratch retraining exactly (the [[clustersIncremental]] oracle
+    * proves that equality against DuckDB's independent closure; CompactSpec
+    * proves it against [[trainClusterLabels]] itself). After compaction
+    * the next batch can treat the WHOLE current corpus as its lake.
+    * The overwrite drops `_SUCCESS` first, so a reader that races the
+    * rewrite fails fast on the witness instead of reading a partial
+    * artifact. */
+  def compactClusterLabels(spark: SparkSession, dir: String): Unit = {
+    val merged = clustersIncrementalLabels(spark, dir)
+      .select("doc_id", "cluster_id")
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(clusterModelPath(dir, "text"))
+  }
+
+  /** The incremental merge shared by [[clustersIncremental]] (the
+    * oracle-checked query, which adds per-doc status) and
+    * [[compactClusterLabels]] (which persists the labels):
+    * (doc_id, cluster_id, prior_id) for every node of the combined
+    * graph. */
+  private def clustersIncrementalLabels(spark: SparkSession,
       dir: String): DataFrame = {
     val sh = shingleHashesCached(spark, dir)
     val shE = sh.filter(col("src_num") < 10).select("doc_id", "h")
@@ -1108,8 +1121,26 @@ object DedupQueries {
         >= 0.5)
       .select(least(col("bid"), col("eid")).as("doc_a"),
         greatest(col("bid"), col("eid")).as("doc_b"))
-    val out = incrementalLabels(persistedLabels(spark, dir, "text-lake"),
+    incrementalLabels(persistedLabels(spark, dir, "text-lake"),
       bb.unionByName(be))
+  }
+
+  /** Incremental cluster formation — the label twin of
+    * [[dedupIncremental]] and the continual-ingest story offline
+    * clustering needs at 100 TB: the new batch's (src10+) near-dup pairs
+    * are merged into the PERSISTED lake-side label artifact via
+    * [[incrementalLabels]], never re-propagating the lake graph. Batch
+    * edges come from two batch-bounded stages: jaccard among batch docs,
+    * and batch shingles probing the lake index (the [[dedupIncremental]]
+    * shape, keeping pairs instead of dropping survivors). The oracle
+    * recomputes the FULL-graph closure from scratch, so a green hash
+    * proves the incremental merge is exactly equivalent to full
+    * recomputation. Output: every clustered doc with its post-merge
+    * cluster id and how the merge touched it ('batch' = new doc,
+    * 'merged' = lake doc whose label changed, 'stable' = untouched). */
+  private def clustersIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val out = clustersIncrementalLabels(spark, dir)
     val srcn = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         expr("cast(substring(source, 4, 8) AS INT)").as("src_num"))

@@ -1607,6 +1607,68 @@ object TextQueries {
     FROM gr
     ORDER BY doc_id"""
 
+  /** PII detection + redaction — the privacy-scrub stage a pretraining
+    * pipeline runs before anything ships: emails, dashed/dotted phone
+    * numbers and IPv4 literals are counted on the RAW text, then
+    * replaced by typed sentinels (<EMAIL>/<PHONE>/<IP>) in one row-local
+    * codegen'd regexp chain — no UDF, no join, no shuffle beyond the
+    * output sort. Patterns restrict to the RE2 ∩ Java regex subset
+    * (character classes, bounded repetition, \b) so both engines match
+    * identically; the redacted text itself is certified via its md5
+    * fingerprint rather than shipping megabytes of clean text through
+    * the gate. Synthetic-lake note: testdata carries no PII, so
+    * real-table rows report zeros — semantics are proven on planted PII
+    * in PropertySpec. */
+  private[graft] val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhoneRe =
+    "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private[graft] val PiiIpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private def sqlReLit(re: String): String =
+    "'" + re.replace("\\", "\\\\") + "'"
+
+  private[graft] def piiRedactOf(docs: DataFrame): DataFrame = {
+    val (e, p, ip) =
+      (sqlReLit(PiiEmailRe), sqlReLit(PiiPhoneRe), sqlReLit(PiiIpRe))
+    // redaction order: emails first (their dotted domains must not be
+    // eaten by the IP pattern), phones second, IPs last
+    val clean = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"$e, '<EMAIL>'), $p, '<PHONE>'), $ip, '<IP>')"
+    docs.selectExpr("doc_id",
+        "cast(length(text) AS BIGINT) AS raw_len",
+        s"cast(size(regexp_extract_all(text, $e, 0)) AS BIGINT) AS n_emails",
+        s"cast(size(regexp_extract_all(text, $p, 0)) AS BIGINT) AS n_phones",
+        s"cast(size(regexp_extract_all(text, $ip, 0)) AS BIGINT) AS n_ipv4",
+        s"$clean AS clean")
+      .selectExpr("doc_id", "raw_len", "n_emails", "n_phones", "n_ipv4",
+        "cast(length(clean) AS BIGINT) AS clean_len",
+        "md5(clean) AS clean_fp")
+      .orderBy("doc_id")
+  }
+
+  private def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables(spark, dir, "documents"))
+
+  private val piiRedactSql = {
+    val clean = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g'), " +
+      s"'$PiiIpRe', '<IP>', 'g')"
+    s"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS raw_len,
+           CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '$PiiIpRe')) AS BIGINT)
+             AS n_ipv4,
+           CAST(length($clean) AS BIGINT) AS clean_len,
+           md5($clean) AS clean_fp
+    FROM documents
+    ORDER BY doc_id"""
+  }
+
   /** Content-pattern flags (C4-style cleanup signals): URL/email
     * mentions and the digit character ratio. */
   private def contentFlags(spark: SparkSession, dir: String): DataFrame =
@@ -3379,6 +3441,7 @@ object TextQueries {
       FROM documents
       ORDER BY doc_id""")),
     QueryDef("q_gopher_rules", gopherRules, Some(gopherRulesSql)),
+    QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q_winnow", winnow, Some(winnowSql)),
     QueryDef("q_dedup_exact", dedupExact, Some("""
       SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,

@@ -171,6 +171,24 @@ class DedupSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("compactClusterLabels: incremental merge + overwrite equals from-scratch retraining") {
+    import graft.queries.DedupQueries
+    val sf = "/root/testdata/sf0.001"
+    DedupQueries.trainClusterLabels(spark, sf)
+    val full = spark.read.parquet(DedupQueries.clusterModelPath(sf, "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compact: merge the batch (src10+) into the lake prior and
+    // OVERWRITE the full artifact — the continual-ingest loop's last leg
+    DedupQueries.compactClusterLabels(spark, sf)
+    val compacted = spark.read
+      .parquet(DedupQueries.clusterModelPath(sf, "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted == full,
+      s"compaction diverged from retraining: only-compacted=" +
+        s"${(compacted -- full).take(5)} only-full=${(full -- compacted).take(5)}")
+    assert(DedupQueries.clusterModelTrained(spark, sf, "text"))
+  }
+
   test("stop-shingle df cap plan: no window over h, broadcast anti-join") {
     import graft.queries.DedupQueries
     val d = docs((0L until 20L).map(i =>

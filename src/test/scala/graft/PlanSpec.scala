@@ -275,6 +275,48 @@ class PlanSpec extends SparkSpec {
       s"q_media_neardup must not sort-merge:\n$finalPlan")
   }
 
+  test("q_clusters_incremental reads the lake-prior artifact; no cartesian, no lake-sized collect") {
+    import graft.queries.Registry
+    val df = Registry.byName("q_clusters_incremental").fn(spark, sf)
+    df.collect()
+    // the lake prior must come from the persisted artifact (pure read),
+    // and the plan must never cross rows — every pair stage is an
+    // equi-join on a shingle hash or a label key
+    assert(df.inputFiles.exists(_.contains("labels-text-lake")),
+      s"incremental CC does not read the lake-prior artifact: " +
+        df.inputFiles.mkString(", "))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"q_clusters_incremental crossed rows:\n$plan")
+  }
+
+  test("q_audio_neardup: banded candidate join, no sort-merge, anti-join hot-bucket cut") {
+    val df = graft.queries.Registry.byName("q_audio_neardup").fn(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"q_audio_neardup must not sort-merge 8-byte signatures:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    // hot-bucket cut is a broadcast ANTI join on the logical plan (AQE
+    // may erase it from the final physical plan when no bucket is hot)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"),
+      s"q_audio_neardup lost the hot-bucket anti-join:\n$logical")
+  }
+
+  test("q_gopher_rules is one narrow pass: no joins, single exchange for the output sort") {
+    val df = graft.queries.Registry.byName("q_gopher_rules").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"q_gopher_rules must not join:\n$plan")
+    // one range exchange for the ORDER BY; no aggregation shuffle exists
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"q_gopher_rules shuffled more than the output sort:\n$plan")
+  }
+
   test("AsOfJoinExec under AQE on a skewed key: exec survives re-planning, no skew-join rewrite, results match non-AQE") {
     import graft.plans.AsOfJoin
     // 80% of both sides on one hot key, with aggressive skew thresholds

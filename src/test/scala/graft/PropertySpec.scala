@@ -167,6 +167,33 @@ class PropertySpec extends SparkSpec {
       s"top decile pos_rate ${cal(10)} must be >= bottom ${cal(1)}")
   }
 
+  test("PII redaction: planted emails/phones/IPs counted and replaced with typed sentinels") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val docs = Seq(
+      (1L, "contact bob@example.com or 555-123-4567 at 192.168.0.1 ok"),
+      // dotted phone + two emails; the second email's domain dots must
+      // not be re-matched as an IP after redaction
+      (2L, "a.b@c.io and x@y.org, call 555.123.4567"),
+      (3L, "no pii at all here"),
+      // 4-digit octet run must NOT match the bounded IP pattern — but
+      // its "456.789.0123" suffix IS a dotted 3-3-4 phone shape, so the
+      // phone pattern legitimately claims it (identically on both
+      // engines)
+      (4L, "not an ip: 123.456.789.0123")).toDF("doc_id", "text")
+    val out = TextQueries.piiRedactOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq((1L, 1L, 1L, 1L), (2L, 2L, 1L, 0L),
+      (3L, 0L, 0L, 0L), (4L, 0L, 1L, 0L)), out.toString)
+    // the redacted text itself (via the chain) carries the sentinels
+    val clean1 = TextQueries.piiRedactOf(docs)
+      .filter(col("doc_id") === 1L).select("clean_fp").head.getString(0)
+    val expect = spark.sql(
+      "SELECT md5('contact <EMAIL> or <PHONE> at <IP> ok')").head.getString(0)
+    assert(clean1 == expect)
+  }
+
   test("exact-integer aggregates are shuffle-partition invariant") {
     import graft.queries.Registry
     val sf = "/root/testdata/sf0.001"
