@@ -46,9 +46,9 @@ import graft.queries.SimilarityQueries
   *    (ORDER BY o)`, DuckDB 1-based `string_split(…)[i]` →
   *    `element_at(split(…), i)`, `[lit, …]::DOUBLE[]` → `array(lit, …)`,
   *    `col::DOUBLE[]` → `CAST(col AS ARRAY<DOUBLE>)`, half-open
-  *    `range(n)` / `range(a, b)` → inclusive `sequence(0, n-1)` /
-  *    `sequence(a, b-1)` (paren-matched — bounds nest comma-bearing
-  *    calls);
+  *    half-open `range(n)` / `range(a, b)` → an empty-safe
+  *    slice-of-sequence (paren-matched — bounds nest comma-bearing
+  *    calls; Spark `sequence` alone is never empty);
   *  - `QUALIFY pred` (DuckDB's post-window filter) → the equivalent
   *    subquery-plus-WHERE via [[rewriteQualify]], a depth/quote-aware
   *    token transform (no regex guessing at nesting).
@@ -434,9 +434,17 @@ object SqlCrossCheck {
           // so the later bracket rewrite keeps the list semantics
           rewriteCall(spelled, "map_extract", a =>
             s"array(element_at(${a(0)}, ${a(1)}))"),
-          "range", a =>
-            if (a.length == 1) s"sequence(0, (${a(0)}) - 1)"
-            else s"sequence(${a(0)}, (${a(1)}) - 1)"),
+          "range", a => {
+            // DuckDB range is EMPTY when the bounds meet or cross;
+            // Spark sequence is never empty (it counts DOWN when
+            // start > stop), so a naive sequence(a, b-1) turns an empty
+            // range into a phantom descending array. The slice keeps
+            // exactly max(b-a, 0) elements: the whole ascending run
+            // when b > a, a correctly-typed empty array otherwise.
+            val (lo, hi) = if (a.length == 1) ("0", a(0)) else (a(0), a(1))
+            s"slice(sequence($lo, greatest($lo, ($hi) - 1)), 1, " +
+              s"CAST(greatest(($hi) - ($lo), 0) AS INT))"
+          }),
         "xor", a => s"(${a(0)} ^ ${a(1)})"),
       // only the fold-with-init composition is expressible in Spark
       "list_reduce", a =>

@@ -502,8 +502,12 @@ object DedupQueries {
     * warmup and [[graft.Verify]] as setup; the consumer queries never
     * train (they fail fast instead). */
   def trainClusterLabels(spark: SparkSession, dir: String): Unit = {
+    // jaccardPairsOf directly — ngramJaccard's global ORDER BY is query
+    // presentation, a wasted range-partition sort in a training path
+    // whose consumer immediately re-shuffles
     trainLabelArtifact(spark, dir, "text")(
-      ngramJaccard(spark, dir).select("doc_a", "doc_b"))
+      jaccardPairsOf(shingleHashesCached(spark, dir).select("doc_id", "h"))
+        .select("doc_a", "doc_b"))
     trainLabelArtifact(spark, dir, "text-lake")(
       jaccardPairsOf(shingleHashesCached(spark, dir)
           .filter(col("src_num") < 10).select("doc_id", "h"))

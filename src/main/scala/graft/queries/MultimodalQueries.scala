@@ -254,10 +254,14 @@ object MultimodalQueries {
     * the image path carry over verbatim. The top 16-bit band is
     * structurally zero (48 bits in a 64-bit sig), so once the corpus
     * exceeds the bucket cap it is over-cap and the cut removes it — the
-    * effective pigeonhole is 3 bands, still exact for Hamming ≤ 2 and
-    * mirrored by the oracle for 3 (below the cap the zero band survives
-    * and candidate generation degenerates to exact all-pairs — also
-    * mirrored). Synthetic-lake note: true matches need waveform class, dither
+    * effective pigeonhole is 3 bands, which is why the threshold here is
+    * Hamming ≤ 2 (NOT the image side's 3): with 3 real bands, any pair
+    * within Hamming 2 provably shares an untouched band, so candidate
+    * coverage stays EXACT above the cap; a threshold of 3 would silently
+    * miss one-bit-per-band pairs that both engine and oracle mirror —
+    * invisible to every gate. (Below the cap the zero band survives and
+    * candidate generation degenerates to exact all-pairs — also
+    * mirrored.) Synthetic-lake note: true matches need waveform class, dither
     * phase AND length class to agree (doc_id ≡ doc_id' mod 768), so
     * pairs appear from sf0.1 up; smaller SFs legitimately emit zero rows
     * and the planted-recall proof lives in MediaSpec. */
@@ -266,7 +270,7 @@ object MultimodalQueries {
     val sigs = audioFingerprints(
       Multimodal.pcmFrameFeatures(audioBlobs(spark, dir)))
       .as[Multimodal.MediaSig]
-    Multimodal.mediaNearDups(sigs, maxHamming = 3)
+    Multimodal.mediaNearDups(sigs, maxHamming = 2)
       .orderBy("id_a", "id_b")
   }
 
@@ -296,7 +300,7 @@ object MultimodalQueries {
     SELECT id_a, id_b,
            CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
     FROM acand
-    WHERE bit_count(xor(fa, fb)) <= 3
+    WHERE bit_count(xor(fa, fb)) <= 2
     ORDER BY id_a, id_b"""
 
   /** Energy threshold separating the sawtooth's active frames (~350k)

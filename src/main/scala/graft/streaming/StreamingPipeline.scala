@@ -106,9 +106,28 @@ object StreamingPipeline {
     * multiple-stateful-operator support; state is O(in-horizon docs ×
     * their candidates), never lake-sized. Only (doc_id, h) pairs
     * shuffle; the probe is the SAME join skeleton as the batch
-    * incremental's batch-lake stage. */
+    * incremental's batch-lake stage.
+    *
+    * DF-CAP PARITY (`hotShingles`): the lake shingle index is
+    * stop-shingle df-capped, so an arriving document's shingle COUNT
+    * must drop the same hot (boilerplate) shingles before sizing —
+    * otherwise boilerplate inflates |arrival| and deflates Jaccard vs
+    * the batch computation (a doc sharing all its content shingles with
+    * a lake near-dup but carrying 6 boilerplate shingles would miss the
+    * 0.5 threshold ONLY on the stream). The hot list is model-sized by
+    * construction (≤ distinct-shingles / cap — a handful of corpus-wide
+    * boilerplate hashes), so it bakes into the plan as a literal
+    * array_except, the IVF-serving bake-the-model pattern: the filter
+    * stays row-local and the chained-agg count stays at two. */
   def assignClusters(src: DataFrame, lakeShingles: DataFrame,
-      lakeLabels: DataFrame, tsCol: String, lateness: String): DataFrame = {
+      lakeLabels: DataFrame, tsCol: String, lateness: String,
+      hotShingles: Option[DataFrame] = None): DataFrame = {
+    val hotSet: Array[Long] = hotShingles
+      .map(_.select("h").collect().map(_.getLong(0)).sorted)
+      .getOrElse(Array.empty)
+    val capExpr =
+      if (hotSet.isEmpty) "hs"
+      else s"array_except(hs, array(${hotSet.mkString("L, ")}L))"
     val sh = src.withWatermark(tsCol, lateness)
       .selectExpr("doc_id", tsCol, "split(trim(text), '\\\\s+') AS t")
       .selectExpr("doc_id", tsCol,
@@ -116,7 +135,8 @@ object StreamingPipeline {
              THEN array_distinct(transform(sequence(0, size(t) - 3),
                     i -> md5_60(concat_ws(' ', t[i], t[i+1], t[i+2]))))
              ELSE array() END AS hs""")
-      .selectExpr("doc_id", tsCol, "size(hs) AS nb", "explode(hs) AS h")
+      .selectExpr("doc_id", tsCol, s"$capExpr AS hs2")
+      .selectExpr("doc_id", tsCol, "size(hs2) AS nb", "explode(hs2) AS h")
     val lk = lakeShingles.select(col("doc_id").as("lake_id"), col("h"))
     val sizes = lk.groupBy("lake_id").agg(count(lit(1)).as("ne"))
     val common = sh.join(lk, "h")

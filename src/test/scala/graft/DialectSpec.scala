@@ -85,13 +85,30 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("size(xs)"))
   }
 
-  test("range arities map to inclusive sequence; MATERIALIZED hint is stripped") {
-    // half-open range(n)/range(a,b) → inclusive sequence, through real
+  test("range arities map to empty-safe sequences; MATERIALIZED hint is stripped") {
+    // half-open range(n)/range(a,b) → slice-of-sequence, through real
     // paren matching (the 2-arg bound nests a comma-bearing call)
     val out = SqlCrossCheck.toSparkDialect(
       "SELECT unnest(range(256)) AS b, range(1, least(n, 8) + 1) FROM t")
-    assert(out.contains("explode(sequence(0, (256) - 1))"), out)
-    assert(out.contains("sequence(1, (least(n, 8) + 1) - 1)"), out)
+    assert(out.contains(
+      "explode(slice(sequence(0, greatest(0, (256) - 1)), 1, " +
+        "CAST(greatest((256) - (0), 0) AS INT)))"), out)
+    assert(out.contains("sequence(1, greatest(1, (least(n, 8) + 1) - 1))"),
+      out)
+    // the empty boundary: DuckDB range(1, n) with n <= 1 is EMPTY, and
+    // Spark sequence alone never is (it would count DOWN) — the
+    // rewritten expression must evaluate to zero rows, not phantom
+    // descending positions (the short-document shingle-oracle case)
+    val spark = TestSession.spark
+    Seq(0, 1, 2).foreach { n =>
+      val rewritten = SqlCrossCheck.toSparkDialect(
+        s"SELECT x FROM v, unnest(range(1, $n)) AS u(x)")
+      spark.range(1).toDF("id").createOrReplaceTempView("v")
+      val rows = spark.sql(rewritten).collect()
+        .map(_.get(0).toString.toLong).toSeq
+      assert(rows == (1L until n.toLong).toSeq,
+        s"range(1, $n) rewrote to $rows via:\n$rewritten")
+    }
     // the CTE MATERIALIZED evaluation hint is DuckDB-only syntax
     val cte = SqlCrossCheck.toSparkDialect(
       "WITH e AS MATERIALIZED (SELECT 1 AS x) SELECT * FROM e")

@@ -285,7 +285,7 @@ class MediaSpec extends SparkSpec {
       doc(9, 5, shift = 77)).toDF("media_id", "frame", "energy", "zc")
     val sigs = MultimodalQueries.audioFingerprints(fr)
       .as[Multimodal.MediaSig]
-    val pairs = Multimodal.mediaNearDups(sigs, maxHamming = 3)
+    val pairs = Multimodal.mediaNearDups(sigs, maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)),
       s"planted audio near-dups missed/over-matched: $pairs")

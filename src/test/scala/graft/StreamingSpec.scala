@@ -504,6 +504,34 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "cluster_id", "matched_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch == got, s"batch=$batch stream=$got")
+
+    // DF-CAP PARITY: the lake index is stop-shingle-capped, so an
+    // arrival's shingle count must drop the SAME hot boilerplate before
+    // sizing. Doc 103 shares ALL 4 content shingles with lake doc 30
+    // but carries 4 boilerplate shingles (+2 bridge shingles): raw
+    // sizing gives j = 4/10+4-4 = 0.4 → missed; with the hot list
+    // applied, j = 4/(6+4-4) = 0.667 → matched. (Same function on a
+    // batch frame — proven ≡ stream above.)
+    val lakeSh2 = DedupQueries.shingleHashesOf(
+      lakeDocs.unionByName(
+        Seq((30L, "red green blue cyan magenta yellow"))
+          .toDF("doc_id", "text")), 1000)
+    val hot = spark.sql(
+      "SELECT explode(array(md5_60('sub now click'), " +
+        "md5_60('now click here'), md5_60('click here join'), " +
+        "md5_60('here join list'))) AS h")
+    val spam = Seq((103L, m(5),
+      "red green blue cyan magenta yellow sub now click here join list"))
+      .toDF("doc_id", "ts", "text")
+    assert(StreamingPipeline.assignClusters(
+      spam, lakeSh2, labels, "ts", "10 minutes").count() == 0,
+      "uncapped arrival sizing should deflate jaccard below threshold")
+    val capped = StreamingPipeline.assignClusters(
+        spam, lakeSh2, labels, "ts", "10 minutes", Some(hot))
+      .select("doc_id", "cluster_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(capped == Seq((103L, 30L, 0.666667)), capped.toString)
   }
 
   test("streaming model serving: stateless IVF assignment over a stream equals batch") {
