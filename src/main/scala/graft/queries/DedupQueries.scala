@@ -52,19 +52,42 @@ object DedupQueries {
     * via [[shingleHashesCached]] anyway. */
   private[graft] def shingleHashesOf(docs: DataFrame, cap: Int,
       keep: Seq[String] = Nil): DataFrame = {
+    val sh = rawShingleHashesOf(docs, keep)
+    sh.join(broadcast(hotShinglesOf(sh, cap)), Seq("h"), "left_anti")
+  }
+
+  /** Uncapped distinct shingle hashes (the stream [[shingleHashesOf]]
+    * caps). */
+  private[graft] def rawShingleHashesOf(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val keepCols = "doc_id" +: keep
-    val sh = docs
+    docs
       .selectExpr(keepCols :+ "split(trim(text), '\\\\s+') AS t": _*)
       .selectExpr(keepCols :+
         """explode(CASE WHEN size(t) >= 3
              THEN array_distinct(transform(sequence(0, size(t) - 3),
                     i -> md5_60(concat_ws(' ', t[i], t[i+1], t[i+2]))))
              ELSE array() END) AS h""": _*)
-    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+  }
+
+  /** The over-cap (boilerplate) shingle list of a shingle stream — tiny
+    * by construction (≤ distinct-shingles / cap). Factored out of
+    * [[shingleHashesOf]] so the SAME list that capped the lake index
+    * can be handed to the streaming assigner
+    * ([[graft.streaming.StreamingPipeline.assignClusters]]), which must
+    * cap arriving documents' shingle sizing identically or boilerplate
+    * deflates the online Jaccard vs the batch computation. */
+  private[graft] def hotShinglesOf(sh: DataFrame, cap: Int): DataFrame =
+    sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .select("h")
-    sh.join(broadcast(hot), Seq("h"), "left_anti")
-  }
+
+  /** The lake's hot-shingle list for `dir` under the corpus-wide cap —
+    * the production source for [[graft.streaming.StreamingPipeline
+    * .assignClusters]]'s `hotShingles` argument. */
+  def lakeHotShingles(spark: SparkSession, dir: String): DataFrame =
+    hotShinglesOf(rawShingleHashesOf(
+      Tables(spark, dir, "documents")), StopShingleDf)
 
   /** The lake-wide shingle artifact: (doc_id, src_num, h), df-capped
     * CORPUS-WIDE (boilerplate is a property of the lake, not of one

@@ -118,7 +118,9 @@ object StreamingPipeline {
     * construction (≤ distinct-shingles / cap — a handful of corpus-wide
     * boilerplate hashes), so it bakes into the plan as a literal
     * array_except, the IVF-serving bake-the-model pattern: the filter
-    * stays row-local and the chained-agg count stays at two. */
+    * stays row-local and the chained-agg count stays at two.
+    * [[graft.queries.DedupQueries.lakeHotShingles]] is the production
+    * source — the SAME census that capped the lake index. */
   def assignClusters(src: DataFrame, lakeShingles: DataFrame,
       lakeLabels: DataFrame, tsCol: String, lateness: String,
       hotShingles: Option[DataFrame] = None): DataFrame = {

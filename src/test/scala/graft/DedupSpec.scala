@@ -171,6 +171,29 @@ class DedupSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("hot-shingle list: exactly the boilerplate, and capped index = raw minus hot") {
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    // 12 docs sharing one boilerplate 3-gram + unique content 3-grams
+    val d = (0L until 12L).map(i =>
+      (i, s"click here now u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val raw = DedupQueries.rawShingleHashesOf(d)
+    val hot = DedupQueries.hotShinglesOf(raw, 10)
+      .collect().map(_.getLong(0)).toSet
+    val boiler = spark.sql("SELECT md5_60('click here now') AS h")
+      .head.getLong(0)
+    // the ONLY over-cap shingle is the shared boilerplate 3-gram —
+    // this is the list the streaming assigner must receive
+    assert(hot == Set(boiler), s"hot list: $hot")
+    // and the capped index is exactly raw minus hot: the unique-content
+    // shingles (including the ones straddling into boilerplate) survive
+    val rawSet = raw.select("h").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val capped = DedupQueries.shingleHashesOf(d, 10)
+      .select("h").distinct().collect().map(_.getLong(0)).toSet
+    assert(capped == rawSet -- hot)
+  }
+
   test("compactClusterLabels: incremental merge + overwrite equals from-scratch retraining") {
     import graft.queries.DedupQueries
     val sf = "/root/testdata/sf0.001"
