@@ -28,6 +28,7 @@ object Bench {
     var warmupFailures = 0
     Seq(warmDir, sfDir).foreach { d =>
       try {
+        graft.queries.DedupQueries.trainShingleIndex(spark, d)
         graft.queries.SimilarityQueries.trainIvfCentroids(spark, d)
         graft.queries.SimilarityQueries.trainPqCodebooks(spark, d)
         graft.queries.TextQueries.trainBpeMerges(spark, d)

@@ -435,6 +435,15 @@ object SqlCrossCheck {
           rewriteCall(spelled, "map_extract", a =>
             s"array(element_at(${a(0)}, ${a(1)}))"),
           "range", a => {
+            // 3-arg range(a, b, step) has no mechanical rewrite here
+            // (a stepped slice-of-sequence needs step-sign analysis);
+            // fail loudly instead of silently dropping the step and
+            // producing a wrong rewrite that surfaces as a confusing
+            // DISAGREE.
+            require(a.length <= 2,
+              s"unsupported range arity ${a.length} — only range(n) and " +
+                "range(a, b) have Spark rewrites; spell the stepped " +
+                "range another way or mark the query DIALECT-INCOMPATIBLE")
             // DuckDB range is EMPTY when the bounds meet or cross;
             // Spark sequence is never empty (it counts DOWN when
             // start > stop), so a naive sequence(a, b-1) turns an empty
@@ -461,6 +470,7 @@ object SqlCrossCheck {
     val outPath = if (args.length > 1) args(1) else "SQL_CROSSCHECK.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Sessions.local(cpus)
+    graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
     SimilarityQueries.trainIvfCentroids(spark, sfDir)
     SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)

@@ -19,6 +19,7 @@ object Verify {
     // Setup, not query work: q_ann_ivf / q_ann_pq are pure reads that
     // fail fast without their trained models, so train (idempotent) first.
     try {
+      graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
       graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
       graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
       graft.queries.TextQueries.trainBpeMerges(spark, sfDir)

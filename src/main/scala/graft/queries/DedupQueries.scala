@@ -101,14 +101,53 @@ object DedupQueries {
         .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)")),
       StopShingleDf, keep = Seq("src_num"))
 
+  /** The persisted shingle-index artifact path for `dir` — the lake's
+    * df-capped (doc_id, src_num, h) table as parquet. At 100 TB the
+    * shingle index is a MAINTAINED lake artifact (written once at
+    * ingest, read by every dedup/decontamination stage), not something
+    * each query re-derives by re-tokenizing the corpus; persisting it
+    * makes the index's first touch a columnar scan instead of a full
+    * corpus re-shingling (the round-11 bench's one cold outlier:
+    * q_decontaminate at 9.1 s paying the whole md5 shingle build).
+    * Versioned ("v1" = distinct 3-gram md5_60 hashes, corpus-wide df
+    * cap [[StopShingleDf]]) and keyed on a hash of the absolute dir,
+    * exactly like [[clusterModelPath]]. */
+  def shingleIndexPath(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"/root/repo/target/shingles/v1/${new java.io.File(dir).getName}-$tag/index.parquet"
+  }
+
+  /** True iff a COMPLETE shingle index exists (`_SUCCESS` witness, as
+    * for the label artifacts). */
+  def shingleIndexTrained(spark: SparkSession, dir: String): Boolean =
+    graft.sources.Connectors.pathExists(spark,
+      s"${shingleIndexPath(dir)}/_SUCCESS")
+
+  /** Build-and-persist the shingle index for `dir` (idempotent). Called
+    * from Bench warmup / Verify setup next to the other offline
+    * artifacts; queries never train it — [[shingleHashesCached]] falls
+    * back to computing the index inline when no artifact exists (the
+    * unit-test / exploratory path), which is correct but pays the
+    * shingling cost inside the first query that touches it. */
+  def trainShingleIndex(spark: SparkSession, dir: String): Unit = {
+    if (shingleIndexTrained(spark, dir)) return
+    shingleHashes(spark, dir).write.mode("overwrite")
+      .parquet(shingleIndexPath(dir))
+  }
+
   /** One cached shingle table per (session, dir): jaccard, minhash,
     * incremental dedup and decontamination all slice it (jaccard/minhash
     * reference it 3-4 times each), and bench/verify run all — a per-call
     * .cache() would leak a new cached lineage every invocation, while
     * this map bounds storage to #dirs entries reused across calls.
+    * Backed by the persisted index when one exists (cache misses and
+    * memory-pressure recomputes then re-read parquet instead of
+    * re-shingling the corpus); computed inline otherwise.
     * ASSUMES lake dirs are immutable (true for the testdata zones and the
     * engine's write-once lake layout); call [[clearShingleCache]] after
-    * rewriting a directory in place. */
+    * rewriting a directory in place (and delete the persisted index). */
   private val shingleCacheMap =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def shingleHashesCached(spark: SparkSession, dir: String): DataFrame = {
@@ -119,7 +158,9 @@ object DedupQueries {
       if (s.sparkContext.isStopped) shingleCacheMap.remove(k)
     }
     shingleCacheMap.getOrElseUpdate((spark, dir),
-      shingleHashes(spark, dir).cache())
+      (if (shingleIndexTrained(spark, dir))
+         spark.read.parquet(shingleIndexPath(dir))
+       else shingleHashes(spark, dir)).cache())
   }
 
   /** Unpersist and forget every cached shingle table. (Cluster labels
@@ -493,8 +534,9 @@ object DedupQueries {
     * two lakes sharing a basename must not share labels.
     * kind = "text" (full-corpus near-dup clusters), "text-lake" (the
     * src_num < 10 lake-side prior [[clustersIncremental]] extends),
-    * "media" (image aHash clusters, trained by
-    * [[MultimodalQueries.trainMediaClusterLabels]]). */
+    * "text-lake-b&lt;n&gt;" (advanced priors [[compactClusterLabels]]
+    * writes as the lake boundary moves), "media" (image aHash clusters,
+    * trained by [[MultimodalQueries.trainMediaClusterLabels]]). */
   def clusterModelPath(dir: String, kind: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val tag = java.security.MessageDigest.getInstance("MD5")
@@ -1121,65 +1163,103 @@ object DedupQueries {
     // expensive stage; materialize it ONCE. It is batch-bounded (pairs,
     // not corpus), so the checkpoint is small by construction.
     val newPairs = newPairs0.localCheckpoint()
-    val contracted = contractPairs(lakeLab, newPairs)
-    // bounded collect: at most cap+1 rows ever reach the driver
-    val edgeRows = contracted.limit(DriverMergeEdgeCap + 1).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val merged: DataFrame =
-      if (edgeRows.length > DriverMergeEdgeCap) clusterLabels(contracted)
-      else {
-        import spark.implicits._
-        unionFindLabels(edgeRows).toDF("doc_id", "cluster_id")
-      }
-    val m = merged.select(col("doc_id").as("m_node"),
-      col("cluster_id").as("m_lab"))
-    val nodes = lakeLab.select("doc_id")
-      .unionByName(newPairs.select(col("doc_a").as("doc_id")))
-      .unionByName(newPairs.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val lk = lakeLab.select(col("doc_id").as("lk_id"),
-      col("cluster_id").as("lk_lab"))
-    nodes
-      .join(lk, col("doc_id") === col("lk_id"), "left")
-      .select(col("doc_id"), coalesce(col("lk_lab"), col("doc_id"))
-        .as("prior_id"))
-      .join(m, col("prior_id") === col("m_node"), "left")
-      .select(col("doc_id"),
-        coalesce(col("m_lab"), col("prior_id")).as("cluster_id"),
-        col("prior_id"))
+    try {
+      val contracted = contractPairs(lakeLab, newPairs)
+      // bounded collect: at most cap+1 rows ever reach the driver
+      val edgeRows = contracted.limit(DriverMergeEdgeCap + 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val merged: DataFrame =
+        if (edgeRows.length > DriverMergeEdgeCap) clusterLabels(contracted)
+        else {
+          import spark.implicits._
+          unionFindLabels(edgeRows).toDF("doc_id", "cluster_id")
+        }
+      val m = merged.select(col("doc_id").as("m_node"),
+        col("cluster_id").as("m_lab"))
+      // the batch's own node list, materialized (eager localCheckpoint,
+      // batch-bounded: ≤ 2 rows per pair) so the returned plan no
+      // longer references the newPairs checkpoint and `finally` below
+      // can release it — the merge path (`merged`) is already free of
+      // it (driver rows, or clusterLabels' own eager output checkpoint)
+      val batchNodes = newPairs.select(col("doc_a").as("doc_id"))
+        .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+        .distinct().localCheckpoint()
+      val nodes = lakeLab.select("doc_id")
+        .unionByName(batchNodes)
+        .distinct()
+      val lk = lakeLab.select(col("doc_id").as("lk_id"),
+        col("cluster_id").as("lk_lab"))
+      nodes
+        .join(lk, col("doc_id") === col("lk_id"), "left")
+        .select(col("doc_id"), coalesce(col("lk_lab"), col("doc_id"))
+          .as("prior_id"))
+        .join(m, col("prior_id") === col("m_node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("m_lab"), col("prior_id")).as("cluster_id"),
+          col("prior_id"))
+    } finally {
+      // in the continual-ingest loop (assign → merge → compact,
+      // repeated) an unreleased per-merge checkpoint accumulates blocks
+      // until some future GC — mirror clusterLabels' eager
+      // generation-release discipline
+      releaseGeneration(newPairs)
+    }
   }
+
+  /** The prior-artifact kind for a given lake boundary: src_num <
+    * `lakeBound` is the lake. Boundary 10 is the canonical prior
+    * [[trainClusterLabels]] trains ("text-lake", kept nameless for
+    * compatibility with existing artifacts); other boundaries are
+    * written only by [[compactClusterLabels]] as it advances the lake. */
+  private[graft] def lakePriorKind(lakeBound: Int): String =
+    if (lakeBound == 10) "text-lake" else s"text-lake-b$lakeBound"
 
   /** The compaction step closing the continual-ingest loop:
     * assign online ([[graft.streaming.StreamingPipeline.assignClusters]])
     * → merge incrementally ([[clustersIncremental]]) → COMPACT the merge
-    * back into the artifact (here). Computes the batch's near-dup edges
-    * (the same two batch-bounded stages as the query), merges them into
-    * the persisted lake prior via [[incrementalLabels]], and overwrites
-    * the full-corpus "text" artifact with the result — which equals a
-    * from-scratch retraining exactly (the [[clustersIncremental]] oracle
-    * proves that equality against DuckDB's independent closure; CompactSpec
-    * proves it against [[trainClusterLabels]] itself). After compaction
-    * the next batch can treat the WHOLE current corpus as its lake.
-    * The overwrite drops `_SUCCESS` first, so a reader that races the
-    * rewrite fails fast on the witness instead of reading a partial
-    * artifact. */
-  def compactClusterLabels(spark: SparkSession, dir: String): Unit = {
-    val merged = clustersIncrementalLabels(spark, dir)
+    * back into an artifact (here). Computes the batch's near-dup edges
+    * (the same two batch-bounded stages as the query) for the batch
+    * src_num ∈ [lakeBound, batchBound), merges them into the persisted
+    * lake prior for `lakeBound` via [[incrementalLabels]], and persists
+    * the result AS THE PRIOR FOR `batchBound` — so the next batch
+    * really does treat the whole compacted corpus as its lake (it reads
+    * the refreshed prior, never the stale one). When `batchBound` is
+    * unbounded the merged labels cover the full corpus and land in the
+    * "text" artifact (prior and full-corpus labels coincide). The
+    * default call therefore keeps the original single-round behavior:
+    * merge everything beyond the src10 lake and overwrite "text", which
+    * equals a from-scratch retraining exactly (the
+    * [[clustersIncremental]] oracle proves that equality against
+    * DuckDB's independent closure; DedupSpec's "compactClusterLabels:
+    * incremental merge + overwrite equals from-scratch retraining" and
+    * its staged two-boundary variant prove it against
+    * [[trainClusterLabels]] itself). The overwrite drops `_SUCCESS`
+    * first, so a reader that races the rewrite fails fast on the
+    * witness instead of reading a partial artifact. */
+  def compactClusterLabels(spark: SparkSession, dir: String,
+      lakeBound: Int = 10, batchBound: Int = Int.MaxValue): Unit = {
+    val merged = clustersIncrementalLabels(spark, dir, lakeBound, batchBound)
       .select("doc_id", "cluster_id")
+    val kind =
+      if (batchBound == Int.MaxValue) "text" else lakePriorKind(batchBound)
     merged.coalesce(1).write.mode("overwrite")
-      .parquet(clusterModelPath(dir, "text"))
+      .parquet(clusterModelPath(dir, kind))
   }
 
   /** The incremental merge shared by [[clustersIncremental]] (the
     * oracle-checked query, which adds per-doc status) and
     * [[compactClusterLabels]] (which persists the labels):
     * (doc_id, cluster_id, prior_id) for every node of the combined
-    * graph. */
-  private def clustersIncrementalLabels(spark: SparkSession,
-      dir: String): DataFrame = {
+    * graph. Lake = src_num < `lakeBound` (its labels come from the
+    * persisted prior, never re-propagated); batch = src_num ∈
+    * [lakeBound, batchBound); sources ≥ `batchBound` are not yet
+    * ingested and do not participate. */
+  private def clustersIncrementalLabels(spark: SparkSession, dir: String,
+      lakeBound: Int = 10, batchBound: Int = Int.MaxValue): DataFrame = {
     val sh = shingleHashesCached(spark, dir)
-    val shE = sh.filter(col("src_num") < 10).select("doc_id", "h")
-    val shB = sh.filter(col("src_num") >= 10).select("doc_id", "h")
+      .filter(col("src_num") < batchBound)
+    val shE = sh.filter(col("src_num") < lakeBound).select("doc_id", "h")
+    val shB = sh.filter(col("src_num") >= lakeBound).select("doc_id", "h")
     // batch-batch pairs: jaccard among the new docs only
     val bb = jaccardPairsOf(shB).select("doc_a", "doc_b")
     // batch-lake pairs: batch shingles probe the lake index — candidate
@@ -1195,7 +1275,7 @@ object DedupQueries {
         >= 0.5)
       .select(least(col("bid"), col("eid")).as("doc_a"),
         greatest(col("bid"), col("eid")).as("doc_b"))
-    incrementalLabels(persistedLabels(spark, dir, "text-lake"),
+    incrementalLabels(persistedLabels(spark, dir, lakePriorKind(lakeBound)),
       bb.unionByName(be))
   }
 

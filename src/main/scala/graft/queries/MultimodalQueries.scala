@@ -257,7 +257,12 @@ object MultimodalQueries {
     * effective pigeonhole is 3 bands, which is why the threshold here is
     * Hamming ≤ 2 (NOT the image side's 3): with 3 real bands, any pair
     * within Hamming 2 provably shares an untouched band, so candidate
-    * coverage stays EXACT above the cap; a threshold of 3 would silently
+    * coverage stays exact above the cap WHILE that shared band's own
+    * (band, value) bucket is under [[Multimodal.BandBucketCap]] — a
+    * >cap cluster of near-identical fingerprints saturates the shared
+    * band's bucket and the pair is dropped by engine AND oracle, the
+    * same mirrored gate-invisible miss documented for the image path's
+    * cap; a threshold of 3 would silently
     * miss one-bit-per-band pairs that both engine and oracle mirror —
     * invisible to every gate. (Below the cap the zero band survives and
     * candidate generation degenerates to exact all-pairs — also

@@ -212,6 +212,35 @@ class DedupSpec extends SparkSpec {
     assert(DedupQueries.clusterModelTrained(spark, sf, "text"))
   }
 
+  test("staged compaction advances the lake: b10 → b18 → full equals from-scratch retraining") {
+    import graft.queries.DedupQueries
+    val sf = "/root/testdata/sf0.001"
+    DedupQueries.trainClusterLabels(spark, sf)
+    val full = spark.read.parquet(DedupQueries.clusterModelPath(sf, "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stage 1: fold src10-17 into the src<10 lake. The merged labels
+    // are persisted as the PRIOR FOR BOUNDARY 18 — the refreshed lake —
+    // NOT a re-merge target left stale at src<10.
+    DedupQueries.compactClusterLabels(spark, sf,
+      lakeBound = 10, batchBound = 18)
+    assert(DedupQueries.clusterModelTrained(spark, sf,
+      DedupQueries.lakePriorKind(18)),
+      "stage-1 compaction must persist the advanced b18 prior")
+    // stage 2: the NEXT batch (src18+) treats the whole compacted
+    // corpus as its lake via the refreshed b18 prior. If compaction
+    // had left the prior stale (the pre-fix behavior), src10-17 pairs
+    // would be missing from the prior and absent from stage 2's
+    // batch-bounded edges — the final labels would diverge from the
+    // from-scratch closure below.
+    DedupQueries.compactClusterLabels(spark, sf, lakeBound = 18)
+    val staged = spark.read
+      .parquet(DedupQueries.clusterModelPath(sf, "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged == full,
+      s"staged compaction diverged from retraining: only-staged=" +
+        s"${(staged -- full).take(5)} only-full=${(full -- staged).take(5)}")
+  }
+
   test("stop-shingle df cap plan: no window over h, broadcast anti-join") {
     import graft.queries.DedupQueries
     val d = docs((0L until 20L).map(i =>
