@@ -17,6 +17,7 @@ object QBench {
     val reps = numeric.lastOption.map(_.toInt).getOrElse(5).max(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)

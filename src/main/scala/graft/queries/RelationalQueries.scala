@@ -111,13 +111,19 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
-  /** C2 anti: customers with no orders at all (NOT EXISTS) — the reference's
-    * insert-if-absent upsert shape (yfinance_to_postgres.py:28-56). */
+  /** C2 anti: lapsed customers — no orders on/after the cutoff (NOT
+    * EXISTS with the date predicate pushed to the probe-side scan) — the
+    * reference's insert-if-absent upsert shape (yfinance_to_postgres
+    * .py:28-56). The cutoff is chosen so the result is NON-EMPTY at
+    * every test SF: an anti-join certified on zero rows is vacuous
+    * evidence for its semantics (every customer has SOME order in this
+    * data, so the unfiltered NOT EXISTS always returned 0 rows). */
   private def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
-    val o = Tables(spark, dir, "orders")
-    c.join(o.select("o_custkey"), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+    val recent = Tables(spark, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1998-06-01"))
+      .select("o_custkey")
+    c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
   }
@@ -1061,7 +1067,9 @@ object RelationalQueries {
     QueryDef("q_join_anti", joinAnti, Some("""
       SELECT c_custkey, c_name, c_acctbal
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND CAST(o_orderdate AS DATE) >= DATE '1998-06-01')
       ORDER BY c_custkey""")),
     QueryDef("q_join_snowflake", joinSnowflake, Some(s"""
       SELECT n_name,

@@ -218,6 +218,11 @@ class DedupSpec extends SparkSpec {
     DedupQueries.trainClusterLabels(spark, sf)
     val full = spark.read.parquet(DedupQueries.clusterModelPath(sf, "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Maintain the shingle index through the SAME ladder: committed at
+    // the lake boundary, then each compaction appends the batch's slice
+    // as it advances the lake — the batch is shingled once, at ingest.
+    DedupQueries.dropShingleIndex(spark, sf)
+    DedupQueries.trainShingleIndex(spark, sf, bound = 10)
     // stage 1: fold src10-17 into the src<10 lake. The merged labels
     // are persisted as the PRIOR FOR BOUNDARY 18 — the refreshed lake —
     // NOT a re-merge target left stale at src<10.
@@ -226,6 +231,8 @@ class DedupSpec extends SparkSpec {
     assert(DedupQueries.clusterModelTrained(spark, sf,
       DedupQueries.lakePriorKind(18)),
       "stage-1 compaction must persist the advanced b18 prior")
+    assert(DedupQueries.shingleIndexBound(spark, sf) == Some(18),
+      "stage-1 compaction must append the batch's shingle slice")
     // stage 2: the NEXT batch (src18+) treats the whole compacted
     // corpus as its lake via the refreshed b18 prior. If compaction
     // had left the prior stale (the pre-fix behavior), src10-17 pairs
@@ -239,6 +246,157 @@ class DedupSpec extends SparkSpec {
     assert(staged == full,
       s"staged compaction diverged from retraining: only-staged=" +
         s"${(staged -- full).take(5)} only-full=${(full -- staged).take(5)}")
+    assert(DedupQueries.shingleIndexTrained(spark, sf),
+      "the final compaction must leave the shingle index at full coverage")
+  }
+
+  test("appended shingle index equals from-scratch build across a multi-step ladder") {
+    import graft.queries.DedupQueries
+    val sf = "/root/testdata/sf0.001"
+    val docsSrc = Tables(spark, sf, "documents")
+      .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)"))
+    val expected = DedupQueries.shingleHashesOf(docsSrc,
+        DedupQueries.StopShingleDf, keep = Seq("src_num"))
+      .select("doc_id", "src_num", "h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    DedupQueries.dropShingleIndex(spark, sf)
+    DedupQueries.trainShingleIndex(spark, sf, bound = 10)
+    assert(DedupQueries.shingleIndexBound(spark, sf) == Some(10))
+    assert(!DedupQueries.shingleIndexTrained(spark, sf),
+      "a mid-ladder index must NOT register as full coverage")
+    DedupQueries.appendShingleIndex(spark, sf, 14)
+    DedupQueries.appendShingleIndex(spark, sf, 18)
+    DedupQueries.appendShingleIndex(spark, sf, Int.MaxValue)
+    assert(DedupQueries.shingleIndexTrained(spark, sf))
+    assert(DedupQueries.shingleIndexLadder(spark, sf) ==
+      Seq((0, 10), (10, 14), (14, 18), (18, Int.MaxValue)))
+    val got = DedupQueries.shingleHashesFromIndex(spark, sf)
+      .select("doc_id", "src_num", "h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"appended index diverged from from-scratch: only-index=" +
+        s"${(got -- expected).take(5)} only-scratch=${(expected -- got).take(5)}")
+    // idempotence: re-appending at coverage and the default train are no-ops
+    DedupQueries.appendShingleIndex(spark, sf, Int.MaxValue)
+    DedupQueries.trainShingleIndex(spark, sf)
+    assert(DedupQueries.shingleIndexLadder(spark, sf).size == 4)
+    // shrinking coverage is a rebuild, never an append
+    intercept[IllegalArgumentException] {
+      DedupQueries.appendShingleIndex(spark, sf, 12)
+    }
+    DedupQueries.clearShingleCache()
+  }
+
+  test("a shingle crossing the df cap mid-ladder is dropped everywhere at read time") {
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    // 600 lake + 600 batch docs share one boilerplate trigram: under the
+    // cap (1000) at the lake boundary — so the lake slice RETAINS its
+    // rows — but over it once the batch lands. The reader's anti-join
+    // against the CURRENT census must drop the lake slice's
+    // already-written rows too (the monotone-hot argument).
+    val dir = "/root/repo/target/tmp/capcross-lake"
+    val n = 600
+    (0 until 2 * n).map { i =>
+      (i.toLong, if (i < n) "src0" else "src10",
+        s"click here now u${i}a u${i}b u${i}c")
+    }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    DedupQueries.dropShingleIndex(spark, dir)
+    DedupQueries.trainShingleIndex(spark, dir, bound = 10)
+    val boiler = spark.sql("SELECT md5_60('click here now') AS h")
+      .head.getLong(0)
+    assert(DedupQueries.shingleHashesFromIndex(spark, dir)
+      .filter(col("h") === boiler).count() == n,
+      "under-cap at the lake boundary: the boilerplate rows are indexed")
+    DedupQueries.appendShingleIndex(spark, dir, Int.MaxValue)
+    val atFull = DedupQueries.shingleHashesFromIndex(spark, dir)
+    assert(atFull.filter(col("h") === boiler).count() == 0,
+      "over-cap after the append: gone from BOTH slices at read time")
+    val docsSrc = Tables(spark, dir, "documents")
+      .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)"))
+    val expected = DedupQueries.shingleHashesOf(docsSrc,
+        DedupQueries.StopShingleDf, keep = Seq("src_num"))
+      .select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = atFull.select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    DedupQueries.dropShingleIndex(spark, dir)
+    DedupQueries.clearShingleCache()
+  }
+
+  test("staged compaction property: random boundary ladders equal from-scratch at every prefix") {
+    import graft.queries.DedupQueries
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sf = "/root/testdata/sf0.001"
+    DedupQueries.trainClusterLabels(spark, sf)
+    val docsSrc = Tables(spark, sf, "documents")
+      .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)"))
+    // From-scratch labels of the src_num < bound prefix corpus: shingle
+    // (cap over the prefix), jaccard, propagate — the independent result
+    // every compacted prior must match.
+    def scratch(bound: Int): Set[(Long, Long)] = {
+      val sh = DedupQueries.shingleHashesOf(
+        docsSrc.filter(col("src_num") < bound), DedupQueries.StopShingleDf)
+      DedupQueries.clusterLabels(
+          DedupQueries.jaccardPairsOf(sh.select("doc_id", "h"))
+            .select("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val fullScratch = scratch(Int.MaxValue)
+    // random strictly-increasing boundary ladders inside (10, 19]
+    val ladderGen = Gen.someOf(11 to 19).map(_.toList.sorted.take(3))
+      .suchThat(_.nonEmpty)
+    val ladders = (0 until 6).flatMap(i =>
+      ladderGen.apply(Gen.Parameters.default, Seed(7000L + i))).distinct.take(4)
+    assert(ladders.nonEmpty)
+    for (ladder <- ladders) {
+      var lake = 10
+      for (b <- ladder) {
+        DedupQueries.compactClusterLabels(spark, sf,
+          lakeBound = lake, batchBound = b)
+        val prior = spark.read
+          .parquet(DedupQueries.clusterModelPath(sf,
+            DedupQueries.lakePriorKind(b)))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(prior == scratch(b),
+          s"ladder $ladder: compacted prior at b$b diverged from " +
+            "from-scratch clustering of the prefix corpus")
+        lake = b
+      }
+      DedupQueries.compactClusterLabels(spark, sf, lakeBound = lake)
+      val staged = spark.read
+        .parquet(DedupQueries.clusterModelPath(sf, "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(staged == fullScratch,
+        s"ladder $ladder: final compaction diverged from retraining")
+    }
+    // reversed boundaries refuse instead of persisting a mislabeled prior
+    intercept[IllegalArgumentException] {
+      DedupQueries.compactClusterLabels(spark, sf,
+        lakeBound = 18, batchBound = 12)
+    }
+  }
+
+  test("continual-ingest soak: repeated merge+compact rounds do not grow storage blocks") {
+    import graft.queries.DedupQueries
+    val sf = "/root/testdata/sf0.001"
+    DedupQueries.trainClusterLabels(spark, sf)
+    // warm round: materializes the session shingle cache and any
+    // one-time cached buffers, so the baseline below is steady-state
+    DedupQueries.compactClusterLabels(spark, sf)
+    System.gc() // let ContextCleaner drain blocks unreferenced by prior tests
+    Thread.sleep(200)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    for (round <- 1 to 3) {
+      DedupQueries.compactClusterLabels(spark, sf)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+      assert(leaked.isEmpty,
+        s"round $round leaked ${leaked.size} storage blocks (RDD ids " +
+          s"${leaked.take(5)}) — a per-round checkpoint was not released")
+    }
   }
 
   test("stop-shingle df cap plan: no window over h, broadcast anti-join") {
