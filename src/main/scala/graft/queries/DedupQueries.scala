@@ -84,10 +84,19 @@ object DedupQueries {
 
   /** The lake's hot-shingle list for `dir` under the corpus-wide cap —
     * the production source for [[graft.streaming.StreamingPipeline
-    * .assignClusters]]'s `hotShingles` argument. */
+    * .assignClusters]]'s `hotShingles` argument. When the maintained
+    * index is committed, this reads its CURRENT census artifact (the
+    * same census that capped the slices the assigner probes — cap
+    * parity between stream and batch becomes structural, not
+    * recomputed), at whatever boundary the lake has ingested to;
+    * without an index it derives the list by scanning the corpus. */
   def lakeHotShingles(spark: SparkSession, dir: String): DataFrame =
-    hotShinglesOf(rawShingleHashesOf(
-      Tables(spark, dir, "documents")), StopShingleDf)
+    shingleIndexBound(spark, dir) match {
+      case Some(b) => spark.read.parquet(censusPath(dir, b))
+        .filter(col("df") > StopShingleDf).select("h")
+      case None => hotShinglesOf(rawShingleHashesOf(
+        Tables(spark, dir, "documents")), StopShingleDf)
+    }
 
   /** The lake-wide shingle artifact: (doc_id, src_num, h), df-capped
     * CORPUS-WIDE (boilerplate is a property of the lake, not of one

@@ -322,7 +322,14 @@ class DedupSpec extends SparkSpec {
     val got = atFull.select("doc_id", "h").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected)
+    // the streaming assigner's hot list comes from the SAME census
+    // artifact that capped the slices (structural cap parity)...
+    assert(DedupQueries.lakeHotShingles(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(boiler))
     DedupQueries.dropShingleIndex(spark, dir)
+    // ...and the no-index fallback derives the identical list inline
+    assert(DedupQueries.lakeHotShingles(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(boiler))
     DedupQueries.clearShingleCache()
   }
 
