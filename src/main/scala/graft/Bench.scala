@@ -30,6 +30,7 @@ object Bench {
       try {
         graft.queries.DedupQueries.trainShingleIndex(spark, d)
         graft.queries.SimilarityQueries.trainIvfCentroids(spark, d)
+        graft.queries.SimilarityQueries.trainIvfAssignments(spark, d)
         graft.queries.SimilarityQueries.trainPqCodebooks(spark, d)
         graft.queries.TextQueries.trainBpeMerges(spark, d)
         graft.queries.TextQueries.trainUnigramPieces(spark, d)

@@ -19,6 +19,7 @@ object QBench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
+    graft.queries.SimilarityQueries.trainIvfAssignments(spark, sfDir)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)

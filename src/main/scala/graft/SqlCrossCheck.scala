@@ -472,6 +472,7 @@ object SqlCrossCheck {
     val spark = Sessions.local(cpus)
     graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
     SimilarityQueries.trainIvfCentroids(spark, sfDir)
+    SimilarityQueries.trainIvfAssignments(spark, sfDir)
     SimilarityQueries.trainPqCodebooks(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)

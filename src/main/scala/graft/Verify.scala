@@ -21,6 +21,7 @@ object Verify {
     try {
       graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
       graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
+      graft.queries.SimilarityQueries.trainIvfAssignments(spark, sfDir)
       graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
       graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
       graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)

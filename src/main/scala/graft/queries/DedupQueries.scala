@@ -671,6 +671,89 @@ object DedupQueries {
     GROUP BY vec_id, c_id
     ORDER BY vec_id"""
 
+  /** The lake/batch boundary for the embedding-side incremental stages:
+    * vectors with vec_id < LakeVecBound are "the lake", the rest are
+    * "the new batch" (the testdata embeddings are id-dense, so a vec_id
+    * range is ingest order). 400 leaves a non-empty batch at every SF
+    * (100 vectors at sf0.001/sf0.01, 1600 at sf0.1) — an empty batch
+    * would certify this query on vacuous output. */
+  private[graft] val LakeVecBound = 400L
+
+  /** Incremental SemDeDup — the embedding-side twin of
+    * [[dedupIncremental]], the shape a GROWING corpus actually runs: a
+    * new batch of vectors is semantically deduped AGAINST the lake (and
+    * against its own earlier arrivals), never the lake against itself.
+    * A batch vector is a duplicate when an earlier same-list vector
+    * (smaller vec_id, same coarse-quantizer cell) sits at cosine ≥ 0.4;
+    * output per duplicate: the canonical earlier neighbor (min vec_id
+    * above threshold), its list, the max cosine, and how many of its
+    * dup-neighbors live in the lake vs the batch prefix (the dedup-
+    * health split: lake-dominated duplication means the batch re-crawls
+    * old content; batch-dominated means the batch self-duplicates).
+    *
+    * Scale shape — the whole point vs re-running [[semDedup]] per
+    * ingest: BOTH sides' assignments are pure reads of the persisted
+    * inverted file ([[SimilarityQueries.trainIvfAssignments]]; batch
+    * vectors were assigned once, at ingest, by the append step), so the
+    * query runs the quantizer zero times; candidates are each centroid
+    * list's batch×earlier co-occupants (Σᵢ bᵢ·(nᵢ+bᵢ) pairs, never
+    * N² and never lake×lake), joined on c_id — and the artifact's
+    * on-disk partitioning by c_id makes that join's lists co-located
+    * at the scan. FAILS FAST without the artifact (assignment is an
+    * ingest-time side effect, never hidden in a query). */
+  private def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    if (!SimilarityQueries.ivfAssignTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF assignment artifact missing for $dir — run " +
+          "SimilarityQueries.trainIvfAssignments(spark, dir) first; " +
+          "Bench warmup and Verify setup do this automatically")
+    val a = SimilarityQueries.assignmentsFromIndex(spark, dir)
+    val batch = a.filter(col("vec_id") >= LakeVecBound)
+    a.as("a").join(batch.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("dup_of"),
+        col("b.c_id").as("c_id"),
+        Num.r(expr("dot_product(a.v, b.v)"), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .groupBy("vec_id", "c_id")
+      .agg(min("dup_of").as("dup_of"), max("cosine").as("max_cosine"),
+        sum(when(col("dup_of") < LakeVecBound, 1L).otherwise(0L))
+          .as("n_lake_dups"),
+        sum(when(col("dup_of") >= LakeVecBound, 1L).otherwise(0L))
+          .as("n_batch_dups"))
+      .select("vec_id", "dup_of", "c_id", "max_cosine",
+        "n_lake_dups", "n_batch_dups")
+      .orderBy("vec_id")
+  }
+
+  private def semDedupIncrementalSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
+                  FROM read_parquet('${SimilarityQueries.IvfCentroidsToken}/*.parquet')),
+    scored_c AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim
+      FROM e CROSS JOIN centroids c),
+    assigned AS (
+      SELECT vec_id, v, c_id
+      FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) = 1),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS dup_of, b.c_id AS c_id,
+             round(list_dot_product(a.v, b.v) + 1e-9, 6) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+      WHERE b.vec_id >= $LakeVecBound)
+    SELECT vec_id, min(dup_of) AS dup_of, c_id, max(cosine) AS max_cosine,
+           CAST(sum(CASE WHEN dup_of < $LakeVecBound THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lake_dups,
+           CAST(sum(CASE WHEN dup_of >= $LakeVecBound THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_batch_dups
+    FROM pairs WHERE cosine >= 0.4
+    GROUP BY vec_id, c_id
+    ORDER BY vec_id"""
+
   /** Dedup cluster formation: connected components over the near-dup
     * pair graph (jaccard ≥ 0.5), by iterative min-label propagation —
     * each doc's cluster id is the smallest doc_id reachable from it.
@@ -1804,5 +1887,7 @@ object DedupQueries {
     QueryDef("q_embed_neardup", embedNearDup, Some(embedNearDupSql),
       headline = false),
     QueryDef("q_semdedup", semDedup, Some(semDedupSql)),
+    QueryDef("q_semdedup_incremental", semDedupIncremental,
+      Some(semDedupIncrementalSql)),
   )
 }

@@ -531,6 +531,154 @@ object SimilarityQueries {
       .write.mode("overwrite").parquet(path)
   }
 
+  // ---- the persisted inverted file: append-maintained assignments ----
+
+  /** The IVF assignment artifact ROOT for `dir` — the coarse
+    * quantizer's INVERTED FILE as a maintained lake artifact: every
+    * vector's (vec_id, c_id, v) assignment against the frozen centroid
+    * model, written `partitionBy(c_id)` (the on-disk inverted-list
+    * layout — a per-list consumer prunes to its list's files instead
+    * of scanning the corpus) and APPENDED per ingested vec_id range,
+    * never rebuilt — the embedding-side twin of
+    * [[graft.queries.DedupQueries]]'s shingle index, closing the same
+    * continual-ingest loop for the vector modality: at 100 TB new
+    * embeddings are assigned once, at ingest, and every semantic-dedup
+    * or ANN-maintenance stage reads the file instead of re-running the
+    * quantizer over the lake.
+    *
+    * Unlike the shingle index there is NO census subtlety: with the
+    * model frozen, a vector's assignment depends on nothing but its own
+    * embedding, so slice-at-ingest ≡ from-scratch row-for-row
+    * (DedupSpec proves the ladder equality directly). The path folds in
+    * the centroid model version ("m2" = [[ivfModelPath]]'s v2) so
+    * retraining the quantizer self-invalidates persisted assignments.
+    * Layout: `slices/s<lo>-<hi>/c_id=K/` parquet + `ladder.parquet`
+    * written LAST as the commit marker (a crashed append leaves the
+    * ladder at the previous boundary; its partial slice is invisible to
+    * readers). The slice rows carry the raw vector so within-list
+    * ranking stays exact; at 100 TB they would carry PQ codes
+    * ([[trainPqCodebooks]]) with a budgeted exact re-rank on top. */
+  private[graft] def ivfAssignBase(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"/root/repo/target/ivf-assign/v1-m2/${new java.io.File(dir).getName}-$tag"
+  }
+  private def vecBoundToken(b: Long): String =
+    if (b == Long.MaxValue) "full" else b.toString
+  private def assignSlicePath(dir: String, lo: Long, hi: Long): String =
+    s"${ivfAssignBase(dir)}/slices/s${vecBoundToken(lo)}-${vecBoundToken(hi)}"
+  private def assignLadderPath(dir: String): String =
+    s"${ivfAssignBase(dir)}/ladder.parquet"
+
+  /** The committed slice ladder — empty when no artifact exists. One
+    * row per ingested batch: the driver collect is a manifest read. */
+  private[graft] def ivfAssignLadder(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] =
+    if (!graft.sources.Connectors.pathExists(spark,
+        s"${assignLadderPath(dir)}/_SUCCESS")) Nil
+    else spark.read.parquet(assignLadderPath(dir)).select("lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  /** Current coverage: vectors with vec_id < bound are assigned. None
+    * when no committed artifact exists. */
+  def ivfAssignBound(spark: SparkSession, dir: String): Option[Long] = {
+    val l = ivfAssignLadder(spark, dir)
+    if (l.isEmpty) None else Some(l.map(_._2).max)
+  }
+
+  /** True iff the inverted file covers the FULL corpus — the only state
+    * full-corpus consumers (q_semdedup_incremental) may read; a
+    * mid-ladder artifact is a continual-ingest state consumed by the
+    * append loop at its own boundary. */
+  def ivfAssignTrained(spark: SparkSession, dir: String): Boolean =
+    ivfAssignBound(spark, dir).contains(Long.MaxValue)
+
+  /** Delete the persisted inverted file. Rebuild-from-scratch is the
+    * EXCEPTIONAL path — a quantizer retrain — never the per-batch one. */
+  def dropIvfAssignments(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ivfAssignBase(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** One append step: assign the vec_id ∈ [lo, hi) range against the
+    * frozen model (one broadcast join — K vectors — over the batch
+    * range only; the scan prunes on the pushed vec_id predicate), write
+    * the slice partitioned by list, then the ladder as commit marker. */
+  private def assignStage(spark: SparkSession, dir: String, lo: Long,
+      hi: Long, priorLadder: Seq[(Long, Long)]): Unit = {
+    val e = embeddingsOf(spark, dir)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+    val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
+      .select(col("c_id"), col("cv")))
+    val scored = e.join(centroids)
+      .select(col("vec_id"), col("v"), col("c_id"),
+        Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
+    centroidAssigned(scored)
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(assignSlicePath(dir, lo, hi))
+    import spark.implicits._
+    (priorLadder :+ ((lo, hi))).toDF("lo", "hi").coalesce(1)
+      .write.mode("overwrite").parquet(assignLadderPath(dir))
+  }
+
+  /** Advance the inverted file to `batchBound` by assigning and
+    * appending ONLY the new vec_id range — the per-ingest maintenance
+    * step for the vector modality. Idempotent at the target boundary;
+    * refuses to go backwards (that is a rebuild:
+    * [[dropIvfAssignments]] + [[trainIvfAssignments]]). */
+  def appendIvfAssignments(spark: SparkSession, dir: String,
+      batchBound: Long): Unit = {
+    val ladder = ivfAssignLadder(spark, dir)
+    require(ladder.nonEmpty,
+      s"appendIvfAssignments: no committed assignment artifact for $dir " +
+        "— trainIvfAssignments(spark, dir, bound) first")
+    val cur = ladder.map(_._2).max
+    if (cur == batchBound) return
+    require(batchBound > cur,
+      s"appendIvfAssignments: batchBound $batchBound must exceed current " +
+        s"coverage $cur (shrinking coverage is a rebuild, not an append)")
+    assignStage(spark, dir, cur, batchBound, ladder)
+  }
+
+  /** Ensure the inverted file covers vec_id < `bound` (default: full
+    * corpus). Idempotent; partial coverage is ADVANCED by appending;
+    * coverage beyond `bound` forces a from-scratch rebuild at `bound`
+    * (a test-ladder reset, never a production step). Requires the
+    * centroid model ([[trainIvfCentroids]] first — Verify/Bench setup
+    * orders the calls). */
+  def trainIvfAssignments(spark: SparkSession, dir: String,
+      bound: Long = Long.MaxValue): Unit = {
+    if (!ivfModelTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF centroid model missing for $dir — run " +
+          "trainIvfCentroids(spark, dir) before trainIvfAssignments")
+    ivfAssignBound(spark, dir) match {
+      case Some(b) if b == bound => ()
+      case Some(b) if b < bound => appendIvfAssignments(spark, dir, bound)
+      case _ =>
+        dropIvfAssignments(spark, dir)
+        assignStage(spark, dir, 0L, bound, Nil)
+    }
+  }
+
+  /** Read the committed inverted file at its current coverage: a pure
+    * union of the slice scans. `c_id` comes back as a partition
+    * directory column (re-cast to BIGINT: partition-column inference
+    * narrows it to INT). Row-for-row equal to
+    * [[centroidAssigned]]∘[[centroidScored]] over the covered range —
+    * the frozen-model argument in [[ivfAssignBase]]'s doc. */
+  private[graft] def assignmentsFromIndex(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ladder = ivfAssignLadder(spark, dir)
+    require(ladder.nonEmpty, s"no committed assignment artifact for $dir")
+    ladder.map { case (lo, hi) =>
+        spark.read.parquet(assignSlicePath(dir, lo, hi)) }
+      .reduce(_.unionByName(_))
+      .select(col("vec_id"), col("v"), col("c_id").cast("long").as("c_id"))
+  }
+
   /** IVF ANN: coarse quantization against the k-means centroids trained
     * by [[trainIvfCentroids]] (read back from the persisted model table),
     * inverted lists per centroid, queries probe their NPROBE nearest

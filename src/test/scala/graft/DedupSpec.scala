@@ -558,4 +558,77 @@ class DedupSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(other != "cafe con leche")
   }
+
+  test("appended IVF assignments equal a from-scratch build across a multi-step ladder") {
+    import graft.queries.SimilarityQueries
+    val sf = "/root/testdata/sf0.001"
+    SimilarityQueries.trainIvfCentroids(spark, sf)
+    // From-scratch expectation = the one-shot full build. The ladder
+    // equality below proves APPEND exactness against it; the one-shot
+    // build's own correctness against an independent engine is the
+    // q_semdedup_incremental DuckDB oracle, which recomputes every
+    // assignment from the centroids in SQL.
+    def snapshot() = SimilarityQueries.assignmentsFromIndex(spark, sf)
+      .selectExpr("vec_id", "c_id", "concat_ws(',', v) AS vs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    SimilarityQueries.dropIvfAssignments(spark, sf)
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    val expected = snapshot()
+    assert(expected.nonEmpty)
+    SimilarityQueries.dropIvfAssignments(spark, sf)
+    assert(SimilarityQueries.ivfAssignBound(spark, sf).isEmpty)
+    SimilarityQueries.trainIvfAssignments(spark, sf, bound = 150L)
+    assert(SimilarityQueries.ivfAssignBound(spark, sf) == Some(150L))
+    assert(!SimilarityQueries.ivfAssignTrained(spark, sf),
+      "a mid-ladder artifact must NOT register as full coverage")
+    SimilarityQueries.appendIvfAssignments(spark, sf, 300L)
+    SimilarityQueries.appendIvfAssignments(spark, sf, Long.MaxValue)
+    assert(SimilarityQueries.ivfAssignTrained(spark, sf))
+    assert(SimilarityQueries.ivfAssignLadder(spark, sf) ==
+      Seq((0L, 150L), (150L, 300L), (300L, Long.MaxValue)))
+    val got = snapshot()
+    assert(got == expected,
+      s"appended assignments diverged from from-scratch: only-append=" +
+        s"${(got -- expected).take(3)} only-scratch=${(expected -- got).take(3)}")
+    // idempotence: re-appending at coverage and the default train are no-ops
+    SimilarityQueries.appendIvfAssignments(spark, sf, Long.MaxValue)
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    assert(SimilarityQueries.ivfAssignLadder(spark, sf).size == 3)
+    // shrinking coverage is a rebuild, never an append
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.appendIvfAssignments(spark, sf, 200L)
+    }
+  }
+
+  test("q_semdedup_incremental: batch-scoped slice of full SemDeDup, artifact-gated") {
+    import graft.queries.{DedupQueries, Registry, SimilarityQueries}
+    val sf = "/root/testdata/sf0.001"
+    SimilarityQueries.trainIvfCentroids(spark, sf)
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    val inc = Registry.byName("q_semdedup_incremental").fn(spark, sf)
+      .select("vec_id", "dup_of", "c_id", "max_cosine")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc.nonEmpty, "the incremental gate must not certify on empty output")
+    assert(inc.forall(_._1 >= DedupQueries.LakeVecBound),
+      "only batch vectors may appear as duplicates")
+    // ≡ the full offline SemDeDup restricted to the batch: the
+    // incremental path (persisted inverted file, batch-scoped join)
+    // changes the PLAN, never the duplicates found.
+    val full = Registry.byName("q_semdedup").fn(spark, sf)
+      .filter(col("vec_id") >= DedupQueries.LakeVecBound)
+      .select("vec_id", "dup_of", "c_id", "max_cosine")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc == full,
+      s"incremental diverged from full-restricted: only-inc=" +
+        s"${(inc -- full).take(3)} only-full=${(full -- inc).take(3)}")
+    // assignment is an ingest-time side effect: without the artifact the
+    // query fails fast instead of silently re-running the quantizer
+    SimilarityQueries.dropIvfAssignments(spark, sf)
+    intercept[IllegalStateException] {
+      Registry.byName("q_semdedup_incremental").fn(spark, sf)
+    }
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+  }
 }

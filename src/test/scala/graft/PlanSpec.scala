@@ -385,6 +385,25 @@ class PlanSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("q_semdedup_incremental is a pure inverted-file read: the quantizer runs zero times") {
+    import graft.queries.{Registry, SimilarityQueries}
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    val df = Registry.byName("q_semdedup_incremental").fn(spark, sf)
+    // BOTH join sides come from the persisted assignment slices — no
+    // embeddings scan, no centroid-model scan: assignment happened at
+    // ingest (the append step), so the query's only inputs are the
+    // inverted file's parquet
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("ivf-assign")),
+      "query must read ONLY the assignment artifact, read: " +
+        df.inputFiles.filterNot(_.contains("ivf-assign")).take(3).mkString(", "))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation must stay an equi-join on c_id:\n$plan")
+  }
+
   test("holt 2-state scan: block folds over collected arrays, no cartesian, one fact shuffle") {
     val plan = executedPlan("q_holt")
     assert(!plan.contains("CartesianProduct"),

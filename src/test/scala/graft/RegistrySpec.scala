@@ -14,6 +14,7 @@ class RegistrySpec extends SparkSpec {
     // (training is an explicit setup step, never part of a query) —
     // mirror Bench/Verify.
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
+    graft.queries.SimilarityQueries.trainIvfAssignments(spark, sf)
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
     graft.queries.TextQueries.trainBpeMerges(spark, sf)
     graft.queries.TextQueries.trainUnigramPieces(spark, sf)
