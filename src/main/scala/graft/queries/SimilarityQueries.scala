@@ -683,14 +683,17 @@ object SimilarityQueries {
     * by [[trainIvfCentroids]] (read back from the persisted model table),
     * inverted lists per centroid, queries probe their NPROBE nearest
     * lists and rank exactly within.
-    * Plan shape at scale: one narrow pass assigns centroids (broadcast
-    * K vectors), lists are a hash shuffle on centroid_id, the probe is
-    * an equi-join on centroid_id — same join skeleton as the LSH route.
+    * Plan shape at scale: the corpus's list memberships are READ from
+    * the persisted inverted file (assigned once, at ingest), query
+    * vectors score against K broadcast centroids, and the probe is an
+    * equi-join on centroid_id — same join skeleton as the LSH route.
     *
-    * FAILS FAST if the model is absent: training is a distributed
-    * multi-job side effect and must never hide inside a query (an
-    * unlucky first caller at 100 TB would pay a full k-means);
-    * [[trainIvfCentroids]] is the explicit setup step. */
+    * FAILS FAST if the model or the inverted file is absent: training
+    * and assignment are distributed multi-job side effects and must
+    * never hide inside a query (an unlucky first caller at 100 TB would
+    * pay a full k-means or a corpus re-assignment);
+    * [[trainIvfCentroids]] / [[trainIvfAssignments]] are the explicit
+    * setup steps. */
   /** Every vector scored against the trained centroids:
     * (vec_id, v, c_id, c_sim) — one narrow broadcast-join pass.
     * Shared with [[DedupQueries]]'s SemDeDup, which reuses the same
@@ -729,6 +732,15 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c_id"))
   }
 
+  /** The corpus side of IVF search is a pure read of the persisted
+    * inverted file ([[trainIvfAssignments]]): list membership was
+    * decided once, at ingest, so the search never re-assigns the lake —
+    * the max_by assignment pass exists only in the ingest/append step
+    * (and in [[DedupQueries]]'s offline SemDeDup, which stays inline
+    * deliberately: its equality spec against the incremental path is
+    * what certifies artifact ≡ inline assignment). Only the QUERY
+    * vectors are quantized at run time — NQUERIES rows against K
+    * broadcast centroids, the runtime input a serving path always pays. */
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (!ivfModelTrained(spark, dir))
@@ -737,9 +749,13 @@ object SimilarityQueries {
           s"${ivfModelPath(dir)}) — run " +
           "SimilarityQueries.trainIvfCentroids(spark, dir) first; " +
           "Bench warmup and Verify setup do this automatically")
-    val scoredC = centroidScored(spark, dir)
-    val assigned = centroidAssigned(scoredC)
-    val probes = centroidProbes(scoredC)
+    if (!ivfAssignTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF assignment artifact missing for $dir — run " +
+          "SimilarityQueries.trainIvfAssignments(spark, dir) first; " +
+          "Bench warmup and Verify setup do this automatically")
+    val assigned = assignmentsFromIndex(spark, dir)
+    val probes = centroidProbes(centroidScored(spark, dir))
     val scored = broadcast(probes)
       .join(assigned, Seq("c_id"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -1035,7 +1051,11 @@ object SimilarityQueries {
     * layout a 100 TB vector corpus actually ships: raw vectors are read
     * for the re-rank tier alone; everything else touches centroids
     * (broadcast), codes (128× compressed), and a per-query LUT
-    * (broadcast). Fails fast unless BOTH models are trained. */
+    * (broadcast). List membership comes from the persisted inverted
+    * file ([[annIvf]]'s doc) as a (vec_id, c_id)-only read — column
+    * pruning plus the `partitionBy(c_id)` layout mean the scan touches
+    * directory names and one narrow column, never the raw vectors.
+    * Fails fast unless both models AND the inverted file exist. */
   private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (!ivfModelTrained(spark, dir) || !pqModelTrained(spark, dir))
@@ -1043,10 +1063,15 @@ object SimilarityQueries {
         s"IVF and/or PQ model missing for $dir — run trainIvfCentroids " +
           "and trainPqCodebooks first; Bench warmup and Verify setup do " +
           "this automatically")
+    if (!ivfAssignTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF assignment artifact missing for $dir — run " +
+          "SimilarityQueries.trainIvfAssignments(spark, dir) first; " +
+          "Bench warmup and Verify setup do this automatically")
     val e = embeddingsOf(spark, dir)
-    val scoredC = centroidScored(spark, dir)
-    val assigned = centroidAssigned(scoredC).select("vec_id", "c_id")
-    val probes = centroidProbes(scoredC).select("query_id", "c_id")
+    val assigned = assignmentsFromIndex(spark, dir).select("vec_id", "c_id")
+    val probes = centroidProbes(centroidScored(spark, dir))
+      .select("query_id", "c_id")
     // candidate pairs = members of the query's probed lists only
     val pairs = broadcast(probes)
       .join(assigned, Seq("c_id"))
@@ -1190,6 +1215,7 @@ object SimilarityQueries {
 
   def annRecallStats(spark: SparkSession, dir: String): Seq[AnnRouteStats] = {
     trainIvfCentroids(spark, dir)
+    trainIvfAssignments(spark, dir)
     trainPqCodebooks(spark, dir)
     val n = Tables(spark, dir, "embeddings").count()
     val brute = annBrute(spark, dir)

@@ -79,13 +79,27 @@ class PlanSpec extends SparkSpec {
       s"q_skew_join must shuffle-hash join on (key, salt):\n$plan")
   }
 
-  test("IVF/PQ assignment plans aggregate, not sort") {
-    // the centroid/code assignment passes must be max_by/min_by groupBys;
+  test("PQ code assignment plans aggregate, not sort") {
+    // the code assignment passes must be max_by/min_by groupBys;
     // the only Window allowed is the query-side top-k (group-limited)
-    Seq("q_ann_ivf", "q_ann_pq", "q_ann_ivfpq").foreach { q =>
+    Seq("q_ann_pq", "q_ann_ivfpq").foreach { q =>
       val plan = finalPlan(q)
       assert(plan.contains("max_by") || plan.contains("min_by"),
         s"$q assignment must use max_by/min_by:\n$plan")
+    }
+  }
+
+  test("IVF search reads list membership from the inverted file, never re-assigns the lake") {
+    import graft.queries.{Registry, SimilarityQueries}
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    Seq("q_ann_ivf", "q_ann_ivfpq").foreach { q =>
+      val df = Registry.byName(q).fn(spark, sf)
+      assert(df.inputFiles.exists(_.contains("ivf-assign")),
+        s"$q corpus side must scan the persisted inverted file")
+      // the only quantization left in-plan is the NQUERIES-row query
+      // side; a corpus-wide max_by assignment pass must stay gone
+      assert(!df.queryExecution.optimizedPlan.toString.contains("max_by"),
+        s"$q re-assigns the corpus at query time")
     }
   }
 
