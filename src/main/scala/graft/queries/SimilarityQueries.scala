@@ -602,25 +602,71 @@ object SimilarityQueries {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
-  /** One append step: assign the vec_id ∈ [lo, hi) range against the
-    * frozen model (one broadcast join — K vectors — over the batch
-    * range only; the scan prunes on the pushed vec_id predicate), write
-    * the slice partitioned by list, then the ladder as commit marker. */
-  private def assignStage(spark: SparkSession, dir: String, lo: Long,
-      hi: Long, priorLadder: Seq[(Long, Long)]): Unit = {
-    val e = embeddingsOf(spark, dir)
-      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+  /** Score an arbitrary (vec_id, v) frame against the frozen centroid
+    * model — one broadcast join, K vectors. */
+  private def scoredAgainstModel(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
     val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
       .select(col("c_id"), col("cv")))
-    val scored = e.join(centroids)
+    e.join(centroids)
       .select(col("vec_id"), col("v"), col("c_id"),
         Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
-    centroidAssigned(scored)
-      .write.mode("overwrite").partitionBy("c_id")
+  }
+
+  /** Commit one assigned slice: the partitioned slice first, then the
+    * ladder — the ladder write IS the commit marker. */
+  private def writeAssignedSlice(spark: SparkSession, dir: String,
+      assigned: DataFrame, lo: Long, hi: Long,
+      priorLadder: Seq[(Long, Long)]): Unit = {
+    assigned.write.mode("overwrite").partitionBy("c_id")
       .parquet(assignSlicePath(dir, lo, hi))
     import spark.implicits._
     (priorLadder :+ ((lo, hi))).toDF("lo", "hi").coalesce(1)
       .write.mode("overwrite").parquet(assignLadderPath(dir))
+  }
+
+  /** One append step: assign the vec_id ∈ [lo, hi) range against the
+    * frozen model (the scan prunes on the pushed vec_id predicate),
+    * write the slice partitioned by list, then the ladder. */
+  private def assignStage(spark: SparkSession, dir: String, lo: Long,
+      hi: Long, priorLadder: Seq[(Long, Long)]): Unit =
+    writeAssignedSlice(spark, dir,
+      centroidAssigned(scoredAgainstModel(spark, dir,
+        embeddingsOf(spark, dir)
+          .filter(col("vec_id") >= lo && col("vec_id") < hi))),
+      lo, hi, priorLadder)
+
+  /** STREAMING-ingest append: assign one arriving micro-batch of
+    * (vec_id, v) rows and commit it as the inverted file's next slice —
+    * the `foreachBatch` body behind
+    * [[graft.streaming.StreamingPipeline.ingestVectorsSink]].
+    *
+    * Contract and replay safety: vec_ids are assigned at ingest and
+    * dense-monotone (the [[ivfAssignBase]] ingest-order model), so any
+    * row below current coverage is a micro-batch REPLAY (foreachBatch
+    * is at-least-once across restarts) and is dropped before the
+    * boundary math — a fully-replayed batch commits nothing, a
+    * partially-replayed one commits exactly its fresh suffix. The
+    * artifact therefore stays exactly-once however the stream is
+    * re-driven. Bootstraps an empty artifact at lo = 0. */
+  def appendAssignedBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    if (!ivfModelTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF centroid model missing for $dir — run " +
+          "trainIvfCentroids(spark, dir) before streaming vector ingest")
+    val ladder = ivfAssignLadder(spark, dir)
+    val cur = if (ladder.isEmpty) 0L else ladder.map(_._2).max
+    require(cur != Long.MaxValue,
+      "inverted file is sealed at full coverage; a live ingest artifact " +
+        "must not be sealed (rebuild with trainIvfAssignments(bound))")
+    val fresh = batch.select(col("vec_id"), col("v"))
+      .filter(col("vec_id") >= cur)
+    val hiRow = fresh.agg(max("vec_id")).head()
+    if (hiRow.isNullAt(0)) return // whole batch was a replay (or empty)
+    writeAssignedSlice(spark, dir,
+      centroidAssigned(scoredAgainstModel(spark, dir, fresh)),
+      cur, hiRow.getLong(0) + 1L, ladder)
   }
 
   /** Advance the inverted file to `batchBound` by assigning and
@@ -664,19 +710,21 @@ object SimilarityQueries {
   }
 
   /** Read the committed inverted file at its current coverage: a pure
-    * union of the slice scans. `c_id` comes back as a partition
-    * directory column (re-cast to BIGINT: partition-column inference
-    * narrows it to INT). Row-for-row equal to
-    * [[centroidAssigned]]∘[[centroidScored]] over the covered range —
-    * the frozen-model argument in [[ivfAssignBase]]'s doc. */
+    * union of the slice scans. The schema is DECLARED, not inferred —
+    * partition-column inference would narrow `c_id` to INT, and a slice
+    * that covers a range with no vectors (the seal step over an already
+    * fully-streamed corpus) has no files to infer from. Row-for-row
+    * equal to [[centroidAssigned]]∘[[centroidScored]] over the covered
+    * range — the frozen-model argument in [[ivfAssignBase]]'s doc. */
   private[graft] def assignmentsFromIndex(spark: SparkSession,
       dir: String): DataFrame = {
     val ladder = ivfAssignLadder(spark, dir)
     require(ladder.nonEmpty, s"no committed assignment artifact for $dir")
     ladder.map { case (lo, hi) =>
-        spark.read.parquet(assignSlicePath(dir, lo, hi)) }
+        spark.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, c_id BIGINT")
+          .parquet(assignSlicePath(dir, lo, hi)) }
       .reduce(_.unionByName(_))
-      .select(col("vec_id"), col("v"), col("c_id").cast("long").as("c_id"))
+      .select(col("vec_id"), col("v"), col("c_id"))
   }
 
   /** IVF ANN: coarse quantization against the k-means centroids trained

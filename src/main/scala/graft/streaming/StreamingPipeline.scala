@@ -401,6 +401,27 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Continual-ingest sink for the VECTOR modality — the embedding-side
+    * twin of [[assignClusters]]'s doc-ingest loop: each micro-batch of
+    * arriving (vec_id, v) embeddings is assigned against the frozen
+    * coarse quantizer and committed as the next slice of the persisted
+    * IVF inverted file, so downstream semantic-dedup / ANN stages
+    * ([[graft.queries.DedupQueries]] `q_semdedup_incremental`,
+    * `q_ann_ivf`) read an index that is maintained BY the stream, never
+    * rebuilt from the lake. Replay-safe: already-covered vec_ids are
+    * dropped inside the append (foreachBatch is at-least-once), so a
+    * restarted query re-commits nothing — see
+    * [[graft.queries.SimilarityQueries.appendAssignedBatch]]. */
+  def ingestVectorsSink(src: DataFrame, dir: String):
+      DataStreamWriter[org.apache.spark.sql.Row] =
+    src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.SimilarityQueries.appendAssignedBatch(
+          batch.sparkSession, dir, batch)
+      }
+
   /** Insert-if-absent sink: per micro-batch, left-anti the batch against
     * the existing keys then append — A15's ON CONFLICT DO NOTHING for an
     * arbitrary table. `existing` is re-read per batch so repeated keys

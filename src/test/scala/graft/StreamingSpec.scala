@@ -573,6 +573,57 @@ class StreamingSpec extends SparkSpec {
     assert(!served.queryExecution.analyzed.toString.contains("Aggregate"))
   }
 
+  test("streaming vector ingest maintains the inverted file: stream-built equals from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.SimilarityQueries
+    val dir = "/root/testdata/sf0.001"
+    SimilarityQueries.trainIvfCentroids(spark, dir)
+    def snapshot() = SimilarityQueries.assignmentsFromIndex(spark, dir)
+      .selectExpr("vec_id", "c_id", "concat_ws(',', v) AS vs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    SimilarityQueries.dropIvfAssignments(spark, dir)
+    SimilarityQueries.trainIvfAssignments(spark, dir)
+    val expected = snapshot()
+    SimilarityQueries.dropIvfAssignments(spark, dir)
+    val rows = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    // two ingest sessions against ONE checkpoint: the second resumes and
+    // processes only the rows added after the first drained — the
+    // restart-resume shape a continual ingest actually runs
+    val ckpt = Files.createTempDirectory("graft_ivf_ingest").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def drain(): Unit =
+      StreamingPipeline.ingestVectorsSink(mem.toDF.toDF("vec_id", "v"), dir)
+        .option("checkpointLocation", ckpt).start().awaitTermination()
+    mem.addData(first.toSeq)
+    drain()
+    assert(SimilarityQueries.ivfAssignBound(spark, dir)
+      == Some(first.last._1 + 1))
+    mem.addData(rest.toSeq)
+    drain()
+    assert(SimilarityQueries.ivfAssignLadder(spark, dir).size == 2,
+      "each drained micro-batch must commit exactly one slice")
+    // replay safety: a FRESH query (no checkpoint) re-delivers every
+    // row; the append drops already-covered ids and commits nothing
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    mem2.addData(rows.toSeq)
+    StreamingPipeline.ingestVectorsSink(mem2.toDF.toDF("vec_id", "v"), dir)
+      .start().awaitTermination()
+    assert(SimilarityQueries.ivfAssignLadder(spark, dir).size == 2,
+      "replayed rows must not re-commit")
+    // the stream-built index is row-for-row the offline one-shot build
+    assert(snapshot() == expected)
+    // sealing for full-corpus consumers writes an EMPTY top slice over
+    // the already-streamed corpus — reads must survive it (the declared
+    // read schema; inference would fail on the file-less slice)
+    SimilarityQueries.trainIvfAssignments(spark, dir)
+    assert(SimilarityQueries.ivfAssignTrained(spark, dir))
+    assert(snapshot() == expected)
+  }
+
   test("streaming sketch maintenance: Count-Min cells over a stream equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
