@@ -91,6 +91,193 @@ object MultimodalQueries {
   private val mediaSigCacheMap =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // ==========================================================================
+  // Persisted media-signature index — the image modality's maintained
+  // lake artifact, completing the per-modality triad: text shingles
+  // (DedupQueries.shingleIndexBase), vector IVF assignments
+  // (SimilarityQueries.ivfAssignBase), and now image perceptual hashes.
+  // At 100 TB the pixel DECODE is the single most expensive stage in the
+  // media pipeline (petabytes of blobs in, 8 bytes out per image) and
+  // must run exactly once per image, AT INGEST — never re-run because a
+  // dedup query happened to be the first reader. Like the IVF file and
+  // unlike the shingle index there is no census subtlety: a signature
+  // depends on nothing but the image's own bytes, so slice-at-ingest ≡
+  // from-scratch row-for-row (MediaSpec proves the ladder equality).
+  // Layout: `slices/s<lo>-<hi>/` holding (media_id, phash) for
+  // media_id ∈ [lo, hi), plus `ladder.parquet` rewritten LAST as the
+  // commit marker — a crashed append leaves the ladder at the previous
+  // boundary and its partial slice invisible to readers. The "a1" in
+  // the version tag names the signature scheme (integer aHash,
+  // [[Multimodal.imageFeature]]); a scheme change bumps it so persisted
+  // indexes self-invalidate instead of being reused stale.
+  // ==========================================================================
+
+  private[graft] def mediaSigBase(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"/root/repo/target/media-sigs/v1-a1/${new java.io.File(dir).getName}-$tag"
+  }
+  private def sigBoundToken(b: Long): String =
+    if (b == Long.MaxValue) "full" else b.toString
+  private def sigSlicePath(dir: String, lo: Long, hi: Long): String =
+    s"${mediaSigBase(dir)}/slices/s${sigBoundToken(lo)}-${sigBoundToken(hi)}"
+  private def sigLadderPath(dir: String): String =
+    s"${mediaSigBase(dir)}/ladder.parquet"
+
+  /** The committed slice ladder — empty when no index exists. One row
+    * per ingested batch: the driver collect is a manifest read. */
+  private[graft] def mediaSigLadder(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] =
+    if (!graft.sources.Connectors.pathExists(spark,
+        s"${sigLadderPath(dir)}/_SUCCESS")) Nil
+    else spark.read.parquet(sigLadderPath(dir)).select("lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  /** Current coverage: images with media_id < bound are hashed. None
+    * when no committed index exists. */
+  def mediaSigBound(spark: SparkSession, dir: String): Option[Long] = {
+    val l = mediaSigLadder(spark, dir)
+    if (l.isEmpty) None else Some(l.map(_._2).max)
+  }
+
+  /** True iff the index covers the FULL corpus — the only state the
+    * production query path ([[mediaSigsCached]]) may substitute for the
+    * inline decode; a mid-ladder index is a continual-ingest state
+    * consumed by the append loop at its own boundary. */
+  def mediaSigTrained(spark: SparkSession, dir: String): Boolean =
+    mediaSigBound(spark, dir).contains(Long.MaxValue)
+
+  /** Delete the persisted index (and evict cached readers of its
+    * files). Rebuild-from-scratch is the EXCEPTIONAL path — a signature
+    * scheme change — never the per-batch one. */
+  def dropMediaSigIndex(spark: SparkSession, dir: String): Unit = {
+    clearMediaSigCache()
+    val p = new org.apache.hadoop.fs.Path(mediaSigBase(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** The test lake's blob source for the media_id ∈ [lo, hi) range:
+    * synthetic PNGs born executor-side from the documents table (the
+    * stand-in for a crawler fetch stage — in production the bytes
+    * arrive with the batch; see [[appendMediaSigBatch]] for that
+    * shape). The doc_id filter is pushed to the parquet scan, so an
+    * append reads only the batch's rows. */
+  private def blobsRange(spark: SparkSession, dir: String, lo: Long,
+      hi: Long): DataFrame = {
+    val dims = Tables(spark, dir, "documents")
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("h"))
+    Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
+  }
+
+  /** Commit one hashed slice: the slice parquet first, then the ladder
+    * — the ladder write IS the commit marker. */
+  private def writeSigSlice(spark: SparkSession, dir: String,
+      sigs: DataFrame, lo: Long, hi: Long,
+      priorLadder: Seq[(Long, Long)]): Unit = {
+    sigs.write.mode("overwrite").parquet(sigSlicePath(dir, lo, hi))
+    import spark.implicits._
+    (priorLadder :+ ((lo, hi))).toDF("lo", "hi").coalesce(1)
+      .write.mode("overwrite").parquet(sigLadderPath(dir))
+  }
+
+  /** One append step: decode + hash the media_id ∈ [lo, hi) range and
+    * commit it as the next slice. Undecodable blobs contribute no row
+    * (they have no pixels to hash) — coverage is by id range, not row
+    * presence, so a sparse slice is a valid committed state. */
+  private def sigStage(spark: SparkSession, dir: String, lo: Long,
+      hi: Long, priorLadder: Seq[(Long, Long)]): Unit =
+    writeSigSlice(spark, dir,
+      Multimodal.perceptualHashImagePartitioned(
+        blobsRange(spark, dir, lo, hi)).toDF(),
+      lo, hi, priorLadder)
+
+  /** Advance the index to `batchBound` by decoding and hashing ONLY the
+    * new media_id range — the per-ingest maintenance step for the image
+    * modality. Idempotent at the target boundary; refuses to go
+    * backwards (that is a rebuild, [[dropMediaSigIndex]] +
+    * [[trainMediaSigIndex]]). */
+  def appendMediaSigs(spark: SparkSession, dir: String,
+      batchBound: Long): Unit = {
+    val ladder = mediaSigLadder(spark, dir)
+    require(ladder.nonEmpty,
+      s"appendMediaSigs: no committed signature index for $dir — " +
+        "trainMediaSigIndex(spark, dir, bound) first")
+    val cur = ladder.map(_._2).max
+    if (cur == batchBound) return
+    require(batchBound > cur,
+      s"appendMediaSigs: batchBound $batchBound must exceed current " +
+        s"coverage $cur (shrinking coverage is a rebuild, not an append)")
+    clearMediaSigCache()
+    sigStage(spark, dir, cur, batchBound, ladder)
+  }
+
+  /** STREAMING-ingest append: hash one arriving micro-batch of
+    * (media_id, bytes) blobs and commit it as the index's next slice —
+    * the `foreachBatch` body behind
+    * [[graft.streaming.StreamingPipeline.ingestMediaSink]]. Same
+    * replay contract as the vector twin
+    * ([[SimilarityQueries.appendAssignedBatch]]): media_ids are
+    * assigned at ingest and dense-monotone, so rows below current
+    * coverage are micro-batch REPLAYS (foreachBatch is at-least-once)
+    * and are dropped before the boundary math — the artifact stays
+    * exactly-once however the stream is re-driven. Bootstraps an empty
+    * index at lo = 0. Decode runs on the batch's own bytes — the
+    * production shape where pixels are hashed once, at ingest, and
+    * never refetched. */
+  def appendMediaSigBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    val ladder = mediaSigLadder(spark, dir)
+    val cur = if (ladder.isEmpty) 0L else ladder.map(_._2).max
+    require(cur != Long.MaxValue,
+      "signature index is sealed at full coverage; a live ingest " +
+        "artifact must not be sealed (rebuild with trainMediaSigIndex(bound))")
+    val fresh = batch.select(col("media_id").cast("long").as("media_id"),
+        col("bytes"))
+      .filter(col("media_id") >= cur)
+    val hiRow = fresh.agg(max("media_id")).head()
+    if (hiRow.isNullAt(0)) return // whole batch was a replay (or empty)
+    clearMediaSigCache()
+    writeSigSlice(spark, dir,
+      Multimodal.perceptualHashImagePartitioned(fresh).toDF(),
+      cur, hiRow.getLong(0) + 1L, ladder)
+  }
+
+  /** Ensure the index covers media_id < `bound` (default: full corpus).
+    * Idempotent; partial coverage is ADVANCED by appending; coverage
+    * beyond `bound` forces a from-scratch rebuild at `bound` (a
+    * test-ladder reset, never a production step). */
+  def trainMediaSigIndex(spark: SparkSession, dir: String,
+      bound: Long = Long.MaxValue): Unit = {
+    mediaSigBound(spark, dir) match {
+      case Some(b) if b == bound => ()
+      case Some(b) if b < bound => appendMediaSigs(spark, dir, bound)
+      case _ =>
+        dropMediaSigIndex(spark, dir)
+        sigStage(spark, dir, 0L, bound, Nil)
+    }
+  }
+
+  /** Read the committed index at its current coverage: a pure union of
+    * the slice scans. The schema is DECLARED, not inferred — a slice
+    * over a range with no decodable images (or the empty seal slice
+    * over a fully-streamed corpus) has no files to infer from.
+    * Row-for-row equal to the inline decode over the covered range
+    * (per-image determinism of [[Multimodal.imageFeature]]). */
+  private[graft] def sigsFromIndex(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ladder = mediaSigLadder(spark, dir)
+    require(ladder.nonEmpty, s"no committed signature index for $dir")
+    ladder.map { case (lo, hi) =>
+        spark.read.schema("media_id BIGINT, phash BIGINT")
+          .parquet(sigSlicePath(dir, lo, hi)) }
+      .reduce(_.unionByName(_))
+  }
+
   /** Offline media-clustering setup (idempotent): persist the image
     * cluster labels under [[DedupQueries.clusterModelPath]] kind "media"
     * — the same trained-artifact pattern as the text labels, so the two
@@ -120,12 +307,15 @@ object MultimodalQueries {
       if (s.sparkContext.isStopped) mediaSigCacheMap.remove(k)
     }
     mediaSigCacheMap.getOrElseUpdate((spark, dir), {
-      val dims = Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("w"),
-          (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("h"))
-      val blobs = Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
-      Multimodal.perceptualHashImagePartitioned(blobs).toDF().localCheckpoint()
+      // Backed by the persisted index when one fully covers the corpus
+      // (the decode then ran once, at ingest — reading the 16-byte rows
+      // back is the cheap path); computed inline otherwise. Either way
+      // the localCheckpoint materializes EAGERLY here, so exactly one
+      // caller pays the build instead of smearing it across consumers.
+      (if (mediaSigTrained(spark, dir)) sigsFromIndex(spark, dir)
+       else Multimodal.perceptualHashImagePartitioned(
+         blobsRange(spark, dir, 0L, Long.MaxValue)).toDF())
+        .localCheckpoint()
     })
   }
 

@@ -422,6 +422,28 @@ object StreamingPipeline {
           batch.sparkSession, dir, batch)
       }
 
+  /** Continual-ingest sink for the IMAGE modality — the third leg of
+    * the per-modality ingest triad (documents → shingle index, vectors
+    * → IVF inverted file, images → signature index): each micro-batch
+    * of arriving (media_id, bytes) blobs is decoded and aHashed
+    * executor-side and committed as the next slice of the persisted
+    * signature index, so the pixel decode — the most expensive stage in
+    * the media pipeline — runs exactly once per image, at ingest, and
+    * every near-dup/cluster/canonical stage reads 8-byte signatures
+    * instead of refetching pixels. Replay-safe: already-covered
+    * media_ids are dropped inside the append (foreachBatch is
+    * at-least-once) — see
+    * [[graft.queries.MultimodalQueries.appendMediaSigBatch]]. */
+  def ingestMediaSink(src: DataFrame, dir: String):
+      DataStreamWriter[org.apache.spark.sql.Row] =
+    src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.MultimodalQueries.appendMediaSigBatch(
+          batch.sparkSession, dir, batch)
+      }
+
   /** Insert-if-absent sink: per micro-batch, left-anti the batch against
     * the existing keys then append — A15's ON CONFLICT DO NOTHING for an
     * arbitrary table. `existing` is re-read per batch so repeated keys

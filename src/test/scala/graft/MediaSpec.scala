@@ -291,6 +291,43 @@ class MediaSpec extends SparkSpec {
       s"planted audio near-dups missed/over-matched: $pairs")
   }
 
+  test("appended media-signature index equals from-scratch build across a multi-step ladder") {
+    import graft.queries.MultimodalQueries
+    val sf = "/root/testdata/sf0.001"
+    def snapshot() = MultimodalQueries.sigsFromIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the one-shot build is the reference
+    MultimodalQueries.dropMediaSigIndex(spark, sf)
+    MultimodalQueries.trainMediaSigIndex(spark, sf)
+    val expected = snapshot()
+    assert(expected.nonEmpty)
+    // rebuild as a 4-step ingest ladder
+    MultimodalQueries.dropMediaSigIndex(spark, sf)
+    MultimodalQueries.trainMediaSigIndex(spark, sf, bound = 10)
+    assert(MultimodalQueries.mediaSigBound(spark, sf) == Some(10L))
+    assert(!MultimodalQueries.mediaSigTrained(spark, sf),
+      "a mid-ladder index must NOT register as full coverage")
+    MultimodalQueries.appendMediaSigs(spark, sf, 14)
+    MultimodalQueries.appendMediaSigs(spark, sf, 18)
+    MultimodalQueries.appendMediaSigs(spark, sf, Long.MaxValue)
+    assert(MultimodalQueries.mediaSigTrained(spark, sf))
+    assert(MultimodalQueries.mediaSigLadder(spark, sf) ==
+      Seq((0L, 10L), (10L, 14L), (14L, 18L), (18L, Long.MaxValue)))
+    val got = snapshot()
+    assert(got == expected,
+      s"appended index diverged from from-scratch: only-index=" +
+        s"${(got -- expected).take(5)} only-scratch=${(expected -- got).take(5)}")
+    // idempotence: re-appending at coverage and the default train are no-ops
+    MultimodalQueries.appendMediaSigs(spark, sf, Long.MaxValue)
+    MultimodalQueries.trainMediaSigIndex(spark, sf)
+    assert(MultimodalQueries.mediaSigLadder(spark, sf).size == 4)
+    // shrinking coverage is a rebuild, never an append
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.appendMediaSigs(spark, sf, 12)
+    }
+    MultimodalQueries.clearMediaSigCache()
+  }
+
   test("synthVideoLuma: in-scene deltas are ±1-ish texture, cross-scene jumps clear the cut") {
     // the constructed margins the scene detector's threshold relies on:
     // every |delta| within a scene < 32, every scene-boundary |delta| ≥ 32

@@ -624,6 +624,60 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == expected)
   }
 
+  test("streaming media ingest maintains the signature index: stream-built equals from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    val dir = "/root/testdata/sf0.001"
+    def snapshot() = MultimodalQueries.sigsFromIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    MultimodalQueries.dropMediaSigIndex(spark, dir)
+    MultimodalQueries.trainMediaSigIndex(spark, dir)
+    val expected = snapshot()
+    MultimodalQueries.dropMediaSigIndex(spark, dir)
+    // the stream carries REAL blob bytes (the crawler-fetch shape) —
+    // synthesize them driver-side from the same dims the lake uses
+    val rows = Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].collect().sorted
+      .map { id =>
+        val w = (16 + (id % 6) * 8).toInt; val h = (16 + (id % 4) * 8).toInt
+        (id, graft.operators.Multimodal.synthPng(id, w, h))
+      }
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    // two ingest sessions against ONE checkpoint: the second resumes
+    // and hashes only the blobs added after the first drained
+    val ckpt = Files.createTempDirectory("graft_media_ingest").toString
+    val mem = MemoryStream[(Long, Array[Byte])]
+    def drain(): Unit =
+      StreamingPipeline.ingestMediaSink(
+          mem.toDF.toDF("media_id", "bytes"), dir)
+        .option("checkpointLocation", ckpt).start().awaitTermination()
+    mem.addData(first.toSeq)
+    drain()
+    assert(MultimodalQueries.mediaSigBound(spark, dir)
+      == Some(first.last._1 + 1))
+    mem.addData(rest.toSeq)
+    drain()
+    assert(MultimodalQueries.mediaSigLadder(spark, dir).size == 2,
+      "each drained micro-batch must commit exactly one slice")
+    // replay safety: a FRESH query (no checkpoint) re-delivers every
+    // blob; the append drops already-covered ids and commits nothing
+    val mem2 = MemoryStream[(Long, Array[Byte])]
+    mem2.addData(rows.toSeq)
+    StreamingPipeline.ingestMediaSink(
+        mem2.toDF.toDF("media_id", "bytes"), dir)
+      .start().awaitTermination()
+    assert(MultimodalQueries.mediaSigLadder(spark, dir).size == 2,
+      "replayed blobs must not re-commit")
+    // the stream-built index is row-for-row the offline one-shot build
+    assert(snapshot() == expected)
+    // sealing for full-corpus consumers writes an EMPTY top slice over
+    // the already-streamed corpus — reads must survive it
+    MultimodalQueries.trainMediaSigIndex(spark, dir)
+    assert(MultimodalQueries.mediaSigTrained(spark, dir))
+    assert(snapshot() == expected)
+  }
+
   test("streaming sketch maintenance: Count-Min cells over a stream equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
