@@ -363,6 +363,90 @@ object MultimodalQueries {
       .orderBy("source")
   }
 
+  /** Incremental image dedup — the batch-vs-lake shape a GROWING image
+    * corpus actually runs, completing the per-modality incremental
+    * trio (`q_dedup_incremental` for text, `q_semdedup_incremental`
+    * for embeddings): lake images (src_num < 10) already carry
+    * signatures in the persisted index — the lake is NEVER re-decoded
+    * — and only the arriving batch's bands probe the band buckets. A
+    * batch image is dropped when it is within Hamming ≤ 3 of any lake
+    * image, or of a smaller-id batch image (the min-id keeper
+    * convention shared with the cluster queries); survivors are
+    * reported per source. The directed candidate join is the 100 TB
+    * shape: candidate volume is bands-of-batch × bucket occupancy —
+    * proportional to the BATCH, not the lake — where the undirected
+    * full-corpus join ([[Multimodal.mediaCandidates]]) regenerates
+    * lake×lake candidates every run. Hot (band, value) buckets are
+    * censused over the POST-ingest corpus and cut from both sides,
+    * same recall argument as [[Multimodal.BandBucketCap]]. */
+  private def mediaIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("source"),
+        expr("cast(substring(source, 4, 8) AS INT)").as("src_num"))
+    val bandStructs = (0 until 4).map(b =>
+      s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
+      .mkString(", ")
+    val bands = mediaSigsCached(spark, dir)
+      .join(srcs.select("media_id", "src_num"), "media_id")
+      .selectExpr("media_id", "phash", "src_num",
+        s"explode(array($bandStructs)) AS band")
+      .selectExpr("media_id", "phash", "src_num", "band.b AS b",
+        "band.v AS v")
+    val hot = bands.groupBy("b", "v").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > Multimodal.BandBucketCap)
+      .select("b", "v")
+    val okb = bands.join(broadcast(hot), Seq("b", "v"), "left_anti")
+    val drops = okb.filter(col("src_num") >= 10).as("x")
+      .join(okb.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") =!= col("y.media_id") &&
+          (col("y.src_num") < 10 ||
+            col("y.media_id") < col("x.media_id")))
+      .filter(expr("bit_count(x.phash ^ y.phash) <= 3"))
+      .select(col("x.media_id").as("media_id")).distinct()
+    // kept/dropped accounting per source (not survivors-only: at large
+    // SF the synthetic hash space saturates and EVERY batch image has a
+    // near-dup — a survivors-only frame would certify on zero rows)
+    srcs.filter(col("src_num") >= 10)
+      .join(drops.withColumn("is_drop", lit(1L)), Seq("media_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        coalesce(sum("is_drop"), lit(0L)).as("n_dropped"),
+        sum(when(col("is_drop").isNull,
+          (lit(16) + col("media_id") % 6 * 8) *
+            (lit(16) + col("media_id") % 4 * 8)).otherwise(lit(0L)))
+          .as("px_kept"))
+      .orderBy("source")
+  }
+
+  // lazy: mediaOkbCtes is declared further down the file (with the other
+  // pair-oracle CTEs) — eager init here would interpolate null
+  private lazy val mediaIncrementalSql = s"""
+    WITH $mediaOkbCtes,
+    src AS (
+      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num
+      FROM documents),
+    okbs AS (
+      SELECT okb.doc_id, okb.hi, okb.lo, okb.band, okb.v, s.src_num
+      FROM okb JOIN src s USING (doc_id)),
+    drops AS (
+      SELECT DISTINCT x.doc_id AS media_id
+      FROM okbs x JOIN okbs y
+        ON x.band = y.band AND x.v = y.v AND x.doc_id <> y.doc_id
+       AND (y.src_num < 10 OR y.doc_id < x.doc_id)
+      WHERE x.src_num >= 10
+        AND bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3)
+    SELECT source, count(*) AS n_batch,
+           CAST(sum(CASE WHEN d.media_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.media_id IS NULL
+                    THEN (16 + (doc_id % 6) * 8) * (16 + (doc_id % 4) * 8)
+                    ELSE 0 END) AS BIGINT) AS px_kept
+    FROM src LEFT JOIN drops d ON src.doc_id = d.media_id
+    WHERE src_num >= 10
+    GROUP BY source
+    ORDER BY source"""
+
   /** Deterministic per-doc sample count for the audio family: 200–488
     * samples, deliberately NOT a multiple of the 64-sample frame so the
     * partial-last-frame path is exercised end-to-end. */
@@ -624,7 +708,7 @@ object MultimodalQueries {
     * decompose exactly over the halves. One CTE chain ending in
     * `pairs` = (id_a, id_b, hamming), shared by the near-dup and cluster
     * oracles so the two can never drift. */
-  private val mediaPairCtes = s"""dims AS (
+  private val mediaOkbCtes = s"""dims AS (
       SELECT doc_id,
              CAST(16 + (doc_id % 6) * 8 AS BIGINT) AS w,
              CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS h
@@ -664,7 +748,9 @@ object MultimodalQueries {
     informative AS (
       SELECT band, v FROM bands GROUP BY band, v
       HAVING count(*) <= ${Multimodal.BandBucketCap}),
-    okb AS (SELECT bands.* FROM bands JOIN informative USING (band, v)),
+    okb AS (SELECT bands.* FROM bands JOIN informative USING (band, v))"""
+
+  private val mediaPairCtes = s"""$mediaOkbCtes,
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              a.hi AS ha, a.lo AS la, c.hi AS hb, c.lo AS lb
@@ -717,6 +803,8 @@ object MultimodalQueries {
     QueryDef("q_media_neardup", mediaNearDup, Some(mediaNearDupSql)),
     QueryDef("q_media_clusters", mediaClusters, Some(mediaClustersSql)),
     QueryDef("q_media_canonical", mediaCanonical, Some(mediaCanonicalSql)),
+    QueryDef("q_media_incremental", mediaIncremental,
+      Some(mediaIncrementalSql)),
     QueryDef("q_multimodal_meta", multimodalMeta, Some("""
       SELECT doc_id, TRUE AS is_valid,
              n_chars AS width,
