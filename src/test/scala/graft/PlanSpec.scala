@@ -305,6 +305,33 @@ class PlanSpec extends SparkSpec {
       s"q_clusters_incremental crossed rows:\n$plan")
   }
 
+  test("q_media_incremental reads lake signatures from the persisted index; no decode, no cartesian") {
+    import graft.queries.MultimodalQueries
+    // the index must fully cover the corpus for the cached read to be
+    // index-backed (idempotent when an earlier suite already trained it)
+    MultimodalQueries.trainMediaSigIndex(spark, sf)
+    MultimodalQueries.clearMediaSigCache()
+    val df = Registry.byName("q_media_incremental").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // lake images are NEVER re-decoded: signatures come from the
+    // checkpointed read of the persisted index, so the decode stage
+    // must not appear anywhere in the query plan
+    assert(!plan.contains("ImageFeature") && !plan.contains("MediaSig"),
+      s"q_media_incremental re-decodes pixels inside the query plan:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q_media_incremental must read the checkpointed signature table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_media_incremental must not sort-merge 8-byte signatures:\n$plan")
+    // hot-bucket cut is an ANTI join on the logical plan (AQE erases it
+    // from the physical plan when no bucket is hot at this SF)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"),
+      s"q_media_incremental lost the hot-bucket anti-join:\n$logical")
+  }
+
   test("q_audio_neardup: banded candidate join, no sort-merge, anti-join hot-bucket cut") {
     val df = graft.queries.Registry.byName("q_audio_neardup").fn(spark, sf)
     df.collect()
