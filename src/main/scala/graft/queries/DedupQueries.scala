@@ -900,7 +900,7 @@ object DedupQueries {
     * on its underlying RDD, which only the ContextCleaner would free (at
     * some future GC) — a per-round-checkpointing loop must release each
     * superseded generation eagerly or checkpoint blocks accumulate. */
-  private def releaseGeneration(df: DataFrame): Unit = {
+  private[queries] def releaseGeneration(df: DataFrame): Unit = {
     try df.unpersist() catch { case _: Throwable => () }
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

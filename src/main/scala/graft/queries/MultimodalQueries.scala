@@ -282,11 +282,33 @@ object MultimodalQueries {
     * cluster labels under [[DedupQueries.clusterModelPath]] kind "media"
     * — the same trained-artifact pattern as the text labels, so the two
     * cluster-view queries are pure reads that fail fast. Trained over
-    * the shared decoded-signature artifact (the decode is not re-paid). */
-  def trainMediaClusterLabels(spark: SparkSession, dir: String): Unit =
-    DedupQueries.trainLabelArtifact(spark, dir, "media")(
-      Multimodal.mediaNearDups(mediaSigsDs(spark, dir), maxHamming = 3)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    * the shared decoded-signature artifact (the decode is not re-paid).
+    * Also persists the lake-side (src_num < 10) prior "media-lake" that
+    * [[mediaClustersIncrementalLabels]] extends — like the text twin,
+    * the prior restricts the SAME corpus-censused pair set to lake
+    * endpoints, so the incremental merge over it provably equals
+    * full-corpus retraining. */
+  def trainMediaClusterLabels(spark: SparkSession, dir: String): Unit = {
+    def pairs = Multimodal.mediaNearDups(mediaSigsDs(spark, dir),
+        maxHamming = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    DedupQueries.trainLabelArtifact(spark, dir, "media")(pairs)
+    DedupQueries.trainLabelArtifact(spark, dir, mediaPriorKind(10)) {
+      val srcn = mediaSrcs(spark, dir).select("media_id", "src_num")
+      pairs
+        .join(srcn.select(col("media_id").as("doc_a"),
+          col("src_num").as("sa")), "doc_a")
+        .join(srcn.select(col("media_id").as("doc_b"),
+          col("src_num").as("sb")), "doc_b")
+        .filter(col("sa") < 10 && col("sb") < 10)
+        .select("doc_a", "doc_b")
+    }
+  }
+
+  /** The prior-artifact kind for a given media lake boundary — the
+    * image twin of [[DedupQueries.lakePriorKind]]. */
+  private[graft] def mediaPriorKind(lakeBound: Int): String =
+    if (lakeBound == 10) "media-lake" else s"media-lake-b$lakeBound"
 
   private def mediaClusterLabels(spark: SparkSession,
       dir: String): DataFrame =
@@ -379,15 +401,24 @@ object MultimodalQueries {
     * lake×lake candidates every run. Hot (band, value) buckets are
     * censused over the POST-ingest corpus and cut from both sides,
     * same recall argument as [[Multimodal.BandBucketCap]]. */
-  private def mediaIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val srcs = Tables(spark, dir, "documents")
+  /** Documents keyed as media rows: (media_id, source, src_num). */
+  private def mediaSrcs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .select(col("doc_id").as("media_id"), col("source"),
         expr("cast(substring(source, 4, 8) AS INT)").as("src_num"))
+
+  /** Banded signature rows with the hot-bucket cut applied, carrying
+    * src_num: one row per (media_id, band, value) for every
+    * informative band value of every signature in `sigs`
+    * ((media_id, phash, src_num) rows). The census runs over exactly
+    * the rows given — callers choose the corpus-so-far semantics by
+    * what they pass in. Same banding and cap as
+    * [[Multimodal.mediaCandidates]]. */
+  private def okbOf(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map(b =>
       s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
       .mkString(", ")
-    val bands = mediaSigsCached(spark, dir)
-      .join(srcs.select("media_id", "src_num"), "media_id")
+    val bands = sigs
       .selectExpr("media_id", "phash", "src_num",
         s"explode(array($bandStructs)) AS band")
       .selectExpr("media_id", "phash", "src_num", "band.b AS b",
@@ -395,7 +426,13 @@ object MultimodalQueries {
     val hot = bands.groupBy("b", "v").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > Multimodal.BandBucketCap)
       .select("b", "v")
-    val okb = bands.join(broadcast(hot), Seq("b", "v"), "left_anti")
+    bands.join(broadcast(hot), Seq("b", "v"), "left_anti")
+  }
+
+  private def mediaIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = mediaSrcs(spark, dir)
+    val okb = okbOf(mediaSigsCached(spark, dir)
+      .join(srcs.select("media_id", "src_num"), "media_id"))
     val drops = okb.filter(col("src_num") >= 10).as("x")
       .join(okb.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
@@ -446,6 +483,127 @@ object MultimodalQueries {
     WHERE src_num >= 10
     GROUP BY source
     ORDER BY source"""
+
+  /** Undirected near-dup pairs TOUCHING the batch — the merge graph for
+    * incremental media clustering: batch-batch pairs from a self-join
+    * of the batch's informative bands, batch-lake pairs from the batch
+    * probing the lake's band buckets. Lake×lake candidates are never
+    * generated (the prior already contracted that structure) — at
+    * 100 TB candidate volume is bounded by the BATCH's band occupancy.
+    * The hot census runs over the corpus-so-far (src_num < batchBound):
+    * the ingest-time semantics — the future's bucket sizes are
+    * unknowable at the boundary — which coincides with the corpus-wide
+    * census whenever no bucket crosses the cap between boundaries
+    * (cap-crossing buckets are crowd-indistinguishable images by
+    * definition; none exist in the testdata). */
+  private def mediaPairsAmong(spark: SparkSession, dir: String,
+      lakeBound: Int, batchBound: Int): DataFrame = {
+    val srcn = mediaSrcs(spark, dir).select("media_id", "src_num")
+    val okb = okbOf(mediaSigsCached(spark, dir).join(srcn, "media_id")
+      .filter(col("src_num") < batchBound))
+    val okbB = okb.filter(col("src_num") >= lakeBound)
+    val okbL = okb.filter(col("src_num") < lakeBound)
+    val bb = okbB.as("a").join(okbB.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.media_id") < col("c.media_id"))
+      .filter(expr("bit_count(a.phash ^ c.phash) <= 3"))
+      .select(col("a.media_id").as("doc_a"), col("c.media_id").as("doc_b"))
+    val bl = okbB.as("a").join(okbL.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v"))
+      .filter(expr("bit_count(a.phash ^ c.phash) <= 3"))
+      .select(least(col("a.media_id"), col("c.media_id")).as("doc_a"),
+        greatest(col("a.media_id"), col("c.media_id")).as("doc_b"))
+    bb.unionByName(bl).distinct()
+  }
+
+  /** The incremental media-cluster merge shared by
+    * [[mediaClustersIncremental]] (the oracle-checked query) and
+    * [[compactMediaClusterLabels]] (which persists the result): the
+    * persisted lake prior's labels extended by the batch-touching pair
+    * graph via the SAME contraction + bounded-union-find machinery as
+    * the text side ([[DedupQueries.incrementalLabels]]). Returns
+    * (doc_id, cluster_id, prior_id) for every node of the merge. */
+  private def mediaClustersIncrementalLabels(spark: SparkSession,
+      dir: String, lakeBound: Int = 10,
+      batchBound: Int = Int.MaxValue): DataFrame =
+    DedupQueries.incrementalLabels(
+      DedupQueries.persistedLabels(spark, dir, mediaPriorKind(lakeBound))
+        .select("doc_id", "cluster_id"),
+      mediaPairsAmong(spark, dir, lakeBound, batchBound))
+
+  /** The media compaction step closing the image modality's
+    * continual-ingest loop (ingest blobs →
+    * [[graft.streaming.StreamingPipeline.ingestMediaSink]] maintains
+    * the signature index → THIS merges the new images' near-dup
+    * structure into the persisted cluster prior and advances it):
+    * computes the batch-touching pair graph for src_num ∈
+    * [lakeBound, batchBound), merges it into the `lakeBound` prior and
+    * persists the result as the prior for `batchBound` — unbounded
+    * `batchBound` lands in the full-corpus "media" artifact, which
+    * equals from-scratch retraining exactly (MediaSpec proves both the
+    * single-shot and the staged-ladder equality). */
+  def compactMediaClusterLabels(spark: SparkSession, dir: String,
+      lakeBound: Int = 10, batchBound: Int = Int.MaxValue): Unit = {
+    require(batchBound > lakeBound,
+      s"compactMediaClusterLabels: batchBound $batchBound must exceed " +
+        s"lakeBound $lakeBound — a reversed call would read the " +
+        s"$lakeBound prior and persist it mislabeled")
+    val merged = mediaClustersIncrementalLabels(spark, dir, lakeBound,
+        batchBound)
+      .select("doc_id", "cluster_id")
+    val kind =
+      if (batchBound == Int.MaxValue) "media" else mediaPriorKind(batchBound)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(DedupQueries.clusterModelPath(dir, kind))
+    // release the merge's batch-node checkpoint (same discipline as the
+    // text compaction — the repeated loop must not accumulate blocks)
+    DedupQueries.releaseGeneration(merged)
+  }
+
+  /** Incremental media clustering as an oracle-checked query: the
+    * src_num ≥ 10 images arrive as the batch, the persisted
+    * "media-lake" prior stands in for the compacted lake, and every
+    * image of the merged graph reports its final cluster and how it got
+    * it (batch arrival / lake cluster merged by a batch bridge /
+    * stable). The DuckDB oracle recomputes the FULL closure
+    * independently and derives the prior's closure from the
+    * lake-restricted pair set — a green hash proves merge ≡ full
+    * retraining, the correctness theorem the compaction loop rests
+    * on. */
+  private def mediaClustersIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val out = mediaClustersIncrementalLabels(spark, dir)
+    val srcn = mediaSrcs(spark, dir).select(
+      col("media_id").as("doc_id"), col("src_num"))
+    out.join(srcn, "doc_id")
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        when(col("src_num") >= 10, lit("batch"))
+          .when(col("cluster_id") =!= col("prior_id"), lit("merged"))
+          .otherwise(lit("stable")).as("status"))
+      .orderBy("media_id")
+  }
+
+  private lazy val mediaClustersIncrementalSql = s"""
+    WITH $mediaLabelCtes,
+    srcn AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num
+      FROM documents),
+    lpairs AS MATERIALIZED (
+      SELECT id_a AS doc_a, id_b AS doc_b FROM pairs
+      JOIN srcn sa ON sa.doc_id = id_a
+      JOIN srcn sb ON sb.doc_id = id_b
+      WHERE sa.src_num < 10 AND sb.src_num < 10),
+    ${DedupQueries.unrolledLabelCtes("lpairs", "doc_a", "doc_b", "k",
+      "klabels", "doc_id")}
+    SELECT m.media_id, m.cluster_id,
+           CASE WHEN s.src_num >= 10 THEN 'batch'
+                WHEN coalesce(k.cluster_id, m.media_id) <> m.cluster_id
+                  THEN 'merged'
+                ELSE 'stable' END AS status
+    FROM mlabels m
+    JOIN srcn s ON s.doc_id = m.media_id
+    LEFT JOIN klabels k ON k.doc_id = m.media_id
+    ORDER BY m.media_id"""
 
   /** Deterministic per-doc sample count for the audio family: 200–488
     * samples, deliberately NOT a multiple of the 64-sample frame so the
@@ -805,6 +963,8 @@ object MultimodalQueries {
     QueryDef("q_media_canonical", mediaCanonical, Some(mediaCanonicalSql)),
     QueryDef("q_media_incremental", mediaIncremental,
       Some(mediaIncrementalSql)),
+    QueryDef("q_media_clusters_incremental", mediaClustersIncremental,
+      Some(mediaClustersIncrementalSql)),
     QueryDef("q_multimodal_meta", multimodalMeta, Some("""
       SELECT doc_id, TRUE AS is_valid,
              n_chars AS width,

@@ -291,6 +291,43 @@ class MediaSpec extends SparkSpec {
       s"planted audio near-dups missed/over-matched: $pairs")
   }
 
+  test("compactMediaClusterLabels: incremental merge + overwrite equals from-scratch retraining") {
+    import graft.queries.{DedupQueries, MultimodalQueries}
+    val sf = "/root/testdata/sf0.001"
+    MultimodalQueries.trainMediaClusterLabels(spark, sf)
+    val full = spark.read.parquet(DedupQueries.clusterModelPath(sf, "media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compact: merge the batch (src10+) into the "media-lake" prior and
+    // OVERWRITE the full artifact — the image continual-ingest loop's
+    // last leg
+    MultimodalQueries.compactMediaClusterLabels(spark, sf)
+    val compacted = spark.read
+      .parquet(DedupQueries.clusterModelPath(sf, "media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted == full,
+      s"media compaction diverged from retraining: only-compacted=" +
+        s"${(compacted -- full).take(5)} only-full=${(full -- compacted).take(5)}")
+    // staged ladder: b10 → b15 → full must also equal from-scratch (the
+    // b15 prior really is the refreshed lake for the second stage)
+    MultimodalQueries.compactMediaClusterLabels(spark, sf,
+      lakeBound = 10, batchBound = 15)
+    assert(DedupQueries.clusterModelTrained(spark, sf,
+      MultimodalQueries.mediaPriorKind(15)),
+      "stage-1 media compaction must persist the advanced b15 prior")
+    MultimodalQueries.compactMediaClusterLabels(spark, sf, lakeBound = 15)
+    val staged = spark.read
+      .parquet(DedupQueries.clusterModelPath(sf, "media"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged == full,
+      s"staged media compaction diverged: only-staged=" +
+        s"${(staged -- full).take(5)} only-full=${(full -- staged).take(5)}")
+    // a reversed boundary call must refuse, not mislabel a prior
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.compactMediaClusterLabels(spark, sf,
+        lakeBound = 15, batchBound = 12)
+    }
+  }
+
   test("appended media-signature index equals from-scratch build across a multi-step ladder") {
     import graft.queries.MultimodalQueries
     val sf = "/root/testdata/sf0.001"
