@@ -163,6 +163,35 @@ object Multimodal {
       .map(f => MediaSig(f.media_id, (f.phash_hi << 32) | f.phash_lo))
   }
 
+  /** [[MediaSig]] plus the row's event time — the streaming-assigner
+    * shape, where the watermark column must survive the decode. */
+  case class TimedMediaSig(media_id: Long, ts: java.sql.Timestamp,
+      phash: Long)
+
+  /** [[perceptualHashImagePartitioned]] with an event-time column
+    * carried through the per-partition decode — works on a STREAMING
+    * DataFrame (the decode is stateless), so an arriving blob stream
+    * can be signatured and banded without losing its watermark.
+    * Undecodable blobs are dropped, as in the untimed variant. */
+  def perceptualHashTimedPartitioned(df: DataFrame,
+      idCol: String = "media_id", tsCol: String = "ts",
+      bytesCol: String = "bytes"): Dataset[TimedMediaSig] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+        col(bytesCol))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, ts, bytes) =>
+          val f = imageFeature(id, bytes)
+          if (f.ok)
+            Some(TimedMediaSig(id, ts, (f.phash_hi << 32) | f.phash_lo))
+          else None
+        }
+      }
+  }
+
   /** Deterministic synthetic test image: w×h 8-bit grayscale,
     * luma(x,y) = (37·seed + x² + 5·y) mod 256, written through the REAL
     * PNG encoder — so tests and oracle queries exercise genuine

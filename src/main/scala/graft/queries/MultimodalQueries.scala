@@ -484,6 +484,25 @@ object MultimodalQueries {
     GROUP BY source
     ORDER BY source"""
 
+  /** Hot (band, value) buckets of the persisted signature index — the
+    * df-cap parity source for the STREAMING media assigner
+    * ([[graft.streaming.StreamingPipeline.assignMediaClusters]]): the
+    * stream cannot census an unbounded corpus, so it cuts against the
+    * lake's census served from the index, the image twin of the text
+    * side's hot-shingle census artifact. Tiny by construction
+    * (≤ 4N/cap rows), read without decoding a pixel. */
+  def mediaHotBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bandStructs = (0 until 4).map(b =>
+      s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
+      .mkString(", ")
+    sigsFromIndex(spark, dir)
+      .selectExpr(s"explode(array($bandStructs)) AS band")
+      .selectExpr("band.b AS b", "band.v AS v")
+      .groupBy("b", "v").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > Multimodal.BandBucketCap)
+      .select("b", "v")
+  }
+
   /** Undirected near-dup pairs TOUCHING the batch — the merge graph for
     * incremental media clustering: batch-batch pairs from a self-join
     * of the batch's informative bands, batch-lake pairs from the batch

@@ -422,6 +422,67 @@ object StreamingPipeline {
           batch.sparkSession, dir, batch)
       }
 
+  /** STREAMING cluster assignment for the IMAGE modality — the image
+    * twin of [[assignClusters]], completing the ingest → assign →
+    * compact loop for media: each arriving (media_id, ts, bytes) blob
+    * is decoded and aHashed per-partition (stateless, so it runs on the
+    * stream), its 4 pigeonhole bands probe the LAKE's band buckets
+    * (`lakeSigs`, read from the persisted signature index — the lake is
+    * never re-decoded), candidates within Hamming ≤ 3 resolve to the
+    * persisted cluster label of the best match (min hamming, ties to
+    * the smaller lake id), and non-matching images produce no row (a
+    * later batch compaction clusters them). `hotBuckets` carries the
+    * lake census's over-popular (band, value) list
+    * ([[graft.queries.MultimodalQueries.mediaHotBuckets]]) so the
+    * stream applies the same df-cap the batch pipeline does — the
+    * stream itself cannot census an unbounded corpus. Join shape at
+    * scale: stream bands × broadcast hot cut, then a stream-static
+    * equi-join on (band, value) — per-image work is bounded by 4 ×
+    * bucket cap. */
+  def assignMediaClusters(src: DataFrame, lakeSigs: DataFrame,
+      lakeLabels: DataFrame, tsCol: String, lateness: String,
+      hotBuckets: Option[DataFrame] = None): DataFrame = {
+    val bandStructs = (0 until 4).map(b =>
+      s"named_struct('b', $b, 'v', shiftright(phash, ${b * 16}) & 65535)")
+      .mkString(", ")
+    def banded(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.selectExpr(keep ++ Seq("phash",
+          s"explode(array($bandStructs)) AS band"): _*)
+        .selectExpr(keep ++ Seq("phash", "band.b AS b", "band.v AS v"): _*)
+    def cut(df: DataFrame): DataFrame = hotBuckets match {
+      case Some(h) => df.join(broadcast(h), Seq("b", "v"), "left_anti")
+      case None => df
+    }
+    val sb = cut(banded(
+      graft.operators.Multimodal
+        .perceptualHashTimedPartitioned(src, "media_id", tsCol, "bytes")
+        .toDF("media_id", tsCol, "phash")
+        .withWatermark(tsCol, lateness),
+      Seq("media_id", tsCol)))
+    val lk = cut(banded(
+      lakeSigs.select(col("media_id").as("lake_id"), col("phash")),
+      Seq("lake_id")))
+      .select(col("b"), col("v"), col("lake_id"),
+        col("phash").as("lake_phash"))
+    val lbl = lakeLabels.select(col("doc_id").as("lake_id"),
+      col("cluster_id"))
+    sb.join(lk, Seq("b", "v"))
+      .withColumn("hamming",
+        expr("cast(bit_count(phash ^ lake_phash) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .join(lbl, Seq("lake_id"), "left")
+      .selectExpr("media_id", tsCol, "lake_id", "hamming",
+        "coalesce(cluster_id, lake_id) AS cluster_id")
+      .groupBy(col("media_id"), col(tsCol))
+      .agg(max_by(
+        struct(col("cluster_id"), col("lake_id"), col("hamming")),
+        // best = min hamming; ties to the smaller lake id
+        struct(col("hamming") * -1, col("lake_id") * -1)).as("m"))
+      .select(col("media_id"), col(tsCol),
+        col("m.cluster_id").as("cluster_id"),
+        col("m.lake_id").as("matched_id"), col("m.hamming").as("hamming"))
+  }
+
   /** Continual-ingest sink for the IMAGE modality — the third leg of
     * the per-modality ingest triad (documents → shingle index, vectors
     * → IVF inverted file, images → signature index): each micro-batch

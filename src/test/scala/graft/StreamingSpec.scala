@@ -534,6 +534,73 @@ class StreamingSpec extends SparkSpec {
     assert(capped == Seq((103L, 30L, 0.666667)), capped.toString)
   }
 
+  test("streaming media assignment: arriving blobs get persisted lake labels, batch ≡ stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // a 3-image lake built from REAL PNG round-trips: 10+11 are a
+    // near-dup cluster (label 10), 20 is unclustered
+    def sig(seed: Long, w: Int, h: Int): Long = {
+      val f = Multimodal.imageFeature(seed, Multimodal.synthPng(seed, w, h))
+      assert(f.ok); (f.phash_hi << 32) | f.phash_lo
+    }
+    val lakeSigs = Seq((10L, sig(10, 32, 24)), (11L, sig(11, 32, 24)),
+      (20L, sig(20, 48, 16))).toDF("media_id", "phash")
+    val labels = Seq((10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    // a novel seed whose aHash is far (> 3) from every lake image —
+    // found deterministically, so the "no match" case is guaranteed
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val lakeHashes = Seq(sig(10, 32, 24), sig(11, 32, 24), sig(20, 48, 16))
+    val novelSeed = (1000L to 1100L).find(s =>
+      lakeHashes.forall(l => ham(sig(s, 40, 40), l) > 3)).get
+    def m(min: Long) = ts(min * 60)
+    val arrivals = Seq(
+      // pixel-exact copy of lake image 10 → hamming 0 → cluster 10
+      (100L, m(1), Multimodal.synthPng(10, 32, 24)),
+      // copy of the unclustered image 20 → cluster = the image itself
+      (101L, m(2), Multimodal.synthPng(20, 48, 16)),
+      // novel image → no candidate within hamming 3 → NO emitted row
+      (102L, m(3), Multimodal.synthPng(novelSeed, 40, 40)),
+      // corrupt blob → decode drops it, never a task failure
+      (103L, m(4), Array[Byte](1, 2, 3)))
+    val mem = MemoryStream[(Long, Timestamp, Array[Byte])]
+    mem.addData(arrivals)
+    mem.addData(Seq((999L, m(60 * 24), Multimodal.synthPng(7, 16, 16))))
+    val streamed = StreamingPipeline.assignMediaClusters(
+      mem.toDF.toDF("media_id", "ts", "bytes"), lakeSigs, labels,
+      "ts", "10 minutes")
+    StreamingPipeline.drainAvailableNow(streamed, "media_assign")
+    val got = spark.table("media_assign")
+      .filter(col("media_id") < 999)
+      .select("media_id", "cluster_id", "matched_id", "hamming")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((100L, 10L, 10L, 0L), (101L, 20L, 20L, 0L)), got)
+    // batch ≡ stream: the same function over a batch frame (the
+    // watermark is a no-op on batch) yields identical rows
+    val batch = StreamingPipeline.assignMediaClusters(
+        arrivals.toDF("media_id", "ts", "bytes"), lakeSigs, labels,
+        "ts", "10 minutes")
+      .select("media_id", "cluster_id", "matched_id", "hamming")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch == got, s"batch=$batch stream=$got")
+    // HOT-BUCKET PARITY: cutting every band value of lake image 10's
+    // signature suppresses the arrival-100 match on BOTH sides of the
+    // stream-static join (the df-cap the batch pipeline applies)
+    val p10 = sig(10, 32, 24)
+    val hot = (0 until 4)
+      .map(b => (b, (p10 >> (b * 16)) & 0xffffL)).toDF("b", "v")
+    val hotGot = StreamingPipeline.assignMediaClusters(
+        arrivals.toDF("media_id", "ts", "bytes"), lakeSigs, labels,
+        "ts", "10 minutes", Some(hot))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(!hotGot.contains(100L),
+      s"hot-bucket cut must suppress the crowd-band match: $hotGot")
+  }
+
   test("streaming model serving: stateless IVF assignment over a stream equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
