@@ -404,6 +404,22 @@ class DedupSpec extends SparkSpec {
         s"round $round leaked ${leaked.size} storage blocks (RDD ids " +
           s"${leaked.take(5)}) — a per-round checkpoint was not released")
     }
+    // the MEDIA compaction loop shares incrementalLabels' per-merge
+    // checkpoints — hold it to the same no-growth bar
+    import graft.queries.MultimodalQueries
+    MultimodalQueries.trainMediaSigIndex(spark, sf)
+    MultimodalQueries.trainMediaClusterLabels(spark, sf)
+    MultimodalQueries.compactMediaClusterLabels(spark, sf) // warm round
+    System.gc()
+    Thread.sleep(200)
+    val mediaBase = spark.sparkContext.getPersistentRDDs.keySet
+    for (round <- 1 to 3) {
+      MultimodalQueries.compactMediaClusterLabels(spark, sf)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- mediaBase
+      assert(leaked.isEmpty,
+        s"media round $round leaked ${leaked.size} storage blocks (RDD " +
+          s"ids ${leaked.take(5)}) — a per-round checkpoint was not released")
+    }
   }
 
   test("stop-shingle df cap plan: no window over h, broadcast anti-join") {
