@@ -35,6 +35,7 @@ object Bench {
         graft.queries.TextQueries.trainBpeMerges(spark, d)
         graft.queries.TextQueries.trainUnigramPieces(spark, d)
         graft.queries.DedupQueries.trainClusterLabels(spark, d)
+        graft.queries.MultimodalQueries.trainAudioSigIndex(spark, d)
         graft.queries.MultimodalQueries.trainMediaSigIndex(spark, d)
         graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, d)
       } catch { case e: Throwable =>

@@ -24,6 +24,7 @@ object QBench {
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
     graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)
+    graft.queries.MultimodalQueries.trainAudioSigIndex(spark, sfDir)
     graft.queries.MultimodalQueries.trainMediaSigIndex(spark, sfDir)
     graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sfDir)
     val qs = names.toSeq.map(Registry.byName)

@@ -92,70 +92,174 @@ object MultimodalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   // ==========================================================================
-  // Persisted media-signature index — the image modality's maintained
-  // lake artifact, completing the per-modality triad: text shingles
-  // (DedupQueries.shingleIndexBase), vector IVF assignments
-  // (SimilarityQueries.ivfAssignBase), and now image perceptual hashes.
-  // At 100 TB the pixel DECODE is the single most expensive stage in the
-  // media pipeline (petabytes of blobs in, 8 bytes out per image) and
-  // must run exactly once per image, AT INGEST — never re-run because a
-  // dedup query happened to be the first reader. Like the IVF file and
-  // unlike the shingle index there is no census subtlety: a signature
-  // depends on nothing but the image's own bytes, so slice-at-ingest ≡
-  // from-scratch row-for-row (MediaSpec proves the ladder equality).
-  // Layout: `slices/s<lo>-<hi>/` holding (media_id, phash) for
-  // media_id ∈ [lo, hi), plus `ladder.parquet` rewritten LAST as the
-  // commit marker — a crashed append leaves the ladder at the previous
-  // boundary and its partial slice invisible to readers. The "a1" in
-  // the version tag names the signature scheme (integer aHash,
-  // [[Multimodal.imageFeature]]); a scheme change bumps it so persisted
+  // Persisted media-signature indexes — the image and audio modalities'
+  // maintained lake artifacts, completing the per-modality set: text
+  // shingles (DedupQueries.shingleIndexBase), vector IVF assignments
+  // (SimilarityQueries.ivfAssignBase), image perceptual hashes, audio
+  // fingerprints. At 100 TB the payload DECODE is the most expensive
+  // stage in the media pipeline (petabytes of blobs in, 8 bytes out per
+  // item) and must run exactly once per item, AT INGEST — never re-run
+  // because a dedup query happened to be the first reader. Like the IVF
+  // file and unlike the shingle index there is no census subtlety: a
+  // signature depends on nothing but the payload's own bytes, so
+  // slice-at-ingest ≡ from-scratch row-for-row (MediaSpec proves the
+  // ladder equality). Layout: `slices/s<lo>-<hi>/` holding
+  // (media_id, phash) for media_id ∈ [lo, hi), plus `ladder.parquet`
+  // rewritten LAST as the commit marker — a crashed append leaves the
+  // ladder at the previous boundary and its partial slice invisible to
+  // readers. The scheme tag in the version path ("a1" = integer aHash,
+  // [[Multimodal.imageFeature]]; "fp48" = the 48-bit audio fingerprint,
+  // [[audioFingerprints]]) bumps on a scheme change so persisted
   // indexes self-invalidate instead of being reused stale.
   // ==========================================================================
 
-  private[graft] def mediaSigBase(dir: String): String = {
+  private def sigBase(dir: String, scheme: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"/root/repo/target/media-sigs/v1-a1/${new java.io.File(dir).getName}-$tag"
+    s"/root/repo/target/media-sigs/v1-$scheme/${new java.io.File(dir).getName}-$tag"
   }
-  private def sigBoundToken(b: Long): String =
-    if (b == Long.MaxValue) "full" else b.toString
-  private def sigSlicePath(dir: String, lo: Long, hi: Long): String =
-    s"${mediaSigBase(dir)}/slices/s${sigBoundToken(lo)}-${sigBoundToken(hi)}"
-  private def sigLadderPath(dir: String): String =
-    s"${mediaSigBase(dir)}/ladder.parquet"
+  private[graft] def mediaSigBase(dir: String): String = sigBase(dir, "a1")
+  private[graft] def audioSigBase(dir: String): String = sigBase(dir, "fp48")
+  /** The shared slice-ladder mechanics behind every persisted
+    * (media_id, phash) signature artifact — instantiated once per
+    * (modality, lake dir) by [[mediaSigIndex]] (image aHash) and
+    * [[audioSigIndex]] (audio fingerprint). `hashStage` derives the
+    * signatures of an id range from the lake (the test stand-in for a
+    * crawler/ingest fetch); `hashBatch` derives them from an arriving
+    * micro-batch's own payload; `onMutate` evicts any session caches
+    * over the artifact's files. Coverage is by id range, not row
+    * presence — a range whose blobs all fail to decode commits a valid
+    * empty slice. */
+  private final class SigLadder(base: String, what: String,
+      hashStage: (SparkSession, Long, Long) => DataFrame,
+      hashBatch: DataFrame => DataFrame,
+      onMutate: () => Unit) {
+    private def tok(b: Long): String =
+      if (b == Long.MaxValue) "full" else b.toString
+    private def slicePath(lo: Long, hi: Long): String =
+      s"$base/slices/s${tok(lo)}-${tok(hi)}"
+    private def ladderPath: String = s"$base/ladder.parquet"
 
-  /** The committed slice ladder — empty when no index exists. One row
-    * per ingested batch: the driver collect is a manifest read. */
-  private[graft] def mediaSigLadder(spark: SparkSession,
-      dir: String): Seq[(Long, Long)] =
-    if (!graft.sources.Connectors.pathExists(spark,
-        s"${sigLadderPath(dir)}/_SUCCESS")) Nil
-    else spark.read.parquet(sigLadderPath(dir)).select("lo", "hi")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    /** The committed slice ladder — empty when no index exists. One row
+      * per ingested batch: the driver collect is a manifest read. */
+    def ladder(spark: SparkSession): Seq[(Long, Long)] =
+      if (!graft.sources.Connectors.pathExists(spark,
+          s"$ladderPath/_SUCCESS")) Nil
+      else spark.read.parquet(ladderPath).select("lo", "hi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
 
-  /** Current coverage: images with media_id < bound are hashed. None
-    * when no committed index exists. */
-  def mediaSigBound(spark: SparkSession, dir: String): Option[Long] = {
-    val l = mediaSigLadder(spark, dir)
-    if (l.isEmpty) None else Some(l.map(_._2).max)
-  }
+    /** Current coverage: ids < bound are hashed; None = no index. */
+    def bound(spark: SparkSession): Option[Long] = {
+      val l = ladder(spark)
+      if (l.isEmpty) None else Some(l.map(_._2).max)
+    }
 
-  /** True iff the index covers the FULL corpus — the only state the
-    * production query path ([[mediaSigsCached]]) may substitute for the
-    * inline decode; a mid-ladder index is a continual-ingest state
-    * consumed by the append loop at its own boundary. */
-  def mediaSigTrained(spark: SparkSession, dir: String): Boolean =
-    mediaSigBound(spark, dir).contains(Long.MaxValue)
+    /** True iff the index covers the FULL corpus — the only state a
+      * production query path may substitute for the inline derivation;
+      * a mid-ladder index is a continual-ingest state consumed by the
+      * append loop at its own boundary. */
+    def trained(spark: SparkSession): Boolean =
+      bound(spark).contains(Long.MaxValue)
 
-  /** Delete the persisted index (and evict cached readers of its
-    * files). Rebuild-from-scratch is the EXCEPTIONAL path — a signature
-    * scheme change — never the per-batch one. */
-  def dropMediaSigIndex(spark: SparkSession, dir: String): Unit = {
-    clearMediaSigCache()
-    val p = new org.apache.hadoop.fs.Path(mediaSigBase(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
+    /** Delete the persisted index (and evict cached readers of its
+      * files). Rebuild-from-scratch is the EXCEPTIONAL path — a
+      * signature scheme change — never the per-batch one. */
+    def drop(spark: SparkSession): Unit = {
+      onMutate()
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+
+    /** Commit one hashed slice: the slice parquet first, then the
+      * ladder — the ladder write IS the commit marker (a crashed append
+      * leaves the ladder at the previous boundary; its partial slice is
+      * invisible to readers). */
+    private def writeSlice(spark: SparkSession, sigs: DataFrame, lo: Long,
+        hi: Long, priorLadder: Seq[(Long, Long)]): Unit = {
+      sigs.write.mode("overwrite").parquet(slicePath(lo, hi))
+      import spark.implicits._
+      (priorLadder :+ ((lo, hi))).toDF("lo", "hi").coalesce(1)
+        .write.mode("overwrite").parquet(ladderPath)
+    }
+
+    private def stage(spark: SparkSession, lo: Long, hi: Long,
+        priorLadder: Seq[(Long, Long)]): Unit =
+      writeSlice(spark, hashStage(spark, lo, hi), lo, hi, priorLadder)
+
+    /** Advance the index to `batchBound` by hashing ONLY the new id
+      * range — the per-ingest maintenance step. Idempotent at the
+      * target boundary; refuses to go backwards (that is a rebuild,
+      * [[drop]] + [[train]]). */
+    def append(spark: SparkSession, batchBound: Long): Unit = {
+      val l = ladder(spark)
+      require(l.nonEmpty,
+        s"$what append: no committed signature index at $base — " +
+          "train(spark, bound) first")
+      val cur = l.map(_._2).max
+      if (cur == batchBound) return
+      require(batchBound > cur,
+        s"$what append: batchBound $batchBound must exceed current " +
+          s"coverage $cur (shrinking coverage is a rebuild, not an append)")
+      onMutate()
+      stage(spark, cur, batchBound, l)
+    }
+
+    /** STREAMING-ingest append: hash one arriving micro-batch's blobs
+      * and commit them as the next slice. Replay contract (shared with
+      * [[SimilarityQueries.appendAssignedBatch]]): ids are assigned at
+      * ingest and dense-monotone, so rows below current coverage are
+      * micro-batch REPLAYS (foreachBatch is at-least-once) and are
+      * dropped before the boundary math — the artifact stays
+      * exactly-once however the stream is re-driven. Bootstraps an
+      * empty index at lo = 0. The hash runs on the batch's own payload
+      * — the production shape where bytes are hashed once, at ingest,
+      * and never refetched. */
+    def appendBatch(spark: SparkSession, batch: DataFrame): Unit = {
+      val l = ladder(spark)
+      val cur = if (l.isEmpty) 0L else l.map(_._2).max
+      require(cur != Long.MaxValue,
+        s"$what index is sealed at full coverage; a live ingest " +
+          "artifact must not be sealed (rebuild with train(bound))")
+      val fresh = batch
+        .withColumn("media_id", col("media_id").cast("long"))
+        .filter(col("media_id") >= cur)
+      val hiRow = fresh.agg(max("media_id")).head()
+      if (hiRow.isNullAt(0)) return // whole batch was a replay (or empty)
+      onMutate()
+      writeSlice(spark, hashBatch(fresh), cur, hiRow.getLong(0) + 1L, l)
+    }
+
+    /** Ensure the index covers ids < `bound` (default: full corpus).
+      * Idempotent; partial coverage is ADVANCED by appending; coverage
+      * beyond `bound` forces a from-scratch rebuild at `bound` (a
+      * test-ladder reset, never a production step). */
+    def train(spark: SparkSession, bound: Long = Long.MaxValue): Unit = {
+      this.bound(spark) match {
+        case Some(b) if b == bound => ()
+        case Some(b) if b < bound => append(spark, bound)
+        case _ =>
+          drop(spark)
+          stage(spark, 0L, bound, Nil)
+      }
+    }
+
+    /** Read the committed index at its current coverage: a pure union
+      * of the slice scans. The schema is DECLARED, not inferred — a
+      * slice over a range with no decodable payloads (or the empty seal
+      * slice over a fully-streamed corpus) has no files to infer from.
+      * Row-for-row equal to the inline derivation over the covered
+      * range (the per-payload hash is a pure integer function of the
+      * bytes). */
+    def read(spark: SparkSession): DataFrame = {
+      val l = ladder(spark)
+      require(l.nonEmpty, s"no committed $what signature index at $base")
+      l.map { case (lo, hi) =>
+          spark.read.schema("media_id BIGINT, phash BIGINT")
+            .parquet(slicePath(lo, hi)) }
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** The test lake's blob source for the media_id ∈ [lo, hi) range:
@@ -174,109 +278,70 @@ object MultimodalQueries {
     Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
   }
 
-  /** Commit one hashed slice: the slice parquet first, then the ladder
-    * — the ladder write IS the commit marker. */
-  private def writeSigSlice(spark: SparkSession, dir: String,
-      sigs: DataFrame, lo: Long, hi: Long,
-      priorLadder: Seq[(Long, Long)]): Unit = {
-    sigs.write.mode("overwrite").parquet(sigSlicePath(dir, lo, hi))
-    import spark.implicits._
-    (priorLadder :+ ((lo, hi))).toDF("lo", "hi").coalesce(1)
-      .write.mode("overwrite").parquet(sigLadderPath(dir))
-  }
+  private def mediaSigIndex(dir: String): SigLadder =
+    new SigLadder(mediaSigBase(dir), "image",
+      hashStage = (spark, lo, hi) =>
+        Multimodal.perceptualHashImagePartitioned(
+          blobsRange(spark, dir, lo, hi)).toDF(),
+      hashBatch = batch =>
+        Multimodal.perceptualHashImagePartitioned(
+          batch.select(col("media_id"), col("bytes"))).toDF(),
+      onMutate = () => clearMediaSigCache())
 
-  /** One append step: decode + hash the media_id ∈ [lo, hi) range and
-    * commit it as the next slice. Undecodable blobs contribute no row
-    * (they have no pixels to hash) — coverage is by id range, not row
-    * presence, so a sparse slice is a valid committed state. */
-  private def sigStage(spark: SparkSession, dir: String, lo: Long,
-      hi: Long, priorLadder: Seq[(Long, Long)]): Unit =
-    writeSigSlice(spark, dir,
-      Multimodal.perceptualHashImagePartitioned(
-        blobsRange(spark, dir, lo, hi)).toDF(),
-      lo, hi, priorLadder)
-
-  /** Advance the index to `batchBound` by decoding and hashing ONLY the
-    * new media_id range — the per-ingest maintenance step for the image
-    * modality. Idempotent at the target boundary; refuses to go
-    * backwards (that is a rebuild, [[dropMediaSigIndex]] +
-    * [[trainMediaSigIndex]]). */
+  // Image-index public surface (delegating; see SigLadder for contracts)
+  private[graft] def mediaSigLadder(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] = mediaSigIndex(dir).ladder(spark)
+  def mediaSigBound(spark: SparkSession, dir: String): Option[Long] =
+    mediaSigIndex(dir).bound(spark)
+  def mediaSigTrained(spark: SparkSession, dir: String): Boolean =
+    mediaSigIndex(dir).trained(spark)
+  def dropMediaSigIndex(spark: SparkSession, dir: String): Unit =
+    mediaSigIndex(dir).drop(spark)
   def appendMediaSigs(spark: SparkSession, dir: String,
-      batchBound: Long): Unit = {
-    val ladder = mediaSigLadder(spark, dir)
-    require(ladder.nonEmpty,
-      s"appendMediaSigs: no committed signature index for $dir — " +
-        "trainMediaSigIndex(spark, dir, bound) first")
-    val cur = ladder.map(_._2).max
-    if (cur == batchBound) return
-    require(batchBound > cur,
-      s"appendMediaSigs: batchBound $batchBound must exceed current " +
-        s"coverage $cur (shrinking coverage is a rebuild, not an append)")
-    clearMediaSigCache()
-    sigStage(spark, dir, cur, batchBound, ladder)
-  }
-
-  /** STREAMING-ingest append: hash one arriving micro-batch of
-    * (media_id, bytes) blobs and commit it as the index's next slice —
-    * the `foreachBatch` body behind
-    * [[graft.streaming.StreamingPipeline.ingestMediaSink]]. Same
-    * replay contract as the vector twin
-    * ([[SimilarityQueries.appendAssignedBatch]]): media_ids are
-    * assigned at ingest and dense-monotone, so rows below current
-    * coverage are micro-batch REPLAYS (foreachBatch is at-least-once)
-    * and are dropped before the boundary math — the artifact stays
-    * exactly-once however the stream is re-driven. Bootstraps an empty
-    * index at lo = 0. Decode runs on the batch's own bytes — the
-    * production shape where pixels are hashed once, at ingest, and
-    * never refetched. */
+      batchBound: Long): Unit = mediaSigIndex(dir).append(spark, batchBound)
   def appendMediaSigBatch(spark: SparkSession, dir: String,
-      batch: DataFrame): Unit = {
-    val ladder = mediaSigLadder(spark, dir)
-    val cur = if (ladder.isEmpty) 0L else ladder.map(_._2).max
-    require(cur != Long.MaxValue,
-      "signature index is sealed at full coverage; a live ingest " +
-        "artifact must not be sealed (rebuild with trainMediaSigIndex(bound))")
-    val fresh = batch.select(col("media_id").cast("long").as("media_id"),
-        col("bytes"))
-      .filter(col("media_id") >= cur)
-    val hiRow = fresh.agg(max("media_id")).head()
-    if (hiRow.isNullAt(0)) return // whole batch was a replay (or empty)
-    clearMediaSigCache()
-    writeSigSlice(spark, dir,
-      Multimodal.perceptualHashImagePartitioned(fresh).toDF(),
-      cur, hiRow.getLong(0) + 1L, ladder)
-  }
-
-  /** Ensure the index covers media_id < `bound` (default: full corpus).
-    * Idempotent; partial coverage is ADVANCED by appending; coverage
-    * beyond `bound` forces a from-scratch rebuild at `bound` (a
-    * test-ladder reset, never a production step). */
+      batch: DataFrame): Unit = mediaSigIndex(dir).appendBatch(spark, batch)
   def trainMediaSigIndex(spark: SparkSession, dir: String,
-      bound: Long = Long.MaxValue): Unit = {
-    mediaSigBound(spark, dir) match {
-      case Some(b) if b == bound => ()
-      case Some(b) if b < bound => appendMediaSigs(spark, dir, bound)
-      case _ =>
-        dropMediaSigIndex(spark, dir)
-        sigStage(spark, dir, 0L, bound, Nil)
-    }
-  }
-
-  /** Read the committed index at its current coverage: a pure union of
-    * the slice scans. The schema is DECLARED, not inferred — a slice
-    * over a range with no decodable images (or the empty seal slice
-    * over a fully-streamed corpus) has no files to infer from.
-    * Row-for-row equal to the inline decode over the covered range
-    * (per-image determinism of [[Multimodal.imageFeature]]). */
+      bound: Long = Long.MaxValue): Unit =
+    mediaSigIndex(dir).train(spark, bound)
   private[graft] def sigsFromIndex(spark: SparkSession,
-      dir: String): DataFrame = {
-    val ladder = mediaSigLadder(spark, dir)
-    require(ladder.nonEmpty, s"no committed signature index for $dir")
-    ladder.map { case (lo, hi) =>
-        spark.read.schema("media_id BIGINT, phash BIGINT")
-          .parquet(sigSlicePath(dir, lo, hi)) }
-      .reduce(_.unionByName(_))
-  }
+      dir: String): DataFrame = mediaSigIndex(dir).read(spark)
+
+  private def audioSigIndex(dir: String): SigLadder =
+    new SigLadder(audioSigBase(dir), "audio",
+      hashStage = (spark, lo, hi) =>
+        // range filter BEFORE the executor-side encode so the append's
+        // document scan prunes to the batch (pushed doc_id predicate)
+        audioFingerprints(Multimodal.pcmFrameFeatures(
+          Multimodal.encodeSynthPcmPartitioned(
+            Tables(spark, dir, "documents")
+              .filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .select(col("doc_id"),
+                (lit(200) + (col("doc_id") % 7) * 48).cast("int").as("n")),
+            "doc_id", "n"))),
+      hashBatch = batch =>
+        audioFingerprints(Multimodal.pcmFrameFeatures(
+          batch.select(col("media_id"), col("bytes")))),
+      onMutate = () => ())
+
+  // Audio-index public surface (delegating; see SigLadder for contracts)
+  private[graft] def audioSigLadder(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] = audioSigIndex(dir).ladder(spark)
+  def audioSigBound(spark: SparkSession, dir: String): Option[Long] =
+    audioSigIndex(dir).bound(spark)
+  def audioSigTrained(spark: SparkSession, dir: String): Boolean =
+    audioSigIndex(dir).trained(spark)
+  def dropAudioSigIndex(spark: SparkSession, dir: String): Unit =
+    audioSigIndex(dir).drop(spark)
+  def appendAudioSigs(spark: SparkSession, dir: String,
+      batchBound: Long): Unit = audioSigIndex(dir).append(spark, batchBound)
+  def appendAudioSigBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit = audioSigIndex(dir).appendBatch(spark, batch)
+  def trainAudioSigIndex(spark: SparkSession, dir: String,
+      bound: Long = Long.MaxValue): Unit =
+    audioSigIndex(dir).train(spark, bound)
+  private[graft] def audioSigsFromIndex(spark: SparkSession,
+      dir: String): DataFrame = audioSigIndex(dir).read(spark)
 
   /** Offline media-clustering setup (idempotent): persist the image
     * cluster labels under [[DedupQueries.clusterModelPath]] kind "media"
@@ -723,8 +788,14 @@ object MultimodalQueries {
     * and the planted-recall proof lives in MediaSpec. */
   private def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = audioFingerprints(
-      Multimodal.pcmFrameFeatures(audioBlobs(spark, dir)))
+    // Served from the persisted fingerprint index when one fully covers
+    // the corpus (the audio decode then ran once, at ingest); computed
+    // inline otherwise. Bit-identical either way: the fingerprint is a
+    // pure integer function of the payload bytes.
+    val sigs = (if (audioSigTrained(spark, dir))
+        audioSigsFromIndex(spark, dir)
+      else audioFingerprints(
+        Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))))
       .as[Multimodal.MediaSig]
     Multimodal.mediaNearDups(sigs, maxHamming = 2)
       .orderBy("id_a", "id_b")

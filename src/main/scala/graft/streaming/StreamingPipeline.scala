@@ -505,6 +505,22 @@ object StreamingPipeline {
           batch.sparkSession, dir, batch)
       }
 
+  /** Continual-ingest sink for the AUDIO modality: each micro-batch of
+    * arriving (media_id, bytes) PCM blobs is framed, fingerprinted
+    * (pure-Catalyst decode — the whole hash stays in codegen) and
+    * committed as the next slice of the persisted fingerprint index.
+    * Same replay contract as the image and vector sinks — see
+    * [[graft.queries.MultimodalQueries.appendAudioSigBatch]]. */
+  def ingestAudioSink(src: DataFrame, dir: String):
+      DataStreamWriter[org.apache.spark.sql.Row] =
+    src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.MultimodalQueries.appendAudioSigBatch(
+          batch.sparkSession, dir, batch)
+      }
+
   /** Insert-if-absent sink: per micro-batch, left-anti the batch against
     * the existing keys then append — A15's ON CONFLICT DO NOTHING for an
     * arbitrary table. `existing` is re-read per batch so repeated keys

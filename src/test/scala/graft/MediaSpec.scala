@@ -365,6 +365,32 @@ class MediaSpec extends SparkSpec {
     MultimodalQueries.clearMediaSigCache()
   }
 
+  test("appended audio-fingerprint index equals from-scratch build across a multi-step ladder") {
+    import graft.queries.MultimodalQueries
+    val sf = "/root/testdata/sf0.001"
+    def snapshot() = MultimodalQueries.audioSigsFromIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    MultimodalQueries.dropAudioSigIndex(spark, sf)
+    MultimodalQueries.trainAudioSigIndex(spark, sf)
+    val expected = snapshot()
+    assert(expected.nonEmpty)
+    MultimodalQueries.dropAudioSigIndex(spark, sf)
+    MultimodalQueries.trainAudioSigIndex(spark, sf, bound = 12)
+    assert(MultimodalQueries.audioSigBound(spark, sf) == Some(12L))
+    assert(!MultimodalQueries.audioSigTrained(spark, sf))
+    MultimodalQueries.appendAudioSigs(spark, sf, 20)
+    MultimodalQueries.appendAudioSigs(spark, sf, Long.MaxValue)
+    assert(MultimodalQueries.audioSigTrained(spark, sf))
+    assert(snapshot() == expected,
+      "appended audio index diverged from from-scratch")
+    // idempotent re-train; reversed bound refuses
+    MultimodalQueries.trainAudioSigIndex(spark, sf)
+    assert(MultimodalQueries.audioSigLadder(spark, sf).size == 3)
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.appendAudioSigs(spark, sf, 5)
+    }
+  }
+
   test("synthVideoLuma: in-scene deltas are ±1-ish texture, cross-scene jumps clear the cut") {
     // the constructed margins the scene detector's threshold relies on:
     // every |delta| within a scene < 32, every scene-boundary |delta| ≥ 32

@@ -745,6 +745,46 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == expected)
   }
 
+  test("streaming audio ingest maintains the fingerprint index: stream-built equals from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    import graft.operators.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    def snapshot() = MultimodalQueries.audioSigsFromIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    MultimodalQueries.dropAudioSigIndex(spark, dir)
+    MultimodalQueries.trainAudioSigIndex(spark, dir)
+    val expected = snapshot()
+    MultimodalQueries.dropAudioSigIndex(spark, dir)
+    // the stream carries the same framed PCM blobs the lake generates
+    val rows = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "cast(200 + (doc_id % 7) * 48 AS INT) AS n")
+      .as[(Long, Int)].collect().sorted
+    val mem = MemoryStream[(Long, Int)]
+    mem.addData(rows.toSeq)
+    val blobs = Multimodal.encodeSynthPcmPartitioned(
+      mem.toDF.toDF("doc_id", "n"), "doc_id", "n")
+    StreamingPipeline.ingestAudioSink(blobs, dir).start().awaitTermination()
+    assert(MultimodalQueries.audioSigTrained(spark, dir) ||
+      MultimodalQueries.audioSigBound(spark, dir) == Some(rows.last._1 + 1))
+    assert(snapshot() == expected,
+      "stream-built audio index diverged from the offline build")
+    // replaying the whole corpus against the committed index is a no-op
+    val before = MultimodalQueries.audioSigLadder(spark, dir)
+    val mem2 = MemoryStream[(Long, Int)]
+    mem2.addData(rows.toSeq)
+    StreamingPipeline.ingestAudioSink(
+      Multimodal.encodeSynthPcmPartitioned(
+        mem2.toDF.toDF("doc_id", "n"), "doc_id", "n"), dir)
+      .start().awaitTermination()
+    assert(MultimodalQueries.audioSigLadder(spark, dir) == before,
+      "replayed blobs must not re-commit")
+    // seal for full-corpus consumers; reads survive the empty top slice
+    MultimodalQueries.trainAudioSigIndex(spark, dir)
+    assert(snapshot() == expected)
+  }
+
   test("streaming sketch maintenance: Count-Min cells over a stream equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
