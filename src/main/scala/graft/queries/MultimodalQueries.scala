@@ -801,8 +801,7 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
-  private val audioNearDupSql = s"""
-    WITH $audioFrameCtes,
+  private val audioOkbCtes = s"""$audioFrameCtes,
     afp AS (
       SELECT doc_id,
              CAST(sum((((energy // 4096) % 256) << CAST(frame * 16 + 8 AS INT)) +
@@ -818,7 +817,10 @@ object MultimodalQueries {
     ainf AS (
       SELECT band, v FROM abands GROUP BY band, v
       HAVING count(*) <= ${Multimodal.BandBucketCap}),
-    aokb AS (SELECT abands.* FROM abands JOIN ainf USING (band, v)),
+    aokb AS (SELECT abands.* FROM abands JOIN ainf USING (band, v))"""
+
+  private val audioNearDupSql = s"""
+    WITH $audioOkbCtes,
     acand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              a.fp AS fa, c.fp AS fb
@@ -833,6 +835,66 @@ object MultimodalQueries {
   /** Energy threshold separating the sawtooth's active frames (~350k)
     * from the dithered near-silent ones (≤ 1024): VAD with an order-of-
     * magnitude margin on both sides. */
+  /** Incremental audio dedup — the batch-vs-lake shape for the audio
+    * modality, completing the per-modality incremental set (text,
+    * embeddings, image, audio): lake fingerprints come from the
+    * persisted index when it covers the corpus — the lake audio is
+    * never re-decoded — and only the batch's bands probe the band
+    * buckets, so candidate volume scales with the batch. Threshold
+    * Hamming ≤ 2, the audio family's exactness bound (3 effective
+    * bands — see [[audioNearDup]]'s doc). Kept/dropped accounting per
+    * source, plus surviving sample volume. */
+  private def audioIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = mediaSrcs(spark, dir)
+    val sigs = (if (audioSigTrained(spark, dir))
+        audioSigsFromIndex(spark, dir)
+      else audioFingerprints(
+        Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))))
+    val okb = okbOf(sigs.join(srcs.select("media_id", "src_num"), "media_id"))
+    val drops = okb.filter(col("src_num") >= 10).as("x")
+      .join(okb.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") =!= col("y.media_id") &&
+          (col("y.src_num") < 10 ||
+            col("y.media_id") < col("x.media_id")))
+      .filter(expr("bit_count(x.phash ^ y.phash) <= 2"))
+      .select(col("x.media_id").as("media_id")).distinct()
+    srcs.filter(col("src_num") >= 10)
+      .join(drops.withColumn("is_drop", lit(1L)), Seq("media_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        coalesce(sum("is_drop"), lit(0L)).as("n_dropped"),
+        sum(when(col("is_drop").isNull,
+          lit(200) + col("media_id") % 7 * 48).otherwise(lit(0L)))
+          .as("samples_kept"))
+      .orderBy("source")
+  }
+
+  private lazy val audioIncrementalSql = s"""
+    WITH $audioOkbCtes,
+    src AS (
+      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num
+      FROM documents),
+    aokbs AS (
+      SELECT aokb.doc_id, aokb.fp, aokb.band, aokb.v, s.src_num
+      FROM aokb JOIN src s USING (doc_id)),
+    drops AS (
+      SELECT DISTINCT x.doc_id AS media_id
+      FROM aokbs x JOIN aokbs y
+        ON x.band = y.band AND x.v = y.v AND x.doc_id <> y.doc_id
+       AND (y.src_num < 10 OR y.doc_id < x.doc_id)
+      WHERE x.src_num >= 10 AND bit_count(xor(x.fp, y.fp)) <= 2)
+    SELECT source, count(*) AS n_batch,
+           CAST(sum(CASE WHEN d.media_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.media_id IS NULL
+                    THEN 200 + (doc_id % 7) * 48 ELSE 0 END)
+                AS BIGINT) AS samples_kept
+    FROM src LEFT JOIN drops d ON src.doc_id = d.media_id
+    WHERE src_num >= 10
+    GROUP BY source
+    ORDER BY source"""
+
   private val AudioActiveThreshold = 10000L
 
   /** Voice-activity segmentation: contiguous runs of active frames
@@ -1065,6 +1127,8 @@ object MultimodalQueries {
     QueryDef("q_media_phash", mediaPhash, Some(mediaPhashSql)),
     QueryDef("q_audio_frames", audioFrames, Some(audioFramesSql)),
     QueryDef("q_audio_neardup", audioNearDup, Some(audioNearDupSql)),
+    QueryDef("q_audio_incremental", audioIncremental,
+      Some(audioIncrementalSql)),
     QueryDef("q_audio_segments", audioSilence, Some(audioSilenceSql)),
     QueryDef("q_video_scenes", videoScenes, Some(videoScenesSql)),
   )
