@@ -332,6 +332,26 @@ class PlanSpec extends SparkSpec {
       s"q_media_incremental lost the hot-bucket anti-join:\n$logical")
   }
 
+  test("q_audio_incremental reads lake fingerprints from the persisted index; no cartesian") {
+    import graft.queries.MultimodalQueries
+    MultimodalQueries.trainAudioSigIndex(spark, sf)
+    val df = Registry.byName("q_audio_incremental").fn(spark, sf)
+    df.collect()
+    // lake audio is never re-decoded: fingerprints come from the
+    // persisted index's parquet slices
+    assert(df.inputFiles.exists(_.contains("media-sigs/v1-fp48")),
+      s"q_audio_incremental does not read the fingerprint index: " +
+        df.inputFiles.take(3).mkString(", "))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_audio_incremental must not sort-merge 8-byte signatures:\n$plan")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"),
+      s"q_audio_incremental lost the hot-bucket anti-join:\n$logical")
+  }
+
   test("q_audio_neardup: banded candidate join, no sort-merge, anti-join hot-bucket cut") {
     val df = graft.queries.Registry.byName("q_audio_neardup").fn(spark, sf)
     df.collect()
