@@ -310,15 +310,8 @@ object MultimodalQueries {
   private def audioSigIndex(dir: String): SigLadder =
     new SigLadder(audioSigBase(dir), "audio",
       hashStage = (spark, lo, hi) =>
-        // range filter BEFORE the executor-side encode so the append's
-        // document scan prunes to the batch (pushed doc_id predicate)
         audioFingerprints(Multimodal.pcmFrameFeatures(
-          Multimodal.encodeSynthPcmPartitioned(
-            Tables(spark, dir, "documents")
-              .filter(col("doc_id") >= lo && col("doc_id") < hi)
-              .select(col("doc_id"),
-                (lit(200) + (col("doc_id") % 7) * 48).cast("int").as("n")),
-            "doc_id", "n"))),
+          audioBlobsRange(spark, dir, lo, hi))),
       hashBatch = batch =>
         audioFingerprints(Multimodal.pcmFrameFeatures(
           batch.select(col("media_id"), col("bytes")))),
@@ -625,7 +618,16 @@ object MultimodalQueries {
     * persists the result as the prior for `batchBound` — unbounded
     * `batchBound` lands in the full-corpus "media" artifact, which
     * equals from-scratch retraining exactly (MediaSpec proves both the
-    * single-shot and the staged-ladder equality). */
+    * single-shot and the staged-ladder equality).
+    *
+    * Unlike the text twin, this step does NOT append the signature
+    * index: cluster boundaries live in src_num space while the
+    * signature ladder advances in media_id space, maintained by its
+    * own ingest path ([[appendMediaSigs]] /
+    * [[graft.streaming.StreamingPipeline.ingestMediaSink]]) as blobs
+    * land — by the time a src batch is compacted its signatures are
+    * already on disk, and [[mediaSigsCached]] reads them regardless of
+    * which boundary space advanced last. */
   def compactMediaClusterLabels(spark: SparkSession, dir: String,
       lakeBound: Int = 10, batchBound: Int = Int.MaxValue): Unit = {
     require(batchBound > lakeBound,
@@ -693,8 +695,18 @@ object MultimodalQueries {
     * samples, deliberately NOT a multiple of the 64-sample frame so the
     * partial-last-frame path is exercised end-to-end. */
   private def audioBlobs(spark: SparkSession, dir: String): DataFrame =
+    audioBlobsRange(spark, dir, 0L, Long.MaxValue)
+
+  /** Range-scoped variant for the fingerprint index's append stage: the
+    * doc_id filter lands on the documents scan BEFORE the executor-side
+    * encode, so an append reads only the batch's rows. Single source of
+    * the per-doc sample-count formula — the index's hash stage and the
+    * query-side blobs must never drift. */
+  private def audioBlobsRange(spark: SparkSession, dir: String, lo: Long,
+      hi: Long): DataFrame =
     Multimodal.encodeSynthPcmPartitioned(
       Tables(spark, dir, "documents")
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
         .select(col("doc_id"),
           (lit(200) + (col("doc_id") % 7) * 48).cast("int").as("n")),
       "doc_id", "n")
