@@ -328,6 +328,59 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("media compaction property: random boundary ladders equal from-scratch at every prefix") {
+    import graft.queries.{DedupQueries, MultimodalQueries}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sf = "/root/testdata/sf0.001"
+    MultimodalQueries.trainMediaSigIndex(spark, sf)
+    MultimodalQueries.trainMediaClusterLabels(spark, sf)
+    val srcn = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("media_id"),
+        expr("cast(substring(source, 4, 8) AS INT)").as("src_num"))
+    // From-scratch labels of the src_num < bound prefix corpus:
+    // signatures filtered to the prefix (per-image purity makes the
+    // filter exact), banding censused over the prefix, propagate.
+    def scratch(bound: Int): Set[(Long, Long)] = {
+      import spark.implicits._
+      val sigs = MultimodalQueries.sigsFromIndex(spark, sf)
+        .join(srcn.filter(col("src_num") < bound), "media_id")
+        .select("media_id", "phash").as[Multimodal.MediaSig]
+      DedupQueries.clusterLabels(
+          Multimodal.mediaNearDups(sigs, maxHamming = 3)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val fullScratch = scratch(Int.MaxValue)
+    val ladderGen = Gen.someOf(11 to 19).map(_.toList.sorted.take(2))
+      .suchThat(_.nonEmpty)
+    val ladders = (0 until 6).flatMap(i =>
+      ladderGen.apply(Gen.Parameters.default, Seed(9100L + i)))
+      .distinct.take(3)
+    assert(ladders.nonEmpty)
+    for (ladder <- ladders) {
+      var lake = 10
+      for (b <- ladder) {
+        MultimodalQueries.compactMediaClusterLabels(spark, sf,
+          lakeBound = lake, batchBound = b)
+        val prior = spark.read
+          .parquet(DedupQueries.clusterModelPath(sf,
+            MultimodalQueries.mediaPriorKind(b)))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(prior == scratch(b),
+          s"ladder $ladder: compacted media prior at b$b diverged from " +
+            "from-scratch clustering of the prefix corpus")
+        lake = b
+      }
+      MultimodalQueries.compactMediaClusterLabels(spark, sf, lakeBound = lake)
+      val staged = spark.read
+        .parquet(DedupQueries.clusterModelPath(sf, "media"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(staged == fullScratch,
+        s"ladder $ladder: final media compaction diverged from retraining")
+    }
+  }
+
   test("appended media-signature index equals from-scratch build across a multi-step ladder") {
     import graft.queries.MultimodalQueries
     val sf = "/root/testdata/sf0.001"
