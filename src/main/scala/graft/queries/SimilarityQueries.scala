@@ -1428,28 +1428,29 @@ object SimilarityQueries {
     * cosine thresholds stop over-selecting hub vectors). Labels 0/1
     * stand in for the two languages; k = 4.
     *
-    * Scale shape: the dense src×tgt scoring is the correctness tier —
-    * at corpus scale the pair stream comes from the IVF bucket probe
-    * (the [[graft.queries.DedupQueries]] SemDeDup shape) and everything
-    * downstream — per-side top-k averages, margin, per-src argmax — is
-    * unchanged on the candidate graph. Both kNN averages are windows
-    * over the pair stream keyed by ONE side each; margins then rank per
-    * src with a group-limit heap. Determinism: margins divide identical
-    * 6-dp-rounded inputs in both engines, so ranking ties are decided on
-    * identical bits + tgt_id. */
+    * Scale shape: the HEADLINE pair stream comes from the persisted IVF
+    * inverted file ([[trainIvfAssignments]] — the SemDeDup shape:
+    * same-coarse-list src×tgt co-occupants, Σᵢ sᵢ·tᵢ pairs, never the
+    * dense |src|·|tgt|), and everything downstream — per-side top-k
+    * averages, margin, per-src argmax — runs unchanged on the candidate
+    * graph. Both kNN averages are windows over the pair stream keyed by
+    * ONE side each; margins then rank per src with a group-limit heap.
+    * Determinism: margins divide identical 6-dp-rounded inputs in both
+    * engines, so ranking ties are decided on identical bits + tgt_id.
+    * [[bitextBrute]] keeps the dense all-pairs scoring as the
+    * `headline=false` correctness tier (the q_ann_brute discipline). */
   private val BITEXT_K = 4
-  private def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Shared downstream of both bitext tiers: per-side kNN averages over
+    * the pair stream, hubness-corrected margin, per-src argmax. The kNN
+    * average semantics are relative to the GIVEN candidate graph — the
+    * point of the margin score survives the candidate cut because both
+    * sides' averages are cut the same way (Artetxe & Schwenk run exactly
+    * this over FAISS-retrieved candidates, not dense pairs). The kNN
+    * side-average joins broadcast: ≤ one row per src/tgt vector with two
+    * 8-byte columns — model-sized next to the pair stream. */
+  private def bitextFromPairs(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        col("label"))
-    val src = emb.filter(col("label") === 0)
-      .select(col("vec_id").as("src_id"), col("v").as("sv"))
-    val tgt = emb.filter(col("label") === 1)
-      .select(col("vec_id").as("tgt_id"), col("v").as("tv"))
-    val pairs = src.crossJoin(broadcast(tgt))
-      .select(col("src_id"), col("tgt_id"),
-        Num.r(expr(dotSpark.format("sv", "tv")), 6).as("cosine"))
     val wS = Window.partitionBy("src_id")
       .orderBy(col("cosine").desc, col("tgt_id"))
     val wT = Window.partitionBy("tgt_id")
@@ -1473,13 +1474,10 @@ object SimilarityQueries {
       .orderBy("src_id")
   }
 
-  private val bitextMarginSql = s"""
-    WITH pairs AS (
-      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-             round(list_dot_product(s.embedding::DOUBLE[],
-                                    t.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
-      FROM (SELECT * FROM embeddings WHERE label = 0) s,
-           (SELECT * FROM embeddings WHERE label = 1) t),
+  /** The SQL twin of [[bitextFromPairs]], closed over a dialect-shared
+    * `pairs` CTE body (src_id, tgt_id, cosine). */
+  private def bitextTailSql(pairsCte: String): String = s"""
+    WITH $pairsCte,
     sa AS (
       SELECT src_id, round(avg(cosine) + 1e-9, 6) AS s_knn
       FROM (SELECT *, row_number() OVER (PARTITION BY src_id
@@ -1500,6 +1498,82 @@ object SimilarityQueries {
     QUALIFY row_number() OVER (PARTITION BY src_id
                                ORDER BY margin DESC, tgt_id) = 1
     ORDER BY src_id"""
+
+  /** Dense all-pairs bitext scoring — the correctness tier
+    * (`headline=false`): O(|src|·|tgt|) with the full target side
+    * broadcast, which dies at corpus scale. [[bitextMargin]] is the
+    * production path. */
+  private def bitextBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val src = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"))
+    val tgt = emb.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"))
+    bitextFromPairs(src.crossJoin(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"),
+        Num.r(expr(dotSpark.format("sv", "tv")), 6).as("cosine")))
+  }
+
+  private val bitextBruteSql = bitextTailSql("""pairs AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             round(list_dot_product(s.embedding::DOUBLE[],
+                                    t.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
+      FROM (SELECT * FROM embeddings WHERE label = 0) s,
+           (SELECT * FROM embeddings WHERE label = 1) t)""")
+
+  /** IVF-backed bitext margin mining — the headline tier: the pair
+    * stream is the same-coarse-list src×tgt co-occupancy of the
+    * PERSISTED inverted file (assignments are pure reads — the quantizer
+    * ran once, at ingest; PlanSpec pins zero centroid scoring at query
+    * time), so the candidate count is Σᵢ sᵢ·tᵢ over list sizes instead
+    * of |src|·|tgt|, tunable by K exactly like SemDeDup (raise K until
+    * lists are executor-sized). The labels travel through one narrow
+    * equi-join on vec_id (8+8 bytes against the lake — co-partitioned at
+    * scale); the list join is hinted shuffle-hash: sorting corpus-sized
+    * vector rows by a K-ary key buys nothing. A src vector whose list
+    * holds no target-side co-occupant yields no row — the recall cut is
+    * the IVF probe's, measured by MediaSpec-style planted-pair specs
+    * (identical vectors always share a list, so true duplicates are
+    * never cut). */
+  private def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    if (!ivfAssignTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF assignment artifact missing for $dir — run " +
+          "trainIvfAssignments(spark, dir) first; Bench warmup and " +
+          "Verify setup do this automatically")
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val assigned = assignmentsFromIndex(spark, dir)
+      .join(labels, Seq("vec_id"))
+    val src = assigned.filter(col("label") === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("sv"), col("c_id"))
+    val tgt = assigned.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"), col("c_id"))
+    bitextFromPairs(src.hint("shuffle_hash").join(tgt, Seq("c_id"))
+      .select(col("src_id"), col("tgt_id"),
+        Num.r(expr(dotSpark.format("sv", "tv")), 6).as("cosine")))
+  }
+
+  private def bitextMarginSql = bitextTailSql(s"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
+                  FROM read_parquet('$IvfCentroidsToken/*.parquet')),
+    scored_c AS (
+      SELECT e.vec_id, e.v, e.label, c.c_id,
+             round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim
+      FROM e CROSS JOIN centroids c),
+    assigned AS (
+      SELECT vec_id, v, label, c_id
+      FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) = 1),
+    pairs AS (
+      SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+             round(list_dot_product(s.v, t.v) + 1e-9, 6) AS cosine
+      FROM assigned s JOIN assigned t ON s.c_id = t.c_id
+      WHERE s.label = 0 AND t.label = 1)""")
 
   /** Per-label embedding centroids in long (label, dim, centroid) form —
     * the class-prototype computation behind SemDeDup cluster centers,
@@ -1533,6 +1607,11 @@ object SimilarityQueries {
     QueryDef("q_knn_classify", knnClassify, Some(knnClassifySql)),
     QueryDef("q_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q_bitext_margin", bitextMargin, Some(bitextMarginSql)),
+    // Dense all-pairs tier — correctness reference for the IVF-backed
+    // headline above, demoted like q_ann_brute: O(|src|·|tgt|) scoring
+    // with a full-side broadcast cannot survive corpus scale.
+    QueryDef("q_bitext_brute", bitextBrute, Some(bitextBruteSql),
+      headline = false),
     // Correctness tier, not headline: the hyperplane family tops out at
     // 41% corpus scan for recall@1 = 1.00 on this data — the round-7
     // LshTune grid (README recall table) shows every ≤20%-visited layout

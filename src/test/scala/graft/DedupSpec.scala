@@ -616,6 +616,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bitext margin IVF candidate cut: planted twin pairs are always recovered") {
+    // The IVF-backed q_bitext_margin only scores same-coarse-list pairs.
+    // The recall argument for that cut: a true translation pair has
+    // near-identical embeddings, and IDENTICAL vectors score identically
+    // against every centroid, so they share a list by construction — the
+    // candidate cut can never drop an exact twin. Plant 8 twin pairs
+    // (one-hot directions) among noise vectors in both labels and assert
+    // every twin is recovered as its source's best target at cosine 1.0.
+    import spark.implicits._
+    import graft.queries.{Registry, SimilarityQueries}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bitext_planted").toString
+    def oneHot(d: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == d) 1.0f else 0.0f)
+    val rows =
+      (0 until 8).map(i => (i.toLong, oneHot(i), 0)) ++          // src twins
+      (8 until 16).map(i => (i.toLong, oneHot(i), 0)) ++         // src noise
+      (0 until 8).map(i => (100L + i, oneHot(i), 1)) ++          // tgt twins
+      (0 until 8).map(i => (108L + i, oneHot(16 + i), 1))        // tgt noise
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"), col("label").cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    SimilarityQueries.trainIvfCentroids(spark, dir)
+    SimilarityQueries.trainIvfAssignments(spark, dir)
+    val best = Registry.byName("q_bitext_margin").fn(spark, dir)
+      .select("src_id", "tgt_id", "cosine")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    (0 until 8).foreach { i =>
+      assert(best.get(i.toLong).map(_._1).contains(100L + i),
+        s"planted twin for src $i was cut or outranked: got ${best.get(i.toLong)}")
+      assert(best(i.toLong)._2 == 1.0,
+        s"twin cosine must be exactly 1.0: got ${best(i.toLong)}")
+    }
+    SimilarityQueries.dropIvfAssignments(spark, dir)
+  }
+
   test("q_semdedup_incremental: batch-scoped slice of full SemDeDup, artifact-gated") {
     import graft.queries.{DedupQueries, Registry, SimilarityQueries}
     val sf = "/root/testdata/sf0.001"

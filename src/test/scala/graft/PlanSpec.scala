@@ -465,6 +465,30 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must stay an equi-join on c_id:\n$plan")
   }
 
+  test("q_bitext_margin candidates come from the inverted file: no dense pairs, no quantizer, no sort-merge") {
+    import graft.queries.{Registry, SimilarityQueries}
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    val df = Registry.byName("q_bitext_margin").fn(spark, sf)
+    // the pair stream reads the persisted assignment slices (plus one
+    // narrow embeddings scan for the labels); the centroid model must
+    // NOT be an input — assignment happened at ingest, never at query
+    assert(df.inputFiles.exists(_.contains("ivf-assign")),
+      "pair stream must read the persisted inverted file, read: " +
+        df.inputFiles.take(3).mkString(", "))
+    assert(!df.inputFiles.exists(_.contains("centroids.parquet")),
+      "the quantizer must never run at query time")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation must stay an equi-join on c_id:\n$plan")
+    // sorting corpus-sized vector rows by the K-ary list id buys nothing:
+    // the co-occupancy join must be hash-based (final AQE plan)
+    val finalP = plan.split("== Initial Plan ==").head
+    assert(!finalP.contains("SortMergeJoin"),
+      s"the c_id co-occupancy join degraded to sort-merge:\n$finalP")
+  }
+
   test("holt 2-state scan: block folds over collected arrays, no cartesian, one fact shuffle") {
     val plan = executedPlan("q_holt")
     assert(!plan.contains("CartesianProduct"),

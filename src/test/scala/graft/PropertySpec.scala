@@ -202,6 +202,9 @@ class PropertySpec extends SparkSpec {
     graft.queries.TextQueries.trainBpeMerges(spark, sf)
     graft.queries.DedupQueries.trainClusterLabels(spark, sf)
     graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sf)
+    // q_bitext_margin reads the persisted IVF inverted file
+    graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
+    graft.queries.SimilarityQueries.trainIvfAssignments(spark, sf)
     def run(q: String, parts: Int): Array[String] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
