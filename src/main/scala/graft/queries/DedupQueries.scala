@@ -130,10 +130,10 @@ object DedupQueries {
     *    the batch's counts (the census is distinct-shingle-bounded —
     *    orders of magnitude smaller than the index — so the per-append
     *    merge shuffles census-sized data, never the corpus).
-    *  - `ladder.parquet` — one (lo, hi) row per committed slice,
-    *    rewritten LAST: the artifact's commit marker. A crashed append
-    *    leaves the ladder at the previous boundary, so its partial
-    *    slice dir and census are invisible to readers.
+    *  - `ladder/e<lo>-<hi>` — one append-only marker file per committed
+    *    slice, created LAST ([[graft.sources.SliceLadder]]'s atomic
+    *    commit). A crashed append leaves every earlier slice committed
+    *    and the partial slice dir and census invisible to readers.
     *
     * Read-time exactness despite write-time capping: df only grows as
     * the lake ingests, so the hot set is MONOTONE — a slice written
@@ -149,95 +149,119 @@ object DedupQueries {
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     s"/root/repo/target/shingles/v2-df$StopShingleDf/${new java.io.File(dir).getName}-$tag"
   }
-  private def boundToken(b: Int): String =
-    if (b == Int.MaxValue) "full" else b.toString
-  private def slicePath(dir: String, lo: Int, hi: Int): String =
-    s"${shingleIndexBase(dir)}/slices/s${boundToken(lo)}-${boundToken(hi)}"
-  private def censusPath(dir: String, hi: Int): String =
+  /** src_num is a 32-bit boundary space (the lake's source naming), so
+    * the ladder's full-coverage sentinel is Int.MaxValue — tokens and
+    * artifact paths are unchanged from the pre-[[graft.sources
+    * .SliceLadder]] layout. */
+  private val ShingleSentinel: Long = Int.MaxValue.toLong
+  private def boundToken(b: Long): String =
+    if (b == ShingleSentinel) "full" else b.toString
+  private def censusPath(dir: String, hi: Long): String =
     s"${shingleIndexBase(dir)}/census-b${boundToken(hi)}.parquet"
-  private def ladderPath(dir: String): String =
-    s"${shingleIndexBase(dir)}/ladder.parquet"
-
-  /** The committed slice ladder — empty when no index exists. Tiny by
-    * construction (one row per ingested batch), so the driver collect
-    * is the manifest read, not data movement. */
-  private[graft] def shingleIndexLadder(spark: SparkSession,
-      dir: String): Seq[(Int, Int)] =
-    if (!graft.sources.Connectors.pathExists(spark,
-        s"${ladderPath(dir)}/_SUCCESS")) Nil
-    else spark.read.parquet(ladderPath(dir)).select("lo", "hi").collect()
-      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
-
-  /** The index's current coverage: shingles of src_num < bound are
-    * indexed. None when no committed index exists. */
-  def shingleIndexBound(spark: SparkSession, dir: String): Option[Int] = {
-    val l = shingleIndexLadder(spark, dir)
-    if (l.isEmpty) None else Some(l.map(_._2).max)
-  }
-
-  /** True iff the index covers the FULL corpus — the only state the
-    * production query path ([[shingleHashesCached]]) may substitute for
-    * inline shingling; a mid-ladder index is a continual-ingest state
-    * consumed only by the compaction loop at its own boundary. */
-  def shingleIndexTrained(spark: SparkSession, dir: String): Boolean =
-    shingleIndexBound(spark, dir).contains(Int.MaxValue)
-
-  /** Delete the persisted index (and evict cached readers of its
-    * files). Rebuild-from-scratch is the EXCEPTIONAL path — a cap or
-    * scheme change — never the per-batch one. */
-  def dropShingleIndex(spark: SparkSession, dir: String): Unit = {
-    clearShingleCache()
-    val p = new org.apache.hadoop.fs.Path(shingleIndexBase(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
-  }
 
   /** Raw (uncapped) shingles of the src_num ∈ [lo, hi) doc range.
     * src_num is non-negative by the lake's source naming, so lo = 0 is
     * the universal floor. */
   private def rawShinglesRange(spark: SparkSession, dir: String,
-      lo: Int, hi: Int): DataFrame =
+      lo: Long, hi: Long): DataFrame =
     rawShingleHashesOf(
       Tables(spark, dir, "documents")
         .withColumn("src_num", expr("cast(substring(source, 4, 8) AS INT)"))
         .filter(col("src_num") >= lo && col("src_num") < hi),
       keep = Seq("src_num"))
 
-  /** One append step: write the batch range's census merge, then its
-    * slice (capped against the POST-merge hot set — rows the merged
-    * census already knows are boilerplate never land on disk), then the
-    * ladder as commit marker. The raw batch shingle stream is computed
-    * twice (census + slice) — same trade as [[shingleHashesOf]]: a
-    * second narrow scan+hash pass beats materializing the full stream. */
-  private def appendStage(spark: SparkSession, dir: String, lo: Int,
-      hi: Int, priorCensus: Option[DataFrame],
-      priorLadder: Seq[(Int, Int)]): Unit = {
-    val raw = rawShinglesRange(spark, dir, lo, hi)
+  /** The census merge + df-cap step run before every slice lands —
+    * [[graft.sources.SliceLadder]]'s `prepareSlice` hook, the one
+    * shingle-specific piece of the ladder mechanics: write the batch
+    * range's census merge first (prior census at the `lo` boundary +
+    * the batch's counts — the census is distinct-shingle-bounded, so
+    * the merge shuffles census-sized data, never the corpus), then cap
+    * the slice rows against the POST-merge hot set, so rows the merged
+    * census already knows are boilerplate never land on disk. A crashed
+    * append leaves `census-b<hi>` present but unreferenced (readers
+    * resolve the census at COMMITTED bounds only); the re-append
+    * overwrites it. */
+  private def mergeCensusAndCap(spark: SparkSession, raw: DataFrame,
+      lo: Long, hi: Long, dir: String): DataFrame = {
     val batchCensus = raw.groupBy("h").agg(count(lit(1)).as("df"))
-    val census = priorCensus match {
-      case Some(pc) =>
-        pc.select(col("h"), col("df").as("df_a"))
-          .join(batchCensus.select(col("h"), col("df").as("df_b")),
-            Seq("h"), "full_outer")
-          .select(col("h"),
-            (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
-              .as("df"))
-      case None => batchCensus
-    }
+    val census =
+      if (lo == 0L) batchCensus
+      else spark.read.parquet(censusPath(dir, lo))
+        .select(col("h"), col("df").as("df_a"))
+        .join(batchCensus.select(col("h"), col("df").as("df_b")),
+          Seq("h"), "full_outer")
+        .select(col("h"),
+          (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+            .as("df"))
     census.write.mode("overwrite").parquet(censusPath(dir, hi))
     val hot = spark.read.parquet(censusPath(dir, hi))
       .filter(col("df") > StopShingleDf).select("h")
     raw.join(broadcast(hot), Seq("h"), "left_anti")
-      .write.mode("overwrite").parquet(slicePath(dir, lo, hi))
-    writeLadder(spark, dir, priorLadder :+ ((lo, hi)))
   }
 
-  private def writeLadder(spark: SparkSession, dir: String,
-      ladder: Seq[(Int, Int)]): Unit = {
-    import spark.implicits._
-    ladder.toDF("lo", "hi").coalesce(1)
-      .write.mode("overwrite").parquet(ladderPath(dir))
-  }
+  /** The shingle index's slice-ladder mechanics (paths, atomic marker
+    * commit, replay guard, writer locking) are
+    * [[graft.sources.SliceLadder]]'s — this instance supplies the
+    * shingling stages and the census hook. The raw batch shingle stream
+    * is computed twice per append (census + slice) — same trade as
+    * [[shingleHashesOf]]: a second narrow scan+hash pass beats
+    * materializing the full stream. */
+  private def shingleIndex(dir: String): graft.sources.SliceLadder =
+    new graft.sources.SliceLadder(shingleIndexBase(dir), "shingle index",
+      idCol = "src_num",
+      readSchema = "h BIGINT, doc_id BIGINT, src_num INT",
+      deriveRange = (spark, lo, hi) => rawShinglesRange(spark, dir, lo, hi),
+      deriveBatch = (_, batch) =>
+        rawShingleHashesOf(
+          batch.withColumn("src_num", col("src_num").cast("int")),
+          keep = Seq("src_num")),
+      prepareSlice = (spark, raw, lo, hi) =>
+        mergeCensusAndCap(spark, raw, lo, hi, dir),
+      onMutate = () => clearShingleCache(),
+      sentinel = ShingleSentinel)
+
+  /** The committed slice ladder — empty when no index exists. */
+  private[graft] def shingleIndexLadder(spark: SparkSession,
+      dir: String): Seq[(Int, Int)] =
+    shingleIndex(dir).ladder(spark).map { case (lo, hi) =>
+      (lo.toInt, hi.toInt) }
+
+  /** The index's current coverage: shingles of src_num < bound are
+    * indexed. None when no committed index exists. */
+  def shingleIndexBound(spark: SparkSession, dir: String): Option[Int] =
+    shingleIndex(dir).bound(spark).map(_.toInt)
+
+  /** True iff the index covers the FULL corpus — the only state the
+    * production query path ([[shingleHashesCached]]) may substitute for
+    * inline shingling; a mid-ladder index is a continual-ingest state
+    * consumed only by the compaction loop at its own boundary. */
+  def shingleIndexTrained(spark: SparkSession, dir: String): Boolean =
+    shingleIndex(dir).trained(spark)
+
+  /** Delete the persisted index (and evict cached readers of its
+    * files). Rebuild-from-scratch is the EXCEPTIONAL path — a cap or
+    * scheme change — never the per-batch one. */
+  def dropShingleIndex(spark: SparkSession, dir: String): Unit =
+    shingleIndex(dir).drop(spark)
+
+  /** STREAMING-ingest append: shingle one arriving micro-batch of
+    * (doc_id, source, text) documents and commit them as the index's
+    * next slice (census merge included) — the `foreachBatch` body
+    * behind [[graft.streaming.StreamingPipeline.ingestDocsSink]],
+    * completing the per-modality ingest set (vectors, images, audio,
+    * now text). Replay safety and the GUARDED dense-monotone src_num
+    * contract are [[graft.sources.SliceLadder.appendBatch]]'s; on top
+    * of it the text modality adds the SOURCE-ATOMIC producer contract:
+    * a micro-batch must carry whole sources (coverage is by src_num
+    * range, so a source split across batches would commit coverage
+    * over its unshingled tail — the range guard cannot see inside a
+    * source). The lake's ingest zones deliver source-partitioned
+    * batches, so the contract is the natural batch shape. */
+  def appendShingleBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit =
+    shingleIndex(dir).appendBatch(spark,
+      batch.withColumn("src_num",
+        expr("cast(substring(source, 4, 8) AS INT)")))
 
   /** Advance the index from its current boundary to `batchBound` by
     * appending the new batch's slice and merging the df census — the
@@ -246,19 +270,8 @@ object DedupQueries {
     * go backwards (that is a rebuild, [[dropShingleIndex]] +
     * [[trainShingleIndex]]). */
   def appendShingleIndex(spark: SparkSession, dir: String,
-      batchBound: Int): Unit = {
-    val ladder = shingleIndexLadder(spark, dir)
-    require(ladder.nonEmpty,
-      s"appendShingleIndex: no committed shingle index for $dir — " +
-        "trainShingleIndex(spark, dir, bound) first")
-    val cur = ladder.map(_._2).max
-    if (cur == batchBound) return
-    require(batchBound > cur,
-      s"appendShingleIndex: batchBound $batchBound must exceed current " +
-        s"coverage $cur (shrinking coverage is a rebuild, not an append)")
-    appendStage(spark, dir, cur, batchBound,
-      Some(spark.read.parquet(censusPath(dir, cur))), ladder)
-  }
+      batchBound: Int): Unit =
+    shingleIndex(dir).append(spark, batchBound.toLong)
 
   /** Ensure the index covers src_num < `bound` (default: full corpus).
     * Idempotent; a partially-covering index is ADVANCED by appending
@@ -267,15 +280,8 @@ object DedupQueries {
     * lake); coverage beyond `bound` forces a from-scratch rebuild at
     * `bound` (a test-ladder reset, never a production step). */
   def trainShingleIndex(spark: SparkSession, dir: String,
-      bound: Int = Int.MaxValue): Unit = {
-    shingleIndexBound(spark, dir) match {
-      case Some(b) if b == bound => ()
-      case Some(b) if b < bound => appendShingleIndex(spark, dir, bound)
-      case _ =>
-        dropShingleIndex(spark, dir)
-        appendStage(spark, dir, 0, bound, None, Nil)
-    }
-  }
+      bound: Int = Int.MaxValue): Unit =
+    shingleIndex(dir).train(spark, bound.toLong)
 
   /** Read the committed index at its current coverage: union the slice
     * parquet scans, anti-join the CURRENT census's hot set (broadcast —
@@ -284,14 +290,13 @@ object DedupQueries {
     * argument in the layout doc above). */
   private[graft] def shingleHashesFromIndex(spark: SparkSession,
       dir: String): DataFrame = {
-    val ladder = shingleIndexLadder(spark, dir)
-    require(ladder.nonEmpty, s"no committed shingle index for $dir")
-    val cur = ladder.map(_._2).max
+    val idx = shingleIndex(dir)
+    val cur = idx.bound(spark).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed shingle index for $dir"))
     val hot = spark.read.parquet(censusPath(dir, cur))
       .filter(col("df") > StopShingleDf).select("h")
-    ladder.map { case (lo, hi) => spark.read.parquet(slicePath(dir, lo, hi)) }
-      .reduce(_.unionByName(_))
-      .join(broadcast(hot), Seq("h"), "left_anti")
+    idx.read(spark).join(broadcast(hot), Seq("h"), "left_anti")
   }
 
   /** One cached shingle table per (session, dir): jaccard, minhash,

@@ -103,11 +103,12 @@ object MultimodalQueries {
   // file and unlike the shingle index there is no census subtlety: a
   // signature depends on nothing but the payload's own bytes, so
   // slice-at-ingest ≡ from-scratch row-for-row (MediaSpec proves the
-  // ladder equality). Layout: `slices/s<lo>-<hi>/` holding
-  // (media_id, phash) for media_id ∈ [lo, hi), plus `ladder.parquet`
-  // rewritten LAST as the commit marker — a crashed append leaves the
-  // ladder at the previous boundary and its partial slice invisible to
-  // readers. The scheme tag in the version path ("a1" = integer aHash,
+  // ladder equality). Layout and commit protocol are
+  // [[graft.sources.SliceLadder]]'s: `slices/s<lo>-<hi>/` holding
+  // (media_id, phash) for media_id ∈ [lo, hi), committed by an
+  // append-only `ladder/` marker file written LAST — a crashed append
+  // leaves every earlier slice committed and the partial one invisible
+  // to readers. The scheme tag in the version path ("a1" = integer aHash,
   // [[Multimodal.imageFeature]]; "fp48" = the 48-bit audio fingerprint,
   // [[audioFingerprints]]) bumps on a scheme change so persisted
   // indexes self-invalidate instead of being reused stale.
@@ -121,146 +122,12 @@ object MultimodalQueries {
   }
   private[graft] def mediaSigBase(dir: String): String = sigBase(dir, "a1")
   private[graft] def audioSigBase(dir: String): String = sigBase(dir, "fp48")
-  /** The shared slice-ladder mechanics behind every persisted
-    * (media_id, phash) signature artifact — instantiated once per
-    * (modality, lake dir) by [[mediaSigIndex]] (image aHash) and
-    * [[audioSigIndex]] (audio fingerprint). `hashStage` derives the
-    * signatures of an id range from the lake (the test stand-in for a
-    * crawler/ingest fetch); `hashBatch` derives them from an arriving
-    * micro-batch's own payload; `onMutate` evicts any session caches
-    * over the artifact's files. Coverage is by id range, not row
-    * presence — a range whose blobs all fail to decode commits a valid
-    * empty slice. */
-  private final class SigLadder(base: String, what: String,
-      hashStage: (SparkSession, Long, Long) => DataFrame,
-      hashBatch: DataFrame => DataFrame,
-      onMutate: () => Unit) {
-    private def tok(b: Long): String =
-      if (b == Long.MaxValue) "full" else b.toString
-    private def slicePath(lo: Long, hi: Long): String =
-      s"$base/slices/s${tok(lo)}-${tok(hi)}"
-    private def ladderPath: String = s"$base/ladder.parquet"
-
-    /** The committed slice ladder — empty when no index exists. One row
-      * per ingested batch: the driver collect is a manifest read. */
-    def ladder(spark: SparkSession): Seq[(Long, Long)] =
-      if (!graft.sources.Connectors.pathExists(spark,
-          s"$ladderPath/_SUCCESS")) Nil
-      else spark.read.parquet(ladderPath).select("lo", "hi")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-
-    /** Current coverage: ids < bound are hashed; None = no index. */
-    def bound(spark: SparkSession): Option[Long] = {
-      val l = ladder(spark)
-      if (l.isEmpty) None else Some(l.map(_._2).max)
-    }
-
-    /** True iff the index covers the FULL corpus — the only state a
-      * production query path may substitute for the inline derivation;
-      * a mid-ladder index is a continual-ingest state consumed by the
-      * append loop at its own boundary. */
-    def trained(spark: SparkSession): Boolean =
-      bound(spark).contains(Long.MaxValue)
-
-    /** Delete the persisted index (and evict cached readers of its
-      * files). Rebuild-from-scratch is the EXCEPTIONAL path — a
-      * signature scheme change — never the per-batch one. */
-    def drop(spark: SparkSession): Unit = {
-      onMutate()
-      val p = new org.apache.hadoop.fs.Path(base)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
-
-    /** Commit one hashed slice: the slice parquet first, then the
-      * ladder — the ladder write IS the commit marker (a crashed append
-      * leaves the ladder at the previous boundary; its partial slice is
-      * invisible to readers). */
-    private def writeSlice(spark: SparkSession, sigs: DataFrame, lo: Long,
-        hi: Long, priorLadder: Seq[(Long, Long)]): Unit = {
-      sigs.write.mode("overwrite").parquet(slicePath(lo, hi))
-      import spark.implicits._
-      (priorLadder :+ ((lo, hi))).toDF("lo", "hi").coalesce(1)
-        .write.mode("overwrite").parquet(ladderPath)
-    }
-
-    private def stage(spark: SparkSession, lo: Long, hi: Long,
-        priorLadder: Seq[(Long, Long)]): Unit =
-      writeSlice(spark, hashStage(spark, lo, hi), lo, hi, priorLadder)
-
-    /** Advance the index to `batchBound` by hashing ONLY the new id
-      * range — the per-ingest maintenance step. Idempotent at the
-      * target boundary; refuses to go backwards (that is a rebuild,
-      * [[drop]] + [[train]]). */
-    def append(spark: SparkSession, batchBound: Long): Unit = {
-      val l = ladder(spark)
-      require(l.nonEmpty,
-        s"$what append: no committed signature index at $base — " +
-          "train(spark, bound) first")
-      val cur = l.map(_._2).max
-      if (cur == batchBound) return
-      require(batchBound > cur,
-        s"$what append: batchBound $batchBound must exceed current " +
-          s"coverage $cur (shrinking coverage is a rebuild, not an append)")
-      onMutate()
-      stage(spark, cur, batchBound, l)
-    }
-
-    /** STREAMING-ingest append: hash one arriving micro-batch's blobs
-      * and commit them as the next slice. Replay contract (shared with
-      * [[SimilarityQueries.appendAssignedBatch]]): ids are assigned at
-      * ingest and dense-monotone, so rows below current coverage are
-      * micro-batch REPLAYS (foreachBatch is at-least-once) and are
-      * dropped before the boundary math — the artifact stays
-      * exactly-once however the stream is re-driven. Bootstraps an
-      * empty index at lo = 0. The hash runs on the batch's own payload
-      * — the production shape where bytes are hashed once, at ingest,
-      * and never refetched. */
-    def appendBatch(spark: SparkSession, batch: DataFrame): Unit = {
-      val l = ladder(spark)
-      val cur = if (l.isEmpty) 0L else l.map(_._2).max
-      require(cur != Long.MaxValue,
-        s"$what index is sealed at full coverage; a live ingest " +
-          "artifact must not be sealed (rebuild with train(bound))")
-      val fresh = batch
-        .withColumn("media_id", col("media_id").cast("long"))
-        .filter(col("media_id") >= cur)
-      val hiRow = fresh.agg(max("media_id")).head()
-      if (hiRow.isNullAt(0)) return // whole batch was a replay (or empty)
-      onMutate()
-      writeSlice(spark, hashBatch(fresh), cur, hiRow.getLong(0) + 1L, l)
-    }
-
-    /** Ensure the index covers ids < `bound` (default: full corpus).
-      * Idempotent; partial coverage is ADVANCED by appending; coverage
-      * beyond `bound` forces a from-scratch rebuild at `bound` (a
-      * test-ladder reset, never a production step). */
-    def train(spark: SparkSession, bound: Long = Long.MaxValue): Unit = {
-      this.bound(spark) match {
-        case Some(b) if b == bound => ()
-        case Some(b) if b < bound => append(spark, bound)
-        case _ =>
-          drop(spark)
-          stage(spark, 0L, bound, Nil)
-      }
-    }
-
-    /** Read the committed index at its current coverage: a pure union
-      * of the slice scans. The schema is DECLARED, not inferred — a
-      * slice over a range with no decodable payloads (or the empty seal
-      * slice over a fully-streamed corpus) has no files to infer from.
-      * Row-for-row equal to the inline derivation over the covered
-      * range (the per-payload hash is a pure integer function of the
-      * bytes). */
-    def read(spark: SparkSession): DataFrame = {
-      val l = ladder(spark)
-      require(l.nonEmpty, s"no committed $what signature index at $base")
-      l.map { case (lo, hi) =>
-          spark.read.schema("media_id BIGINT, phash BIGINT")
-            .parquet(slicePath(lo, hi)) }
-        .reduce(_.unionByName(_))
-    }
-  }
+  // The slice/ladder/commit mechanics shared with the shingle index and
+  // the IVF inverted file live in [[graft.sources.SliceLadder]] — one
+  // implementation, per-modality instances below supply only the hash
+  // stage (and cache eviction). Contracts (replay safety, dense-monotone
+  // guard, atomic marker commit, single-writer locking) are documented
+  // there once.
 
   /** The test lake's blob source for the media_id ∈ [lo, hi) range:
     * synthetic PNGs born executor-side from the documents table (the
@@ -278,17 +145,19 @@ object MultimodalQueries {
     Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
   }
 
-  private def mediaSigIndex(dir: String): SigLadder =
-    new SigLadder(mediaSigBase(dir), "image",
-      hashStage = (spark, lo, hi) =>
+  private def mediaSigIndex(dir: String): graft.sources.SliceLadder =
+    new graft.sources.SliceLadder(mediaSigBase(dir), "image signature",
+      idCol = "media_id",
+      readSchema = "media_id BIGINT, phash BIGINT",
+      deriveRange = (spark, lo, hi) =>
         Multimodal.perceptualHashImagePartitioned(
           blobsRange(spark, dir, lo, hi)).toDF(),
-      hashBatch = batch =>
+      deriveBatch = (_, batch) =>
         Multimodal.perceptualHashImagePartitioned(
           batch.select(col("media_id"), col("bytes"))).toDF(),
       onMutate = () => clearMediaSigCache())
 
-  // Image-index public surface (delegating; see SigLadder for contracts)
+  // Image-index public surface (delegating; see SliceLadder for contracts)
   private[graft] def mediaSigLadder(spark: SparkSession,
       dir: String): Seq[(Long, Long)] = mediaSigIndex(dir).ladder(spark)
   def mediaSigBound(spark: SparkSession, dir: String): Option[Long] =
@@ -307,17 +176,18 @@ object MultimodalQueries {
   private[graft] def sigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = mediaSigIndex(dir).read(spark)
 
-  private def audioSigIndex(dir: String): SigLadder =
-    new SigLadder(audioSigBase(dir), "audio",
-      hashStage = (spark, lo, hi) =>
+  private def audioSigIndex(dir: String): graft.sources.SliceLadder =
+    new graft.sources.SliceLadder(audioSigBase(dir), "audio fingerprint",
+      idCol = "media_id",
+      readSchema = "media_id BIGINT, phash BIGINT",
+      deriveRange = (spark, lo, hi) =>
         audioFingerprints(Multimodal.pcmFrameFeatures(
           audioBlobsRange(spark, dir, lo, hi))),
-      hashBatch = batch =>
+      deriveBatch = (_, batch) =>
         audioFingerprints(Multimodal.pcmFrameFeatures(
-          batch.select(col("media_id"), col("bytes")))),
-      onMutate = () => ())
+          batch.select(col("media_id"), col("bytes")))))
 
-  // Audio-index public surface (delegating; see SigLadder for contracts)
+  // Audio-index public surface (delegating; see SliceLadder for contracts)
   private[graft] def audioSigLadder(spark: SparkSession,
       dir: String): Seq[(Long, Long)] = audioSigIndex(dir).ladder(spark)
   def audioSigBound(spark: SparkSession, dir: String): Option[Long] =

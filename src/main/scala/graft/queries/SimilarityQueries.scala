@@ -552,9 +552,10 @@ object SimilarityQueries {
     * (DedupSpec proves the ladder equality directly). The path folds in
     * the centroid model version ("m2" = [[ivfModelPath]]'s v2) so
     * retraining the quantizer self-invalidates persisted assignments.
-    * Layout: `slices/s<lo>-<hi>/c_id=K/` parquet + `ladder.parquet`
-    * written LAST as the commit marker (a crashed append leaves the
-    * ladder at the previous boundary; its partial slice is invisible to
+    * Layout and commit protocol are [[graft.sources.SliceLadder]]'s:
+    * `slices/s<lo>-<hi>/c_id=K/` parquet committed by an append-only
+    * `ladder/` marker written LAST (a crashed append leaves every
+    * earlier slice committed; the partial one is invisible to
     * readers). The slice rows carry the raw vector so within-list
     * ranking stays exact; at 100 TB they would carry PQ codes
     * ([[trainPqCodebooks]]) with a budgeted exact re-rank on top. */
@@ -564,43 +565,45 @@ object SimilarityQueries {
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     s"/root/repo/target/ivf-assign/v1-m2/${new java.io.File(dir).getName}-$tag"
   }
-  private def vecBoundToken(b: Long): String =
-    if (b == Long.MaxValue) "full" else b.toString
-  private def assignSlicePath(dir: String, lo: Long, hi: Long): String =
-    s"${ivfAssignBase(dir)}/slices/s${vecBoundToken(lo)}-${vecBoundToken(hi)}"
-  private def assignLadderPath(dir: String): String =
-    s"${ivfAssignBase(dir)}/ladder.parquet"
+  /** The inverted file's slice-ladder mechanics (paths, atomic marker
+    * commit, replay guard, writer locking) are
+    * [[graft.sources.SliceLadder]]'s — this instance supplies only the
+    * assignment stage (score against the frozen model, argmax) and the
+    * on-disk inverted-list layout (`partitionBy(c_id)`). */
+  private def ivfAssignIndex(dir: String): graft.sources.SliceLadder =
+    new graft.sources.SliceLadder(ivfAssignBase(dir), "IVF inverted file",
+      idCol = "vec_id",
+      readSchema = "vec_id BIGINT, v ARRAY<DOUBLE>, c_id BIGINT",
+      deriveRange = (spark, lo, hi) =>
+        centroidAssigned(scoredAgainstModel(spark, dir,
+          embeddingsOf(spark, dir)
+            .filter(col("vec_id") >= lo && col("vec_id") < hi))),
+      deriveBatch = (spark, batch) =>
+        centroidAssigned(scoredAgainstModel(spark, dir,
+          batch.select(col("vec_id"), col("v")))),
+      writeSliceFiles = (df, path) =>
+        df.write.mode("overwrite").partitionBy("c_id").parquet(path))
 
-  /** The committed slice ladder — empty when no artifact exists. One
-    * row per ingested batch: the driver collect is a manifest read. */
+  /** The committed slice ladder — empty when no artifact exists. */
   private[graft] def ivfAssignLadder(spark: SparkSession,
-      dir: String): Seq[(Long, Long)] =
-    if (!graft.sources.Connectors.pathExists(spark,
-        s"${assignLadderPath(dir)}/_SUCCESS")) Nil
-    else spark.read.parquet(assignLadderPath(dir)).select("lo", "hi")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      dir: String): Seq[(Long, Long)] = ivfAssignIndex(dir).ladder(spark)
 
   /** Current coverage: vectors with vec_id < bound are assigned. None
     * when no committed artifact exists. */
-  def ivfAssignBound(spark: SparkSession, dir: String): Option[Long] = {
-    val l = ivfAssignLadder(spark, dir)
-    if (l.isEmpty) None else Some(l.map(_._2).max)
-  }
+  def ivfAssignBound(spark: SparkSession, dir: String): Option[Long] =
+    ivfAssignIndex(dir).bound(spark)
 
   /** True iff the inverted file covers the FULL corpus — the only state
     * full-corpus consumers (q_semdedup_incremental) may read; a
     * mid-ladder artifact is a continual-ingest state consumed by the
     * append loop at its own boundary. */
   def ivfAssignTrained(spark: SparkSession, dir: String): Boolean =
-    ivfAssignBound(spark, dir).contains(Long.MaxValue)
+    ivfAssignIndex(dir).trained(spark)
 
   /** Delete the persisted inverted file. Rebuild-from-scratch is the
     * EXCEPTIONAL path — a quantizer retrain — never the per-batch one. */
-  def dropIvfAssignments(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(ivfAssignBase(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
-  }
+  def dropIvfAssignments(spark: SparkSession, dir: String): Unit =
+    ivfAssignIndex(dir).drop(spark)
 
   /** Score an arbitrary (vec_id, v) frame against the frozen centroid
     * model — one broadcast join, K vectors. */
@@ -613,60 +616,19 @@ object SimilarityQueries {
         Num.r(expr(dotSpark.format("v", "cv")), 6).as("c_sim"))
   }
 
-  /** Commit one assigned slice: the partitioned slice first, then the
-    * ladder — the ladder write IS the commit marker. */
-  private def writeAssignedSlice(spark: SparkSession, dir: String,
-      assigned: DataFrame, lo: Long, hi: Long,
-      priorLadder: Seq[(Long, Long)]): Unit = {
-    assigned.write.mode("overwrite").partitionBy("c_id")
-      .parquet(assignSlicePath(dir, lo, hi))
-    import spark.implicits._
-    (priorLadder :+ ((lo, hi))).toDF("lo", "hi").coalesce(1)
-      .write.mode("overwrite").parquet(assignLadderPath(dir))
-  }
-
-  /** One append step: assign the vec_id ∈ [lo, hi) range against the
-    * frozen model (the scan prunes on the pushed vec_id predicate),
-    * write the slice partitioned by list, then the ladder. */
-  private def assignStage(spark: SparkSession, dir: String, lo: Long,
-      hi: Long, priorLadder: Seq[(Long, Long)]): Unit =
-    writeAssignedSlice(spark, dir,
-      centroidAssigned(scoredAgainstModel(spark, dir,
-        embeddingsOf(spark, dir)
-          .filter(col("vec_id") >= lo && col("vec_id") < hi))),
-      lo, hi, priorLadder)
-
   /** STREAMING-ingest append: assign one arriving micro-batch of
     * (vec_id, v) rows and commit it as the inverted file's next slice —
     * the `foreachBatch` body behind
-    * [[graft.streaming.StreamingPipeline.ingestVectorsSink]].
-    *
-    * Contract and replay safety: vec_ids are assigned at ingest and
-    * dense-monotone (the [[ivfAssignBase]] ingest-order model), so any
-    * row below current coverage is a micro-batch REPLAY (foreachBatch
-    * is at-least-once across restarts) and is dropped before the
-    * boundary math — a fully-replayed batch commits nothing, a
-    * partially-replayed one commits exactly its fresh suffix. The
-    * artifact therefore stays exactly-once however the stream is
-    * re-driven. Bootstraps an empty artifact at lo = 0. */
+    * [[graft.streaming.StreamingPipeline.ingestVectorsSink]]. Replay
+    * safety and the (guarded) dense-monotone vec_id contract are
+    * [[graft.sources.SliceLadder.appendBatch]]'s. */
   def appendAssignedBatch(spark: SparkSession, dir: String,
       batch: DataFrame): Unit = {
     if (!ivfModelTrained(spark, dir))
       throw new IllegalStateException(
         s"IVF centroid model missing for $dir — run " +
           "trainIvfCentroids(spark, dir) before streaming vector ingest")
-    val ladder = ivfAssignLadder(spark, dir)
-    val cur = if (ladder.isEmpty) 0L else ladder.map(_._2).max
-    require(cur != Long.MaxValue,
-      "inverted file is sealed at full coverage; a live ingest artifact " +
-        "must not be sealed (rebuild with trainIvfAssignments(bound))")
-    val fresh = batch.select(col("vec_id"), col("v"))
-      .filter(col("vec_id") >= cur)
-    val hiRow = fresh.agg(max("vec_id")).head()
-    if (hiRow.isNullAt(0)) return // whole batch was a replay (or empty)
-    writeAssignedSlice(spark, dir,
-      centroidAssigned(scoredAgainstModel(spark, dir, fresh)),
-      cur, hiRow.getLong(0) + 1L, ladder)
+    ivfAssignIndex(dir).appendBatch(spark, batch)
   }
 
   /** Advance the inverted file to `batchBound` by assigning and
@@ -675,18 +637,8 @@ object SimilarityQueries {
     * refuses to go backwards (that is a rebuild:
     * [[dropIvfAssignments]] + [[trainIvfAssignments]]). */
   def appendIvfAssignments(spark: SparkSession, dir: String,
-      batchBound: Long): Unit = {
-    val ladder = ivfAssignLadder(spark, dir)
-    require(ladder.nonEmpty,
-      s"appendIvfAssignments: no committed assignment artifact for $dir " +
-        "— trainIvfAssignments(spark, dir, bound) first")
-    val cur = ladder.map(_._2).max
-    if (cur == batchBound) return
-    require(batchBound > cur,
-      s"appendIvfAssignments: batchBound $batchBound must exceed current " +
-        s"coverage $cur (shrinking coverage is a rebuild, not an append)")
-    assignStage(spark, dir, cur, batchBound, ladder)
-  }
+      batchBound: Long): Unit =
+    ivfAssignIndex(dir).append(spark, batchBound)
 
   /** Ensure the inverted file covers vec_id < `bound` (default: full
     * corpus). Idempotent; partial coverage is ADVANCED by appending;
@@ -700,13 +652,7 @@ object SimilarityQueries {
       throw new IllegalStateException(
         s"IVF centroid model missing for $dir — run " +
           "trainIvfCentroids(spark, dir) before trainIvfAssignments")
-    ivfAssignBound(spark, dir) match {
-      case Some(b) if b == bound => ()
-      case Some(b) if b < bound => appendIvfAssignments(spark, dir, bound)
-      case _ =>
-        dropIvfAssignments(spark, dir)
-        assignStage(spark, dir, 0L, bound, Nil)
-    }
+    ivfAssignIndex(dir).train(spark, bound)
   }
 
   /** Read the committed inverted file at its current coverage: a pure
@@ -717,15 +663,9 @@ object SimilarityQueries {
     * equal to [[centroidAssigned]]∘[[centroidScored]] over the covered
     * range — the frozen-model argument in [[ivfAssignBase]]'s doc. */
   private[graft] def assignmentsFromIndex(spark: SparkSession,
-      dir: String): DataFrame = {
-    val ladder = ivfAssignLadder(spark, dir)
-    require(ladder.nonEmpty, s"no committed assignment artifact for $dir")
-    ladder.map { case (lo, hi) =>
-        spark.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, c_id BIGINT")
-          .parquet(assignSlicePath(dir, lo, hi)) }
-      .reduce(_.unionByName(_))
+      dir: String): DataFrame =
+    ivfAssignIndex(dir).read(spark)
       .select(col("vec_id"), col("v"), col("c_id"))
-  }
 
   /** IVF ANN: coarse quantization against the k-means centroids trained
     * by [[trainIvfCentroids]] (read back from the persisted model table),

@@ -1,0 +1,258 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE slice-ladder implementation behind every append-maintained
+  * lake artifact in the engine — the text shingle index
+  * ([[graft.queries.DedupQueries]]), the IVF inverted file
+  * ([[graft.queries.SimilarityQueries]]) and the image/audio signature
+  * indexes ([[graft.queries.MultimodalQueries]]) all instantiate this
+  * instead of re-implementing the mechanics (three divergent copies is
+  * how commit-marker or replay-contract drift stays invisible until a
+  * crash).
+  *
+  * The artifact model: a 100 TB lake's expensive per-item derivation
+  * (shingling, quantizer assignment, pixel decode, audio framing) runs
+  * exactly once per item, AT INGEST, into an append-only artifact under
+  * `base/`:
+  *
+  *  - `slices/s<lo>-<hi>/` — the derived rows of ids ∈ [lo, hi). Written
+  *    whole, never rewritten by later appends. A per-modality
+  *    [[prepareSlice]] hook may write side artifacts keyed to `hi` (the
+  *    shingle df census) before the rows land.
+  *  - `ladder/e<lo>-<hi>` — one EMPTY MARKER FILE per committed slice,
+  *    created LAST via a same-directory temp + rename: the artifact's
+  *    commit. The ladder is reconstructed by listing the directory, so
+  *    no step ever rewrites (or deletes) previously committed manifest
+  *    state — a crash at ANY point leaves every earlier slice committed
+  *    and the in-flight slice invisible. (The earlier `ladder.parquet`
+  *    design rewrote the whole manifest with mode("overwrite"), whose
+  *    delete-then-write window could orphan the entire artifact and made
+  *    a restarted streaming ingest bootstrap at id 0 — silent data
+  *    loss.) Rename-as-commit is atomic on HDFS and POSIX; an object
+  *    store would swap in its conditional-put here.
+  *
+  * Coverage is by ID RANGE, not row presence: a range whose items all
+  * fail to derive (undecodable blobs) commits a valid empty slice —
+  * hence reads DECLARE the slice schema instead of inferring it.
+  *
+  * Concurrency: appends are read-modify-write on the covered bound, so
+  * the artifact assumes a SINGLE WRITER — the ingest pipeline that owns
+  * it (exactly one streaming sink or compaction loop per artifact).
+  * Within this JVM that is enforced: every mutating op serializes on a
+  * per-`base` lock, so a streaming sink and a train/append/compact call
+  * racing from another thread cannot both read the same prior bound and
+  * orphan each other's slice. Cross-process single-writer stays a
+  * deployment contract (one owner per artifact root), as it is for any
+  * lake-format manifest without a lock service.
+  *
+  * Replay contract (streaming [[appendBatch]]): ids are assigned at
+  * ingest and DENSE-MONOTONE — micro-batch N+1 starts exactly where N
+  * ended, every id in between present. Rows below current coverage are
+  * micro-batch REPLAYS (foreachBatch is at-least-once across restarts)
+  * and are dropped before the boundary math, so the artifact stays
+  * exactly-once however the stream is re-driven. The contract is
+  * GUARDED, not assumed: a fresh batch whose ids start above the bound,
+  * or with holes in its range, fails fast — silently committing
+  * coverage over unprocessed ids would drop them forever as "replays".
+  */
+final class SliceLadder(
+    val base: String,
+    what: String,
+    /** the dense-monotone id column (cast to long at the batch boundary) */
+    idCol: String,
+    /** declared slice read schema — inference dies on empty slices */
+    readSchema: String,
+    /** derive slice rows for ids ∈ [lo, hi) from the lake (range appends) */
+    deriveRange: (SparkSession, Long, Long) => DataFrame,
+    /** derive slice rows from an arriving micro-batch's own payload */
+    deriveBatch: (SparkSession, DataFrame) => DataFrame,
+    /** post-derivation hook run before the slice lands: may write side
+      * artifacts keyed to `hi` (census merge) and reshape the rows */
+    prepareSlice: (SparkSession, DataFrame, Long, Long) => DataFrame =
+      (_, df, _, _) => df,
+    /** how slice rows land on disk (e.g. partitionBy the list id) */
+    writeSliceFiles: (DataFrame, String) => Unit =
+      (df, path) => df.write.mode("overwrite").parquet(path),
+    /** evict session caches over the artifact's files on any mutation */
+    onMutate: () => Unit = () => (),
+    /** the "covers the full corpus" bound (Int.MaxValue for artifacts
+      * whose boundary space is 32-bit, e.g. src_num) */
+    sentinel: Long = Long.MaxValue) {
+
+  private def tok(b: Long): String = if (b == sentinel) "full" else b.toString
+  private def untok(s: String): Long = if (s == "full") sentinel else s.toLong
+  private[graft] def slicePath(lo: Long, hi: Long): String =
+    s"$base/slices/s${tok(lo)}-${tok(hi)}"
+  private def markerDir: String = s"$base/ladder"
+  private val MarkerRe = "^e(\\d+|full)-(\\d+|full)$".r
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def lock: Object =
+    SliceLadder.locks.getOrElseUpdate(base, new Object)
+
+  /** The committed slice ladder — empty when no artifact exists. A
+    * directory listing of the marker files: tiny by construction (one
+    * entry per ingested batch), and validated CONTIGUOUS from 0 — a
+    * gap or overlap means manifest corruption and must surface, not be
+    * read through. */
+  def ladder(spark: SparkSession): Seq[(Long, Long)] = {
+    val d = new Path(markerDir)
+    val hfs = fs(spark, markerDir)
+    if (!hfs.exists(d)) Nil
+    else {
+      val entries = hfs.listStatus(d).toSeq.map(_.getPath.getName)
+        .collect { case MarkerRe(a, b) => (untok(a), untok(b)) }
+        .sortBy(_._1)
+      entries.headOption.foreach { h =>
+        require(h._1 == 0L,
+          s"$what ladder at $base is corrupt: first slice starts at " +
+            s"${h._1}, not 0") }
+      entries.sliding(2).foreach {
+        case Seq((_, hiA), (loB, _)) =>
+          require(hiA == loB,
+            s"$what ladder at $base is corrupt: slice boundary $hiA is " +
+              s"followed by $loB (gap or overlap)")
+        case _ => ()
+      }
+      entries
+    }
+  }
+
+  /** Current coverage: ids < bound are derived. None = no artifact. */
+  def bound(spark: SparkSession): Option[Long] = {
+    val l = ladder(spark)
+    if (l.isEmpty) None else Some(l.map(_._2).max)
+  }
+
+  /** True iff the artifact covers the FULL corpus — the only state a
+    * production query path may substitute for the inline derivation; a
+    * mid-ladder artifact is a continual-ingest state consumed by the
+    * append loop at its own boundary. */
+  def trained(spark: SparkSession): Boolean =
+    bound(spark).contains(sentinel)
+
+  /** Delete the persisted artifact (and evict cached readers of its
+    * files). Rebuild-from-scratch is the EXCEPTIONAL path — a scheme or
+    * model change — never the per-batch one. */
+  def drop(spark: SparkSession): Unit = lock.synchronized {
+    onMutate()
+    val p = new Path(base)
+    val hfs = fs(spark, base)
+    if (hfs.exists(p)) { hfs.delete(p, true); () }
+  }
+
+  /** The commit: slice files (and side artifacts) are already on disk —
+    * create the marker via same-directory temp + rename. After this
+    * returns, readers see the slice; before it, they cannot. */
+  private def commitMarker(spark: SparkSession, lo: Long, hi: Long): Unit = {
+    val hfs = fs(spark, markerDir)
+    hfs.mkdirs(new Path(markerDir))
+    val name = s"e${tok(lo)}-${tok(hi)}"
+    val tmp = new Path(markerDir, s".tmp-$name")
+    hfs.create(tmp, true).close()
+    val fin = new Path(markerDir, name)
+    if (!hfs.rename(tmp, fin)) {
+      hfs.delete(tmp, false)
+      require(hfs.exists(fin),
+        s"$what commit of [$lo, $hi) failed: could not rename $tmp")
+    }
+  }
+
+  private def stage(spark: SparkSession, rows: DataFrame, lo: Long,
+      hi: Long): Unit = {
+    writeSliceFiles(prepareSlice(spark, rows, lo, hi), slicePath(lo, hi))
+    commitMarker(spark, lo, hi)
+  }
+
+  /** Advance the artifact to `batchBound` by deriving ONLY the new id
+    * range from the lake — the per-ingest maintenance step. Idempotent
+    * at the target boundary; refuses to go backwards (that is a
+    * rebuild: [[drop]] + [[train]]). */
+  def append(spark: SparkSession, batchBound: Long): Unit =
+    lock.synchronized {
+      val l = ladder(spark)
+      require(l.nonEmpty,
+        s"$what append: no committed artifact at $base — " +
+          "train(spark, bound) first")
+      val cur = l.map(_._2).max
+      if (cur == batchBound) return
+      require(batchBound > cur,
+        s"$what append: batchBound $batchBound must exceed current " +
+          s"coverage $cur (shrinking coverage is a rebuild, not an append)")
+      onMutate()
+      stage(spark, deriveRange(spark, cur, batchBound), cur, batchBound)
+    }
+
+  /** STREAMING-ingest append: derive one arriving micro-batch's rows
+    * from its own payload and commit them as the next slice — the
+    * `foreachBatch` body behind the per-modality ingest sinks. Replays
+    * (ids below coverage) are dropped; the fresh remainder must satisfy
+    * the dense-monotone contract (guarded — see the class doc).
+    * Bootstraps an empty artifact at lo = 0. */
+  def appendBatch(spark: SparkSession, batch: DataFrame): Unit =
+    lock.synchronized {
+      val l = ladder(spark)
+      val cur = if (l.isEmpty) 0L else l.map(_._2).max
+      require(cur != sentinel,
+        s"$what artifact is sealed at full coverage; a live ingest " +
+          "artifact must not be sealed (rebuild with train(bound))")
+      val fresh = batch
+        .withColumn(idCol, col(idCol).cast("long"))
+        .filter(col(idCol) >= cur)
+      val st = fresh
+        .agg(min(idCol), max(idCol), countDistinct(idCol)).head()
+      if (st.isNullAt(0)) return // whole batch was a replay (or empty)
+      val (lo, hi, n) = (st.getLong(0), st.getLong(1) + 1L, st.getLong(2))
+      require(lo == cur,
+        s"$what ingest broke the dense-monotone id contract: fresh ids " +
+          s"start at $lo but coverage ends at $cur — committing would " +
+          s"claim ids [$cur, $lo) as covered without processing them")
+      require(n == hi - cur,
+        s"$what ingest broke the dense-monotone id contract: range " +
+          s"[$cur, $hi) spans ${hi - cur} ids but the batch carries $n " +
+          "distinct — the holes would be dropped as replays forever")
+      onMutate()
+      stage(spark, deriveBatch(spark, fresh), cur, hi)
+    }
+
+  /** Ensure the artifact covers ids < `bound` (default: full corpus).
+    * Idempotent; partial coverage is ADVANCED by appending; coverage
+    * beyond `bound` forces a from-scratch rebuild at `bound` (a
+    * test-ladder reset, never a production step). */
+  def train(spark: SparkSession, bound: Long = sentinel): Unit =
+    lock.synchronized {
+      this.bound(spark) match {
+        case Some(b) if b == bound => ()
+        case Some(b) if b < bound => append(spark, bound)
+        case _ =>
+          drop(spark)
+          stage(spark, deriveRange(spark, 0L, bound), 0L, bound)
+      }
+    }
+
+  /** Read the committed artifact at its current coverage: a pure union
+    * of the slice scans under the DECLARED schema. Row-for-row equal to
+    * the inline derivation over the covered range (per-modality ladder
+    * specs prove the equality; the shingle index composes a census
+    * anti-join on top — see its reader). */
+  def read(spark: SparkSession): DataFrame = {
+    val l = ladder(spark)
+    require(l.nonEmpty, s"no committed $what artifact at $base")
+    l.map { case (lo, hi) =>
+        spark.read.schema(readSchema).parquet(slicePath(lo, hi)) }
+      .reduce(_.unionByName(_))
+  }
+}
+
+object SliceLadder {
+  /** Per-artifact-root writer locks (see the class doc's concurrency
+    * contract). Keyed by `base`, which folds in the absolute lake dir,
+    * so two lakes never share a lock. */
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SliceLadder
+
+/** The shared slice-ladder mechanics behind every append-maintained lake
+  * artifact (shingle index, IVF inverted file, media/audio signature
+  * indexes), tested in isolation over a 20-id fake lake: atomic commit
+  * (a crash at ANY point never orphans committed state), the guarded
+  * dense-monotone replay contract, and manifest-corruption fail-fast.
+  * The per-modality ladder-equality specs (DedupSpec / MediaSpec /
+  * StreamingSpec) prove each instance's derivation; this suite proves
+  * the mechanics those proofs stand on. */
+class SliceLadderSpec extends SparkSpec {
+
+  private val LakeRows = 20L
+
+  /** A ladder whose derivation is a pure function of the id — (id, 2·id)
+    * — so read output is checkable arithmetic. `failStage` injects a
+    * crash INSIDE the slice write, after files may be partially on disk
+    * but before the marker commit. */
+  private def mkLadder(base: String,
+      failStage: () => Boolean = () => false): SliceLadder =
+    new SliceLadder(base, "test artifact",
+      idCol = "id",
+      readSchema = "id BIGINT, v BIGINT",
+      deriveRange = (spark, lo, hi) =>
+        spark.range(lo, math.min(hi, LakeRows))
+          .select(col("id"), (col("id") * 2).as("v")),
+      deriveBatch = (_, batch) =>
+        batch.select(col("id"), (col("id") * 2).as("v")),
+      writeSliceFiles = (df, path) => {
+        df.write.mode("overwrite").parquet(path)
+        if (failStage())
+          throw new RuntimeException("injected crash after slice write")
+      })
+
+  private def tmpBase(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ladder_$tag").toString +
+      "/artifact"
+
+  test("append and train maintain a contiguous ladder; read equals the derivation") {
+    val lad = mkLadder(tmpBase("basic"))
+    lad.train(spark, 8L)
+    assert(lad.bound(spark) == Some(8L) && !lad.trained(spark))
+    lad.append(spark, 14L)
+    lad.append(spark, Long.MaxValue)
+    assert(lad.trained(spark))
+    assert(lad.ladder(spark) ==
+      Seq((0L, 8L), (8L, 14L), (14L, Long.MaxValue)))
+    val got = lad.read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements((0L until LakeRows).map(i => (i, i * 2))))
+    // idempotence + backwards refusal
+    lad.train(spark)
+    assert(lad.ladder(spark).size == 3)
+    intercept[IllegalArgumentException] { lad.append(spark, 10L) }
+  }
+
+  test("a crash between slice write and marker commit orphans nothing: earlier slices stay committed, the partial slice is invisible, the append re-drives") {
+    var arm = false
+    val lad = mkLadder(tmpBase("crash"), failStage = () => arm)
+    lad.train(spark, 10L)
+    val before = lad.ladder(spark)
+    arm = true
+    intercept[RuntimeException] { lad.append(spark, 16L) }
+    // THE contract the old rewrite-the-whole-manifest design broke: a
+    // crashed append must leave the ladder exactly at the previous
+    // boundary — never empty (which would make a restarted streaming
+    // ingest bootstrap at id 0 and silently orphan all earlier slices)
+    assert(lad.ladder(spark) == before,
+      "crashed append must not change committed state")
+    assert(lad.read(spark).count() == 10L,
+      "the partial slice must be invisible to readers")
+    arm = false
+    lad.append(spark, 16L) // the re-drive overwrites the partial slice
+    assert(lad.bound(spark) == Some(16L))
+    assert(lad.read(spark).count() == 16L)
+  }
+
+  test("streaming appendBatch: replays are dropped, the dense-monotone contract is guarded, sealed artifacts refuse ingest") {
+    import spark.implicits._
+    val lad = mkLadder(tmpBase("batch"))
+    def batchOf(ids: Seq[Long]): DataFrame = ids.toDF("id")
+    lad.appendBatch(spark, batchOf(0L to 4L))   // bootstrap at 0
+    lad.appendBatch(spark, batchOf(5L to 9L))
+    assert(lad.bound(spark) == Some(10L) && lad.ladder(spark).size == 2)
+    // full replay (at-least-once re-delivery) commits nothing
+    lad.appendBatch(spark, batchOf(0L to 9L))
+    assert(lad.ladder(spark).size == 2)
+    // partial replay commits exactly the fresh suffix
+    lad.appendBatch(spark, batchOf(7L to 12L))
+    assert(lad.bound(spark) == Some(13L))
+    assert(lad.read(spark).count() == 13L)
+    // GUARD 1: fresh ids starting above coverage — committing would
+    // claim the skipped ids as covered without processing them
+    val gapHigh = intercept[IllegalArgumentException] {
+      lad.appendBatch(spark, batchOf(15L to 17L))
+    }
+    assert(gapHigh.getMessage.contains("dense-monotone"))
+    // GUARD 2: a hole inside the fresh range — the missing id would be
+    // dropped as a replay forever
+    val hole = intercept[IllegalArgumentException] {
+      lad.appendBatch(spark, batchOf(Seq(13L, 15L)))
+    }
+    assert(hole.getMessage.contains("dense-monotone"))
+    // neither failed guard may have committed anything
+    assert(lad.bound(spark) == Some(13L) && lad.ladder(spark).size == 3)
+    // GUARD 3: a sealed artifact refuses live ingest
+    lad.append(spark, Long.MaxValue)
+    intercept[IllegalArgumentException] {
+      lad.appendBatch(spark, batchOf(Seq(20L)))
+    }
+  }
+
+  test("manifest corruption fails fast: a gapped or non-zero-origin ladder is an error, not a read-through") {
+    val base = tmpBase("corrupt")
+    val lad = mkLadder(base)
+    lad.train(spark, 6L)
+    lad.append(spark, 12L)
+    // simulate a lost marker (manual deletion / partial restore)
+    val gone = new java.io.File(s"$base/ladder/e0-6")
+    assert(gone.delete())
+    intercept[IllegalArgumentException] { lad.ladder(spark) }
+    intercept[IllegalArgumentException] { lad.read(spark) }
+  }
+
+  test("concurrent appendBatch from racing threads serializes: every id covered exactly once") {
+    import spark.implicits._
+    val lad = mkLadder(tmpBase("race"))
+    lad.appendBatch(spark, (0L to 3L).toDF("id"))
+    // two writers race the same read-modify-write append window; the
+    // per-base lock serializes them, so one commits [4, 8) and the
+    // other then sees cur = 8 and commits nothing (its rows replay)
+    val t1 = new Thread(() =>
+      lad.appendBatch(spark, (4L to 7L).toDF("id")))
+    val t2 = new Thread(() =>
+      lad.appendBatch(spark, (4L to 7L).toDF("id")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(lad.bound(spark) == Some(8L))
+    val got = lad.read(spark).groupBy("id").count()
+      .filter(col("count") > 1).count()
+    assert(got == 0L, "no id may be committed twice")
+  }
+}
