@@ -521,6 +521,29 @@ object StreamingPipeline {
           batch.sparkSession, dir, batch)
       }
 
+  /** Continual-ingest sink for the TEXT modality — the fourth leg of
+    * the per-modality ingest set (vectors → IVF inverted file, images →
+    * signature index, audio → fingerprint index, documents → SHINGLE
+    * INDEX): each micro-batch of arriving (doc_id, source, text)
+    * documents is shingled executor-side and committed as the next
+    * slice of the persisted shingle index, census merge included, so
+    * the corpus tokenize+hash pass — the expensive stage every dedup /
+    * decontamination query reads — runs exactly once per document, at
+    * ingest. Until now the text index was appended only by the batch
+    * compaction loop; this sink closes the symmetry gap. Replay-safe
+    * under the same guarded dense-monotone contract as the other three
+    * sinks, plus the text-specific source-atomic batch contract — see
+    * [[graft.queries.DedupQueries.appendShingleBatch]]. */
+  def ingestDocsSink(src: DataFrame, dir: String):
+      DataStreamWriter[org.apache.spark.sql.Row] =
+    src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.DedupQueries.appendShingleBatch(
+          batch.sparkSession, dir, batch)
+      }
+
   /** Insert-if-absent sink: per micro-batch, left-anti the batch against
     * the existing keys then append — A15's ON CONFLICT DO NOTHING for an
     * arbitrary table. `existing` is re-read per batch so repeated keys

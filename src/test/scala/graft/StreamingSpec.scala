@@ -691,6 +691,68 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == expected)
   }
 
+  test("streaming document ingest maintains the shingle index: stream-built equals from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    def snapshot() = DedupQueries.shingleHashesFromIndex(spark, dir)
+      .select("doc_id", "src_num", "h")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    DedupQueries.dropShingleIndex(spark, dir)
+    DedupQueries.trainShingleIndex(spark, dir)
+    val expected = snapshot()
+    assert(expected.nonEmpty)
+    DedupQueries.dropShingleIndex(spark, dir)
+    // SOURCE-ATOMIC micro-batches (whole sources per batch — the text
+    // modality's producer contract; see appendShingleBatch)
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "text",
+        "cast(substring(source, 4, 8) AS INT) AS src_num")
+      .as[(Long, String, String, Int)].collect()
+    val srcMax = docs.map(_._4).max
+    val cut = srcMax / 2
+    def rows(lo: Int, hi: Int): Seq[(Long, String, String)] =
+      docs.filter(d => d._4 >= lo && d._4 <= hi)
+        .map(d => (d._1, d._2, d._3)).toSeq
+    // two ingest sessions against ONE checkpoint: the second resumes
+    // and processes only the sources added after the first drained
+    val ckpt = Files.createTempDirectory("graft_docs_ingest").toString
+    val mem = MemoryStream[(Long, String, String)]
+    def drain(): Unit =
+      StreamingPipeline.ingestDocsSink(
+          mem.toDF.toDF("doc_id", "source", "text"), dir)
+        .option("checkpointLocation", ckpt).start().awaitTermination()
+    mem.addData(rows(0, cut))
+    drain()
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(cut + 1))
+    mem.addData(rows(cut + 1, srcMax))
+    drain()
+    assert(DedupQueries.shingleIndexLadder(spark, dir).size == 2,
+      "each drained micro-batch must commit exactly one slice")
+    // replay safety: a FRESH query (no checkpoint) re-delivers every
+    // row; the append drops already-covered sources and commits nothing
+    val mem2 = MemoryStream[(Long, String, String)]
+    mem2.addData(rows(0, srcMax))
+    StreamingPipeline.ingestDocsSink(
+        mem2.toDF.toDF("doc_id", "source", "text"), dir)
+      .start().awaitTermination()
+    assert(DedupQueries.shingleIndexLadder(spark, dir).size == 2,
+      "replayed sources must not re-commit")
+    // stream-built index reads row-for-row like the offline one-shot
+    // build: mid-ladder slices were capped against PARTIAL censuses,
+    // and the reader's anti-join against the final census drops exactly
+    // the late-crossing rows (the monotone-hot exactness argument — now
+    // proven for the streaming writer too, same reader)
+    assert(snapshot() == expected)
+    // sealing for full-corpus consumers (shingleHashesCached) appends
+    // an EMPTY top slice over the already-streamed corpus — reads must
+    // survive it and the census must carry over unchanged
+    DedupQueries.trainShingleIndex(spark, dir)
+    assert(DedupQueries.shingleIndexTrained(spark, dir))
+    assert(snapshot() == expected)
+  }
+
   test("streaming media ingest maintains the signature index: stream-built equals from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
