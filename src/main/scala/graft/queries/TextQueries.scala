@@ -26,6 +26,19 @@ object TextQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private def sqlSet(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Spark-side marker-list membership: `array_contains` against ONE
+    * array literal (Catalyst constant-folds it to a single ArrayData
+    * scanned by a fixed-size loop) instead of an inlined
+    * `IN ('a','b',…)` chain, whose expression tree — and therefore plan
+    * construction and codegen size — grows per element. Keeps compile
+    * cost O(1) in the vocabulary, so a production-sized stopword list
+    * still plans in milliseconds (BENCH r13 flagged q_pipeline_e2e's
+    * cold as IN-set compile cost). Semantically identical to IN here:
+    * whitespace tokens are never null. Oracle SQL keeps IN — DuckDB
+    * inlines either way and the outputs are bit-identical. */
+  private def sparkSetContains(item: String, xs: Seq[String]) =
+    s"array_contains(array(${xs.map(s => s"'$s'").mkString(", ")}), $item)"
+
   /** Token counting: whitespace tokens + BPE-ish segment count (B-ops of a
     * data pipeline; reference analog: none — north-star extension). */
   private def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -45,7 +58,7 @@ object TextQueries {
         "doc_id",
         s"cast(size($toks) AS BIGINT) AS n_tokens",
         s"round(length(text) / cast(size($toks) AS DOUBLE) + 1e-9, 4) AS mean_tok_len",
-        s"""round(size(filter($toks, t -> t IN ${sqlSet(stopwords)}))
+        s"""round(size(filter($toks, t -> ${sparkSetContains("t", stopwords)}))
             / cast(size($toks) AS DOUBLE) + 1e-9, 4) AS stopword_ratio""",
         """round((length(text) - length(regexp_replace(text, '[.,!?;:]', '')))
             / cast(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio""")
@@ -66,7 +79,7 @@ object TextQueries {
   private def langId(spark: SparkSession, dir: String): DataFrame = {
     val scored = langMarkers.foldLeft(Tables(spark, dir, "documents")) {
       case (df, (l, ms)) => df.withColumn(s"s_$l",
-        expr(s"size(filter($toks, t -> t IN ${sqlSet(ms)}))"))
+        expr(s"size(filter($toks, t -> ${sparkSetContains("t", ms)}))"))
     }
     val best = langMarkers.map(_._1)
       .foldLeft(lit(0))((acc, l) => greatest(acc, col(s"s_$l")))
@@ -1405,7 +1418,7 @@ object TextQueries {
   def qualityScoreExpr(textCol: String): String = {
     val t = s"split(trim($textCol), '\\\\s+')"
     s"""round((CASE WHEN size($t) >= 20 THEN 0.5D ELSE 0.0D END) +
-         (CASE WHEN round(size(filter($t, x -> x IN ${sqlSet(stopwords)}))
+         (CASE WHEN round(size(filter($t, x -> ${sparkSetContains("x", stopwords)}))
                  / cast(size($t) AS DOUBLE) + 1e-9, 4) > 0.01
                THEN 0.3D ELSE 0.0D END) +
          (CASE WHEN round((length($textCol) -
@@ -1778,12 +1791,12 @@ object TextQueries {
     * exactly two exchanges. */
   private def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     val scoreCols = langMarkers.map { case (l, ms) =>
-      s"size(filter($toks, t -> t IN ${sqlSet(ms)})) AS s_$l"
+      s"size(filter($toks, t -> ${sparkSetContains("t", ms)})) AS s_$l"
     }
     val base = Tables(spark, dir, "documents").selectExpr(Seq(
       "doc_id", "source",
       s"cast(size($toks) AS BIGINT) AS n_tokens",
-      s"""round(size(filter($toks, t -> t IN ${sqlSet(stopwords)}))
+      s"""round(size(filter($toks, t -> ${sparkSetContains("t", stopwords)}))
           / cast(size($toks) AS DOUBLE) + 1e-9, 4) AS stopword_ratio""",
       """round((length(text) - length(regexp_replace(text, '[.,!?;:]', '')))
           / cast(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio""",
