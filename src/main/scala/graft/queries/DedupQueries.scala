@@ -1501,8 +1501,43 @@ object DedupQueries {
     // loop), append the batch's slice + census merge HERE — the batch
     // is shingled ONCE as it is compacted in, and the merge below (and
     // every later stage) reads the slice instead of re-shingling.
-    if (shingleIndexBound(spark, dir).contains(lakeBound))
+    if (shingleIndexBound(spark, dir).contains(lakeBound)) {
+      val priorHot = spark.read.parquet(censusPath(dir, lakeBound.toLong))
+        .filter(col("df") > StopShingleDf).select("h")
       appendShingleIndex(spark, dir, batchBound)
+      // CAP-CROSSER GUARD: the merge ≡ retraining theorem below relies
+      // on the lake prior's jaccards and the corpus-wide cap agreeing —
+      // which they do exactly when no shingle crosses StopShingleDf
+      // between the boundary census the prior was computed under and
+      // the census this append just merged. The index READ path absorbs
+      // crossers (monotone-hot anti-join), but labels already BAKED
+      // into the prior cannot be un-merged, so a crosser occurring in
+      // any already-labeled (src_num < lakeBound) document makes the
+      // persisted prior silently divergent from from-scratch
+      // retraining. Detect exactly that hazard and FAIL before
+      // persisting: the recovery is the documented exceptional path, a
+      // label retrain over the advanced lake ([[trainClusterLabels]]
+      // after [[dropShingleIndex]]), never a silent divergence. Cost:
+      // the hot sets are census-bounded (≤ distinct-shingles / cap) and
+      // the occurrence probe is a broadcast semi-join against them.
+      val crossers = spark.read
+        .parquet(censusPath(dir, batchBound.toLong))
+        .filter(col("df") > StopShingleDf).select("h")
+        .join(broadcast(priorHot), Seq("h"), "left_anti")
+      val baked = shingleIndex(dir).read(spark)
+        .filter(col("src_num") < lakeBound)
+        .join(broadcast(crossers), Seq("h"), "left_semi")
+        .limit(1).count()
+      if (baked > 0)
+        throw new IllegalStateException(
+          s"compactClusterLabels: a shingle crossed the df cap " +
+            s"($StopShingleDf) between boundary $lakeBound and " +
+            s"${boundToken(batchBound.toLong)}, and it occurs in " +
+            "already-labeled lake documents — the persisted prior's " +
+            "jaccards counted it, a from-scratch retrain would not, so " +
+            "the incremental merge would silently diverge. Retrain the " +
+            "labels over the advanced lake (trainClusterLabels) instead.")
+    }
     val merged = clustersIncrementalLabels(spark, dir, lakeBound, batchBound)
       .select("doc_id", "cluster_id")
     val kind =

@@ -333,6 +333,38 @@ class DedupSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("compaction refuses to persist a prior made stale by a cap-crossing shingle") {
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    // Same planted shape as the read-exactness test above: the
+    // boilerplate trigram is under the cap at the lake boundary (600
+    // occurrences) — so the lake prior's jaccards COUNTED it — and over
+    // the cap (1200) once the batch census merges in. The index READ
+    // absorbs that (monotone-hot anti-join), but labels baked into the
+    // persisted prior cannot be un-merged, so the continual-ingest
+    // compaction must FAIL VISIBLY instead of persisting a prior that
+    // silently diverges from from-scratch retraining.
+    val dir = "/root/repo/target/tmp/capcross-compact"
+    val n = 600
+    (0 until 2 * n).map { i =>
+      (i.toLong, if (i < n) "src0" else "src10",
+        s"click here now u${i}a u${i}b u${i}c")
+    }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    DedupQueries.dropShingleIndex(spark, dir)
+    DedupQueries.trainShingleIndex(spark, dir, bound = 10)
+    val e = intercept[IllegalStateException] {
+      DedupQueries.compactClusterLabels(spark, dir,
+        lakeBound = 10, batchBound = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("crossed the df cap"))
+    // the refusal must come BEFORE anything is persisted
+    assert(!DedupQueries.clusterModelTrained(spark, dir, "text"),
+      "a refused compaction must not persist labels")
+    DedupQueries.dropShingleIndex(spark, dir)
+    DedupQueries.clearShingleCache()
+  }
+
   test("staged compaction property: random boundary ladders equal from-scratch at every prefix") {
     import graft.queries.DedupQueries
     import org.scalacheck.Gen
