@@ -1517,16 +1517,17 @@ object DedupQueries {
       // retraining. Detect exactly that hazard and FAIL before
       // persisting: the recovery is the documented exceptional path, a
       // label retrain over the advanced lake ([[trainClusterLabels]]
-      // after [[dropShingleIndex]]), never a silent divergence. Cost:
-      // the hot sets are census-bounded (≤ distinct-shingles / cap) and
-      // the occurrence probe is a broadcast semi-join against them.
-      val crossers = spark.read
+      // after [[dropShingleIndex]]), never a silent divergence. Cost is
+      // CENSUS-bounded, no slice scan: the boundary census-b<lakeBound>
+      // IS the exact occurrence count over src_num < lakeBound, so
+      // "crosser occurs in a lake doc" is one semi-join between two
+      // census reads (the crosser side ≤ distinct-shingles / cap).
+      val baked = spark.read
         .parquet(censusPath(dir, batchBound.toLong))
         .filter(col("df") > StopShingleDf).select("h")
         .join(broadcast(priorHot), Seq("h"), "left_anti")
-      val baked = shingleIndex(dir).read(spark)
-        .filter(col("src_num") < lakeBound)
-        .join(broadcast(crossers), Seq("h"), "left_semi")
+        .join(spark.read.parquet(censusPath(dir, lakeBound.toLong))
+          .select("h"), Seq("h"), "left_semi")
         .limit(1).count()
       if (baked > 0)
         throw new IllegalStateException(

@@ -1387,8 +1387,11 @@ object SimilarityQueries {
     * point of the margin score survives the candidate cut because both
     * sides' averages are cut the same way (Artetxe & Schwenk run exactly
     * this over FAISS-retrieved candidates, not dense pairs). The kNN
-    * side-average joins broadcast: ≤ one row per src/tgt vector with two
-    * 8-byte columns — model-sized next to the pair stream. */
+    * side-average tables are one narrow row per src/tgt vector — CORPUS-
+    * cardinality, so they must NOT be broadcast-hinted (a per-vector
+    * table is not a model); the join-backs are plain equi-joins on the
+    * side id, which ride the kNN windows' own hash partitioning, and
+    * AQE still broadcasts them when runtime stats say they fit. */
   private def bitextFromPairs(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wS = Window.partitionBy("src_id")
@@ -1402,8 +1405,8 @@ object SimilarityQueries {
       .filter(col("rt") <= BITEXT_K)
       .groupBy("tgt_id").agg(Num.r(avg("cosine"), 6).as("t_knn"))
     val margins = pairs
-      .join(broadcast(sAvg), Seq("src_id"))
-      .join(broadcast(tAvg), Seq("tgt_id"))
+      .join(sAvg, Seq("src_id"))
+      .join(tAvg, Seq("tgt_id"))
       .withColumn("margin", Num.r(
         col("cosine") / ((col("s_knn") + col("t_knn")) / 2.0), 6))
     val wBest = Window.partitionBy("src_id")

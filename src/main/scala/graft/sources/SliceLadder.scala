@@ -201,13 +201,22 @@ final class SliceLadder(
       require(cur != sentinel,
         s"$what artifact is sealed at full coverage; a live ingest " +
           "artifact must not be sealed (rebuild with train(bound))")
-      val fresh = batch
-        .withColumn(idCol, col(idCol).cast("long"))
-        .filter(col(idCol) >= cur)
-      val st = fresh
-        .agg(min(idCol), max(idCol), countDistinct(idCol)).head()
-      if (st.isNullAt(0)) return // whole batch was a replay (or empty)
-      val (lo, hi, n) = (st.getLong(0), st.getLong(1) + 1L, st.getLong(2))
+      val b = batch.withColumn(idCol, col(idCol).cast("long"))
+      // one pass: null-id count (a malformed producer id — or a failed
+      // cast — must fail fast, not silently drop the row while the
+      // range math claims it covered), then the fresh range's stats
+      val st = b.agg(
+        sum(when(col(idCol).isNull, 1L).otherwise(0L)),
+        min(when(col(idCol) >= cur, col(idCol))),
+        max(when(col(idCol) >= cur, col(idCol))),
+        countDistinct(when(col(idCol) >= cur, col(idCol)))).head()
+      require(st.isNullAt(0) || st.getLong(0) == 0L,
+        s"$what ingest batch carries ${st.getLong(0)} rows with a null " +
+          s"$idCol (malformed producer id or failed cast) — committing " +
+          "would silently drop them while claiming range coverage")
+      if (st.isNullAt(1)) return // whole batch was a replay (or empty)
+      val (lo, hi, n) = (st.getLong(1), st.getLong(2) + 1L, st.getLong(3))
+      val fresh = b.filter(col(idCol) >= cur)
       require(lo == cur,
         s"$what ingest broke the dense-monotone id contract: fresh ids " +
           s"start at $lo but coverage ends at $cur — committing would " +

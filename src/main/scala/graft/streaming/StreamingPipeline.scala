@@ -435,10 +435,16 @@ object StreamingPipeline {
     * lake census's over-popular (band, value) list
     * ([[graft.queries.MultimodalQueries.mediaHotBuckets]]) so the
     * stream applies the same df-cap the batch pipeline does — the
-    * stream itself cannot census an unbounded corpus. Join shape at
-    * scale: stream bands × broadcast hot cut, then a stream-static
-    * equi-join on (band, value) — per-image work is bounded by 4 ×
-    * bucket cap. */
+    * stream itself cannot census an unbounded corpus. The cut is
+    * STRUCTURAL, not optional: when `hotBuckets` is not supplied it is
+    * derived from `lakeSigs` itself (the same 4-band census formula as
+    * [[graft.queries.MultimodalQueries.mediaHotBuckets]]), so a caller
+    * that forgets the census at a real df-capped corpus gets parity
+    * anyway — at the price of re-aggregating the static side per
+    * micro-batch; production passes the artifact-served `mediaHotBuckets`
+    * to pay the census once. Join shape at scale: stream bands ×
+    * broadcast hot cut, then a stream-static equi-join on
+    * (band, value) — per-image work is bounded by 4 × bucket cap. */
   def assignMediaClusters(src: DataFrame, lakeSigs: DataFrame,
       lakeLabels: DataFrame, tsCol: String, lateness: String,
       hotBuckets: Option[DataFrame] = None): DataFrame = {
@@ -449,19 +455,22 @@ object StreamingPipeline {
       df.selectExpr(keep ++ Seq("phash",
           s"explode(array($bandStructs)) AS band"): _*)
         .selectExpr(keep ++ Seq("phash", "band.b AS b", "band.v AS v"): _*)
-    def cut(df: DataFrame): DataFrame = hotBuckets match {
-      case Some(h) => df.join(broadcast(h), Seq("b", "v"), "left_anti")
-      case None => df
-    }
+    val lkBands = banded(
+      lakeSigs.select(col("media_id").as("lake_id"), col("phash")),
+      Seq("lake_id"))
+    val hot = hotBuckets.getOrElse(
+      lkBands.groupBy("b", "v").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > graft.operators.Multimodal.BandBucketCap)
+        .select("b", "v"))
+    def cut(df: DataFrame): DataFrame =
+      df.join(broadcast(hot), Seq("b", "v"), "left_anti")
     val sb = cut(banded(
       graft.operators.Multimodal
         .perceptualHashTimedPartitioned(src, "media_id", tsCol, "bytes")
         .toDF("media_id", tsCol, "phash")
         .withWatermark(tsCol, lateness),
       Seq("media_id", tsCol)))
-    val lk = cut(banded(
-      lakeSigs.select(col("media_id").as("lake_id"), col("phash")),
-      Seq("lake_id")))
+    val lk = cut(lkBands)
       .select(col("b"), col("v"), col("lake_id"),
         col("phash").as("lake_phash"))
     val lbl = lakeLabels.select(col("doc_id").as("lake_id"),

@@ -107,7 +107,15 @@ class SliceLadderSpec extends SparkSpec {
     assert(hole.getMessage.contains("dense-monotone"))
     // neither failed guard may have committed anything
     assert(lad.bound(spark) == Some(13L) && lad.ladder(spark).size == 3)
-    // GUARD 3: a sealed artifact refuses live ingest
+    // GUARD 3: a null id (malformed producer id / failed cast) fails
+    // fast instead of being silently dropped under claimed coverage
+    val withNull = Seq(Some(13L), None, Some(14L)).toDF("id")
+    val nullId = intercept[IllegalArgumentException] {
+      lad.appendBatch(spark, withNull)
+    }
+    assert(nullId.getMessage.contains("null"))
+    assert(lad.bound(spark) == Some(13L) && lad.ladder(spark).size == 3)
+    // GUARD 4: a sealed artifact refuses live ingest
     lad.append(spark, Long.MaxValue)
     intercept[IllegalArgumentException] {
       lad.appendBatch(spark, batchOf(Seq(20L)))
