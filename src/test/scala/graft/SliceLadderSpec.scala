@@ -134,6 +134,53 @@ class SliceLadderSpec extends SparkSpec {
     intercept[IllegalArgumentException] { lad.read(spark) }
   }
 
+  test("ladder property: random append/crash/replay sequences never corrupt committed state") {
+    import spark.implicits._
+    // Drive the commit protocol through random interleavings of the
+    // three things a real ingest does — commit a fresh batch, crash
+    // mid-append (after slice files, before the marker), and replay
+    // already-covered rows — and assert after EVERY step that committed
+    // state is exactly the contiguous prefix of successful commits:
+    // nothing lost to a crash, nothing duplicated by a replay, the read
+    // always equal to the derivation over the covered range.
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(900 + seed)
+      var arm = false
+      val lad = mkLadder(tmpBase(s"prop$seed"), failStage = () => arm)
+      var covered = 0L
+      var slices = 0
+      for (_ <- 0 until 12) {
+        rnd.nextInt(3) match {
+          case 0 => // fresh batch, possibly with a replayed prefix
+            val replayFrom = math.max(0L, covered - rnd.nextInt(3))
+            val hi = covered + 1 + rnd.nextInt(4)
+            lad.appendBatch(spark, (replayFrom until hi).toDF("id"))
+            covered = hi; slices += 1
+          case 1 => // crash between slice write and marker commit
+            arm = true
+            intercept[RuntimeException] {
+              lad.appendBatch(spark,
+                (covered until covered + 2).toDF("id"))
+            }
+            arm = false
+          case 2 if covered > 0 => // pure replay: must commit nothing
+            lad.appendBatch(spark, (0L until covered).toDF("id"))
+          case _ => ()
+        }
+        assert(lad.bound(spark) == (if (slices == 0) None else Some(covered)),
+          s"seed $seed: coverage drifted from the successful-commit prefix")
+        assert(lad.ladder(spark).size == slices,
+          s"seed $seed: a crash or replay changed the committed slice count")
+        if (slices > 0) {
+          val got = lad.read(spark).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).sorted
+          assert(got.sameElements((0L until covered).map(i => (i, i * 2))),
+            s"seed $seed: committed rows diverged from the derivation")
+        }
+      }
+    }
+  }
+
   test("concurrent appendBatch from racing threads serializes: every id covered exactly once") {
     import spark.implicits._
     val lad = mkLadder(tmpBase("race"))
