@@ -199,6 +199,32 @@ class ScaleSpec extends SparkSpec {
       "— LSH candidate generation is superlinear")
   }
 
+  test("bitext IVF candidate stream is a small fraction of the dense pair count") {
+    import graft.queries.SimilarityQueries
+    // q_bitext_margin's scale claim, quantified: same-coarse-list
+    // src×tgt co-occupancy (Σᵢ sᵢ·tᵢ) vs the dense |src|·|tgt| the
+    // demoted brute tier scores. With K=16 lists over near-uniform
+    // assignments the expected fraction is ~1/K; assert a generous 0.2
+    // so the test measures the cut, not the data's luck.
+    val sf = "/root/testdata/sf0.01"
+    SimilarityQueries.trainIvfCentroids(spark, sf)
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    val labels = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val a = SimilarityQueries.assignmentsFromIndex(spark, sf)
+      .join(labels, Seq("vec_id"))
+    val src = a.filter(col("label") === 0)
+      .select(col("vec_id").as("s"), col("c_id"))
+    val tgt = a.filter(col("label") === 1)
+      .select(col("vec_id").as("t"), col("c_id"))
+    val cand = src.join(tgt, "c_id").count()
+    val dense = src.count() * tgt.count()
+    assert(cand > 0, "the candidate stream must not be vacuous")
+    val frac = cand.toDouble / dense
+    assert(frac < 0.2,
+      f"IVF candidate cut too weak: $cand of $dense pairs ($frac%.3f)")
+  }
+
   test("incremental CC: merge graph is bounded by batch + touched components, never lake size") {
     import spark.implicits._
     import graft.queries.DedupQueries
