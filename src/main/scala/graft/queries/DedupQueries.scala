@@ -273,6 +273,16 @@ object DedupQueries {
       batchBound: Int): Unit =
     shingleIndex(dir).append(spark, batchBound.toLong)
 
+  /** Collapse committed shingle slices up to boundary `upTo` into one —
+    * see [[graft.sources.SliceLadder.compactSlices]]: rows copied
+    * exactly as written (the read-time census anti-join keeps doing the
+    * monotone-hot correction, so merged ≡ unmerged), censuses
+    * untouched. The maintenance step that keeps a long-lived streaming
+    * ingest readable (one slice per micro-batch is unbounded). */
+  def compactShingleSlices(spark: SparkSession, dir: String,
+      upTo: Int): Unit =
+    shingleIndex(dir).compactSlices(spark, upTo.toLong)
+
   /** Ensure the index covers src_num < `bound` (default: full corpus).
     * Idempotent; a partially-covering index is ADVANCED by appending
     * (the production shape — Verify/Bench setup after a compaction

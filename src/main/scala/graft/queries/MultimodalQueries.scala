@@ -173,6 +173,8 @@ object MultimodalQueries {
   def trainMediaSigIndex(spark: SparkSession, dir: String,
       bound: Long = Long.MaxValue): Unit =
     mediaSigIndex(dir).train(spark, bound)
+  def compactMediaSigSlices(spark: SparkSession, dir: String,
+      upTo: Long): Unit = mediaSigIndex(dir).compactSlices(spark, upTo)
   private[graft] def sigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = mediaSigIndex(dir).read(spark)
 
@@ -203,6 +205,8 @@ object MultimodalQueries {
   def trainAudioSigIndex(spark: SparkSession, dir: String,
       bound: Long = Long.MaxValue): Unit =
     audioSigIndex(dir).train(spark, bound)
+  def compactAudioSigSlices(spark: SparkSession, dir: String,
+      upTo: Long): Unit = audioSigIndex(dir).compactSlices(spark, upTo)
   private[graft] def audioSigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = audioSigIndex(dir).read(spark)
 

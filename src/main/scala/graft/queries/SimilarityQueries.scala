@@ -640,6 +640,13 @@ object SimilarityQueries {
       batchBound: Long): Unit =
     ivfAssignIndex(dir).append(spark, batchBound)
 
+  /** Collapse committed assignment slices up to `upTo` into one merged
+    * `partitionBy(c_id)` slice — see
+    * [[graft.sources.SliceLadder.compactSlices]]. */
+  def compactIvfSlices(spark: SparkSession, dir: String,
+      upTo: Long): Unit =
+    ivfAssignIndex(dir).compactSlices(spark, upTo)
+
   /** Ensure the inverted file covers vec_id < `bound` (default: full
     * corpus). Idempotent; partial coverage is ADVANCED by appending;
     * coverage beyond `bound` forces a from-scratch rebuild at `bound`

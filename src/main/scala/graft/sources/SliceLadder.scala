@@ -97,16 +97,23 @@ final class SliceLadder(
 
   /** The committed slice ladder — empty when no artifact exists. A
     * directory listing of the marker files: tiny by construction (one
-    * entry per ingested batch), and validated CONTIGUOUS from 0 — a
-    * gap or overlap means manifest corruption and must surface, not be
+    * entry per ingested batch, collapsed by [[compactSlices]]).
+    * Resolution: an entry strictly CONTAINED in another is a slice a
+    * compaction has subsumed — its marker and data may linger after a
+    * crash between the merged commit and the best-effort cleanup, and
+    * the reader must (and does) ignore it. The RESOLVED ladder is then
+    * validated CONTIGUOUS from 0 — a gap, or an overlap that is not
+    * containment, means manifest corruption and must surface, not be
     * read through. */
   def ladder(spark: SparkSession): Seq[(Long, Long)] = {
     val d = new Path(markerDir)
     val hfs = fs(spark, markerDir)
     if (!hfs.exists(d)) Nil
     else {
-      val entries = hfs.listStatus(d).toSeq.map(_.getPath.getName)
+      val raw = hfs.listStatus(d).toSeq.map(_.getPath.getName)
         .collect { case MarkerRe(a, b) => (untok(a), untok(b)) }
+      val entries = raw.filterNot(e =>
+        raw.exists(c => c != e && c._1 <= e._1 && e._2 <= c._2))
         .sortBy(_._1)
       entries.headOption.foreach { h =>
         require(h._1 == 0L,
@@ -122,6 +129,46 @@ final class SliceLadder(
       entries
     }
   }
+
+  /** Collapse every committed slice with hi ≤ `upTo` into ONE merged
+    * slice [0, upTo) — the maintenance step that keeps a long-lived
+    * streaming artifact readable: one slice per micro-batch is correct
+    * but unbounded, and [[read]] unions one scan per slice, so a year
+    * of per-minute commits would mean a 500k-relation plan. Rows are
+    * copied EXACTLY as written (no re-derivation, no re-capping — for
+    * the shingle index the read-time census anti-join keeps doing the
+    * monotone-hot correction, so merged ≡ unmerged row-for-row).
+    *
+    * Crash safety, same discipline as every other mutation: write the
+    * merged slice files, commit its CONTAINING marker atomically, and
+    * only then best-effort delete the subsumed markers and slice dirs.
+    * A crash before the merged marker leaves the old ladder intact and
+    * the merged files invisible; a crash during cleanup leaves
+    * subsumed markers that [[ladder]]'s containment resolution ignores.
+    * Coverage, bound and append behavior are unchanged throughout.
+    * `upTo` must be an existing slice boundary (ranges must align). */
+  def compactSlices(spark: SparkSession, upTo: Long): Unit =
+    lock.synchronized {
+      val l = ladder(spark)
+      require(l.nonEmpty,
+        s"$what compact: no committed artifact at $base")
+      val subsumed = l.filter(_._2 <= upTo)
+      require(subsumed.nonEmpty && subsumed.map(_._2).max == upTo,
+        s"$what compact: upTo $upTo is not a committed slice boundary " +
+          s"(ladder: ${l.mkString(", ")})")
+      if (subsumed.size == 1) return // already compact
+      onMutate()
+      val rows = subsumed.map { case (lo, hi) =>
+          spark.read.schema(readSchema).parquet(slicePath(lo, hi)) }
+        .reduce(_.unionByName(_))
+      writeSliceFiles(rows, slicePath(0L, upTo))
+      commitMarker(spark, 0L, upTo)
+      val hfs = fs(spark, markerDir)
+      subsumed.foreach { case (lo, hi) =>
+        hfs.delete(new Path(markerDir, s"e${tok(lo)}-${tok(hi)}"), false)
+        hfs.delete(new Path(slicePath(lo, hi)), true)
+      }
+    }
 
   /** Current coverage: ids < bound are derived. None = no artifact. */
   def bound(spark: SparkSession): Option[Long] = {

@@ -333,6 +333,44 @@ class DedupSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("slice compaction preserves shingle-read exactness across a cap crossing") {
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    // The hardest case for merging slices as-written: the lake slice
+    // RETAINS boilerplate rows (under-cap at its write), the reader's
+    // anti-join against the current census drops them — and after
+    // compaction the merged slice still carries them, so the read must
+    // stay exactly equal (the monotone-hot correction is read-time,
+    // never baked into slice bytes).
+    val dir = "/root/repo/target/tmp/capcross-compactslices"
+    val n = 600
+    (0 until 2 * n).map { i =>
+      (i.toLong, if (i < n) "src0" else "src10",
+        s"click here now u${i}a u${i}b u${i}c")
+    }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    DedupQueries.dropShingleIndex(spark, dir)
+    DedupQueries.trainShingleIndex(spark, dir, bound = 10)
+    DedupQueries.appendShingleIndex(spark, dir, Int.MaxValue)
+    def snapshot() = DedupQueries.shingleHashesFromIndex(spark, dir)
+      .select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = snapshot()
+    assert(expected.nonEmpty)
+    DedupQueries.compactShingleSlices(spark, dir, Int.MaxValue)
+    assert(DedupQueries.shingleIndexLadder(spark, dir) ==
+      Seq((0, Int.MaxValue)))
+    assert(DedupQueries.shingleIndexTrained(spark, dir))
+    assert(snapshot() == expected,
+      "merged slices must read exactly like the unmerged ladder")
+    val boiler = spark.sql("SELECT md5_60('click here now') AS h")
+      .head.getLong(0)
+    assert(!expected.exists(_._2 == boiler),
+      "the crossed shingle must stay dropped after compaction")
+    DedupQueries.dropShingleIndex(spark, dir)
+    DedupQueries.clearShingleCache()
+  }
+
   test("compaction refuses to persist a prior made stale by a cap-crossing shingle") {
     import graft.queries.DedupQueries
     import spark.implicits._
@@ -646,6 +684,14 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SimilarityQueries.appendIvfAssignments(spark, sf, 200L)
     }
+    // slice compaction through the partitionBy(c_id) write path: the
+    // merged inverted file reads row-for-row like the 3-slice ladder
+    SimilarityQueries.compactIvfSlices(spark, sf, Long.MaxValue)
+    assert(SimilarityQueries.ivfAssignLadder(spark, sf) ==
+      Seq((0L, Long.MaxValue)))
+    assert(SimilarityQueries.ivfAssignTrained(spark, sf))
+    assert(snapshot() == expected,
+      "compacted inverted file diverged from the sliced ladder")
   }
 
   test("bitext margin IVF candidate cut: planted twin pairs are always recovered") {

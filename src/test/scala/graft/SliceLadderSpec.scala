@@ -122,6 +122,42 @@ class SliceLadderSpec extends SparkSpec {
     }
   }
 
+  test("slice compaction: merged prefix reads identically, survives crash leftovers, appends continue") {
+    import spark.implicits._
+    val base = tmpBase("compact")
+    val lad = mkLadder(base)
+    lad.train(spark, 4L)
+    lad.append(spark, 9L)
+    lad.append(spark, 13L)
+    lad.append(spark, 16L)
+    def snapshot() = lad.read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = snapshot()
+    // merge the first three slices; the tail slice and coverage stay
+    lad.compactSlices(spark, 13L)
+    assert(lad.ladder(spark) == Seq((0L, 13L), (13L, 16L)))
+    assert(lad.bound(spark) == Some(16L))
+    assert(snapshot() == expected,
+      "compaction must copy rows exactly, never change the read")
+    // a crash between the merged-marker commit and the cleanup leaves
+    // subsumed markers behind — containment resolution must ignore them
+    val leftover = new java.io.File(s"$base/ladder/e0-4")
+    assert(leftover.createNewFile())
+    assert(lad.ladder(spark) == Seq((0L, 13L), (13L, 16L)),
+      "a subsumed leftover marker must be resolved away, not read")
+    assert(snapshot() == expected)
+    assert(leftover.delete())
+    // life goes on: append past the compacted prefix, then full compact
+    lad.append(spark, 18L)
+    lad.compactSlices(spark, 18L)
+    assert(lad.ladder(spark) == Seq((0L, 18L)))
+    assert(lad.read(spark).count() == 18L)
+    // upTo must be an existing boundary; a second compact is a no-op
+    intercept[IllegalArgumentException] { lad.compactSlices(spark, 5L) }
+    lad.compactSlices(spark, 18L)
+    assert(lad.ladder(spark) == Seq((0L, 18L)))
+  }
+
   test("manifest corruption fails fast: a gapped or non-zero-origin ladder is an error, not a read-through") {
     val base = tmpBase("corrupt")
     val lad = mkLadder(base)
@@ -137,12 +173,13 @@ class SliceLadderSpec extends SparkSpec {
   test("ladder property: random append/crash/replay sequences never corrupt committed state") {
     import spark.implicits._
     // Drive the commit protocol through random interleavings of the
-    // three things a real ingest does — commit a fresh batch, crash
-    // mid-append (after slice files, before the marker), and replay
-    // already-covered rows — and assert after EVERY step that committed
-    // state is exactly the contiguous prefix of successful commits:
-    // nothing lost to a crash, nothing duplicated by a replay, the read
-    // always equal to the derivation over the covered range.
+    // four things a real ingest does — commit a fresh batch, crash
+    // mid-append (after slice files, before the marker), replay
+    // already-covered rows, and compact a prefix — and assert after
+    // EVERY step that committed state is exactly the contiguous prefix
+    // of successful commits: nothing lost to a crash, nothing
+    // duplicated by a replay, nothing changed by a compaction, the
+    // read always equal to the derivation over the covered range.
     for (seed <- 0 until 4) {
       val rnd = new scala.util.Random(900 + seed)
       var arm = false
@@ -150,7 +187,7 @@ class SliceLadderSpec extends SparkSpec {
       var covered = 0L
       var slices = 0
       for (_ <- 0 until 12) {
-        rnd.nextInt(3) match {
+        rnd.nextInt(4) match {
           case 0 => // fresh batch, possibly with a replayed prefix
             val replayFrom = math.max(0L, covered - rnd.nextInt(3))
             val hi = covered + 1 + rnd.nextInt(4)
@@ -165,6 +202,11 @@ class SliceLadderSpec extends SparkSpec {
             arm = false
           case 2 if covered > 0 => // pure replay: must commit nothing
             lad.appendBatch(spark, (0L until covered).toDF("id"))
+          case 3 if slices > 1 => // compact a random committed prefix
+            val bounds = lad.ladder(spark).map(_._2)
+            val upTo = bounds(rnd.nextInt(bounds.size))
+            lad.compactSlices(spark, upTo)
+            slices = lad.ladder(spark).size
           case _ => ()
         }
         assert(lad.bound(spark) == (if (slices == 0) None else Some(covered)),
