@@ -683,6 +683,14 @@ class StreamingSpec extends SparkSpec {
       "replayed rows must not re-commit")
     // the stream-built index is row-for-row the offline one-shot build
     assert(snapshot() == expected)
+    // slice compaction composes with live ingest: merging the streamed
+    // slices mid-lifecycle changes neither coverage nor a single row,
+    // and the sealed read below still equals the one-shot build
+    SimilarityQueries.compactIvfSlices(spark, dir,
+      SimilarityQueries.ivfAssignBound(spark, dir).get)
+    assert(SimilarityQueries.ivfAssignLadder(spark, dir).size == 1,
+      "compaction must collapse the streamed slices")
+    assert(snapshot() == expected)
     // sealing for full-corpus consumers writes an EMPTY top slice over
     // the already-streamed corpus — reads must survive it (the declared
     // read schema; inference would fail on the file-less slice)
