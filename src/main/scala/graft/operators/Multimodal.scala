@@ -163,6 +163,75 @@ object Multimodal {
       .map(f => MediaSig(f.media_id, (f.phash_hi << 32) | f.phash_lo))
   }
 
+  case class ResizedImage(media_id: Long, ok: Boolean, src_w: Long,
+      src_h: Long, bytes: Array[Byte])
+
+  /** REAL image resize, executor-side: decode the blob, downscale to
+    * `tw`×`th` by EXACT integer area-averaging — target pixel (cy,cx)
+    * covers the source pixels with y·th/h == cy and x·tw/w == cx (the
+    * same floor-division blocks as the aHash grid, so a SQL oracle can
+    * re-derive every output pixel), its value = cellSum / cellPx in
+    * integer division — then re-encode through the real PNG writer.
+    * Deliberately NOT `java.awt.Image.getScaledInstance`: AWT's scaler
+    * is implementation-defined, which would make the output
+    * unverifiable; exact area-averaging is also what a training-data
+    * thumbnail stage wants (antialiased, deterministic). Downscale
+    * only (a source smaller than the target in either dimension yields
+    * ok=false, like an undecodable blob — training pipelines shrink,
+    * never invent pixels). Blobs never shuffle: decode, average and
+    * re-encode happen inside one partition pass. */
+  def resizeImagePartitioned(df: DataFrame, tw: Int, th: Int,
+      idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[ResizedImage] = {
+    require(tw > 0 && th > 0, s"resize target must be positive: $tw x $th")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < tw || img.getHeight < th)
+            ResizedImage(id, ok = false, 0L, 0L, Array.emptyByteArray)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val cellSum = new Array[Long](tw * th)
+            val cellPx = new Array[Long](tw * th)
+            var y = 0
+            while (y < h) {
+              val cy = y * th / h
+              var x = 0
+              while (x < w) {
+                val b = cy * tw + x * tw / w
+                cellSum(b) += luma(img, x, y); cellPx(b) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = out.getRaster
+            var b = 0
+            while (b < tw * th) {
+              raster.setSample(b % tw, b / tw, 0,
+                (cellSum(b) / cellPx(b)).toInt)
+              b += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            ResizedImage(id, ok = true, w.toLong, h.toLong,
+              baos.toByteArray)
+          }
+        }
+      }
+  }
+
   /** [[MediaSig]] plus the row's event time — the streaming-assigner
     * shape, where the watermark column must survive the decode. */
   case class TimedMediaSig(media_id: Long, ts: java.sql.Timestamp,

@@ -83,6 +83,72 @@ object MultimodalQueries {
                 AS BIGINT) AS phash_lo
     FROM bits GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Image resize as a verified pipeline stage: real PNGs are decoded,
+    * downscaled 8×8 by EXACT integer area-averaging
+    * ([[Multimodal.resizeImagePartitioned]] — deterministic cell means,
+    * not AWT's implementation-defined scaler), re-encoded through the
+    * real PNG writer, then decoded AGAIN and feature-extracted — so the
+    * output is a function of the resized BYTES, and a green hash proves
+    * the full decode→resize→encode→decode chain is lossless, not that a
+    * resize stub echoed its math. The oracle re-derives every resized
+    * pixel analytically from the synthetic pixel formula (cell sums
+    * over the same floor-division blocks, integer-divided by cell
+    * populations) and recomputes the resized image's luma sum and
+    * 64-bit aHash from those 64 values. Scale shape: generate → resize
+    * → decode chain is three stacked `mapPartitions` with NO exchange
+    * between them — petabytes of pixels in, 6-column feature rows out;
+    * only those shuffle (for the final order). */
+  private def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(16) + (col("doc_id") % 6) * 8).cast("int").as("w"),
+        (lit(16) + (col("doc_id") % 4) * 8).cast("int").as("h"))
+    val blobs = Multimodal.encodeSynthPngPartitioned(dims, "doc_id", "w", "h")
+    val resized = Multimodal.resizeImagePartitioned(blobs, 8, 8)
+      .filter(_.ok).toDF()
+    Multimodal.decodeImagePartitioned(resized).toDF()
+      .selectExpr("media_id AS doc_id", "ok", "width AS r_w",
+        "height AS r_h", "px_sum", "phash_hi", "phash_lo")
+      .orderBy("doc_id")
+  }
+
+  private val mediaResizeSql = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + (doc_id % 6) * 8 AS BIGINT) AS w,
+             CAST(16 + (doc_id % 4) * 8 AS BIGINT) AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM dims),
+    cells AS (
+      SELECT doc_id,
+             (((p // w) * 8) // h) * 8 + (((p % w) * 8) // w) AS b,
+             sum((doc_id * 37 + (p % w) * (p % w) + 5 * (p // w)) % 256)
+               AS cell_sum,
+             count(*) AS cell_px
+      FROM px GROUP BY 1, 2),
+    rs AS (
+      SELECT doc_id, b, cell_sum // cell_px AS v
+      FROM cells),
+    tot AS (
+      SELECT doc_id, sum(v) AS tot_sum
+      FROM rs GROUP BY doc_id),
+    bits AS (
+      SELECT rs.doc_id, rs.b, t.tot_sum,
+             CASE WHEN rs.v * 64 >= t.tot_sum
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM rs JOIN tot t USING (doc_id))
+    SELECT doc_id, TRUE AS ok,
+           CAST(8 AS BIGINT) AS r_w,
+           CAST(8 AS BIGINT) AS r_h,
+           CAST(max(tot_sum) AS BIGINT) AS px_sum,
+           CAST(sum(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END)
+                AS BIGINT) AS phash_hi,
+           CAST(sum(CASE WHEN b < 32 THEN bit << b ELSE 0 END)
+                AS BIGINT) AS phash_lo
+    FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
   /** One decoded-signature table per (session, dir) — the same
     * derived-artifact discipline as the text side's shingle/cluster
     * caches: the image DECODE (the expensive stage) runs once per lake
@@ -1011,6 +1077,7 @@ object MultimodalQueries {
       FROM documents
       ORDER BY doc_id""")),
     QueryDef("q_media_phash", mediaPhash, Some(mediaPhashSql)),
+    QueryDef("q_media_resize", mediaResize, Some(mediaResizeSql)),
     QueryDef("q_audio_frames", audioFrames, Some(audioFramesSql)),
     QueryDef("q_audio_neardup", audioNearDup, Some(audioNearDupSql)),
     QueryDef("q_audio_incremental", audioIncremental,

@@ -163,6 +163,39 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("resizeImagePartitioned: exact area-average pixels, real PNG bytes, downscale-only + sentinel contracts") {
+    import spark.implicits._
+    // 16×8 source with known pixels → 4×2 target: each cell covers a
+    // 4×4 block, resized value = floor(block sum / 16) — assert every
+    // output pixel against hand arithmetic after a real PNG round-trip
+    val src = Multimodal.synthPng(3L, 16, 8)
+    val out = Multimodal.resizeImagePartitioned(
+        Seq((1L, src)).toDF("media_id", "bytes"), 4, 2)
+      .collect().head
+    assert(out.ok && out.src_w == 16 && out.src_h == 8)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    def pix(x: Int, y: Int): Long =
+      java.lang.Math.floorMod(37L * 3L + x.toLong * x + 5L * y, 256L)
+    for (cy <- 0 until 2; cx <- 0 until 4) {
+      val expect = (for (y <- cy * 4 until cy * 4 + 4;
+                         x <- cx * 4 until cx * 4 + 4) yield pix(x, y))
+        .sum / 16
+      assert(img.getRaster.getSample(cx, cy, 0) == expect,
+        s"cell ($cy,$cx): exact integer area average violated")
+    }
+    // downscale-only: a source smaller than the target in either
+    // dimension is a sentinel, like an undecodable blob — never invented
+    // pixels, never an exception
+    val tiny = Multimodal.synthPng(4L, 3, 8)
+    val bad = Multimodal.resizeImagePartitioned(
+        Seq((2L, tiny), (3L, Array.fill[Byte](64)(0x42)))
+          .toDF("media_id", "bytes"), 4, 2)
+      .collect().sortBy(_.media_id)
+    assert(bad.forall(!_.ok))
+  }
+
   test("real-pixel aHash has perceptual locality: edits flip few bits, inversions flip many") {
     // base: half dark / half bright — every 8x8 cell decisively off-mean
     def paint(edit: Boolean, invert: Boolean): Array[Byte] = {
