@@ -218,7 +218,11 @@ object DedupQueries {
       prepareSlice = (spark, raw, lo, hi) =>
         mergeCensusAndCap(spark, raw, lo, hi, dir),
       onMutate = () => clearShingleCache(),
-      sentinel = ShingleSentinel)
+      sentinel = ShingleSentinel,
+      // many documents share one boundary src_num, so in-batch id
+      // duplicates are the normal shape here — the one-row-per-id
+      // ingest guard is the other modalities' contract, not text's
+      oneRowPerId = false)
 
   /** The committed slice ladder — empty when no index exists. */
   private[graft] def shingleIndexLadder(spark: SparkSession,
@@ -256,12 +260,75 @@ object DedupQueries {
     * range, so a source split across batches would commit coverage
     * over its unshingled tail — the range guard cannot see inside a
     * source). The lake's ingest zones deliver source-partitioned
-    * batches, so the contract is the natural batch shape. */
+    * batches, so the contract is the natural batch shape.
+    *
+    * The contract is now HEURISTICALLY GUARDED, not just documented:
+    * each append records the max doc_id it carried for its boundary
+    * (max) source, and the next batch fails fast if it delivers that
+    * source with a HIGHER doc_id — the most common split pattern (a
+    * producer cutting one source across two consecutive micro-batches)
+    * surfaces as an error instead of silently losing the tail as a
+    * "replay". Best-effort by construction: a guard record is written
+    * after the commit (a crash between them skips one guard window),
+    * and splits of non-boundary sources remain undetectable from the
+    * batch stream alone. Costs two batch-sized aggregate jobs per
+    * micro-batch, nothing corpus-sized. */
   def appendShingleBatch(spark: SparkSession, dir: String,
-      batch: DataFrame): Unit =
-    shingleIndex(dir).appendBatch(spark,
-      batch.withColumn("src_num",
-        expr("cast(substring(source, 4, 8) AS INT)")))
+      batch: DataFrame): Unit = {
+    val b = batch.withColumn("src_num",
+      expr("cast(substring(source, 4, 8) AS INT)"))
+    val idx = shingleIndex(dir)
+    val before = idx.bound(spark)
+    before.foreach { cur =>
+      readSrcAtomic(spark, dir, cur).foreach { case (s, maxDoc) =>
+        val bad = b.filter(col("src_num") === s && col("doc_id") > maxDoc)
+          .count()
+        require(bad == 0L,
+          s"shingle ingest broke the SOURCE-ATOMIC batch contract: $bad " +
+            s"rows for already-covered source $s carry doc_ids above the " +
+            s"recorded max $maxDoc — the producer split one source across " +
+            "micro-batches, and its unshingled tail would be dropped " +
+            "forever as a replay")
+      }
+    }
+    idx.appendBatch(spark, b)
+    val after = idx.bound(spark)
+    if (after != before) after.foreach { hi =>
+      val st = b.filter(col("src_num") === (hi - 1))
+        .agg(max("doc_id")).head()
+      if (!st.isNullAt(0)) writeSrcAtomic(spark, dir, hi, hi - 1, st.getLong(0))
+    }
+  }
+
+  /** Where [[appendShingleBatch]]'s boundary-source guard record lives —
+    * keyed to the committed bound like the census, tiny (one "src:doc"
+    * line), best-effort (absence just skips one guard window). */
+  private def srcAtomicPath(dir: String, hi: Long): String =
+    s"${shingleIndexBase(dir)}/srcatomic-b${boundToken(hi)}"
+
+  private def writeSrcAtomic(spark: SparkSession, dir: String, hi: Long,
+      src: Long, maxDoc: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, hi))
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(p, true)
+    out.writeUTF(s"$src:$maxDoc")
+    out.close()
+  }
+
+  private def readSrcAtomic(spark: SparkSession, dir: String,
+      hi: Long): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, hi))
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      val s = try in.readUTF() finally in.close()
+      s.split(":") match {
+        case Array(a, b) => Some((a.toLong, b.toLong))
+        case _ => None
+      }
+    }
+  }
 
   /** Advance the index from its current boundary to `batchBound` by
     * appending the new batch's slice and merging the df census — the

@@ -7,16 +7,16 @@ import org.apache.spark.sql.functions._
 /** The ONE slice-ladder implementation behind every append-maintained
   * lake artifact in the engine — the text shingle index
   * ([[graft.queries.DedupQueries]]), the IVF inverted file
-  * ([[graft.queries.SimilarityQueries]]) and the image/audio signature
-  * indexes ([[graft.queries.MultimodalQueries]]) all instantiate this
-  * instead of re-implementing the mechanics (three divergent copies is
-  * how commit-marker or replay-contract drift stays invisible until a
-  * crash).
+  * ([[graft.queries.SimilarityQueries]]) and the image/audio/video
+  * signature indexes ([[graft.queries.MultimodalQueries]]) all
+  * instantiate this instead of re-implementing the mechanics (divergent
+  * copies is how commit-marker or replay-contract drift stays invisible
+  * until a crash).
   *
   * The artifact model: a 100 TB lake's expensive per-item derivation
-  * (shingling, quantizer assignment, pixel decode, audio framing) runs
-  * exactly once per item, AT INGEST, into an append-only artifact under
-  * `base/`:
+  * (shingling, quantizer assignment, pixel decode, audio framing, video
+  * scene hashing) runs exactly once per item, AT INGEST, into an
+  * append-only artifact under `base/`:
   *
   *  - `slices/s<lo>-<hi>/` — the derived rows of ids ∈ [lo, hi). Written
   *    whole, never rewritten by later appends. A per-modality
@@ -25,14 +25,23 @@ import org.apache.spark.sql.functions._
   *  - `ladder/e<lo>-<hi>` — one EMPTY MARKER FILE per committed slice,
   *    created LAST via a same-directory temp + rename: the artifact's
   *    commit. The ladder is reconstructed by listing the directory, so
-  *    no step ever rewrites (or deletes) previously committed manifest
-  *    state — a crash at ANY point leaves every earlier slice committed
-  *    and the in-flight slice invisible. (The earlier `ladder.parquet`
-  *    design rewrote the whole manifest with mode("overwrite"), whose
+  *    no step ever rewrites previously committed manifest state — a
+  *    crash at ANY point leaves every earlier slice committed and the
+  *    in-flight slice invisible. (The earlier `ladder.parquet` design
+  *    rewrote the whole manifest with mode("overwrite"), whose
   *    delete-then-write window could orphan the entire artifact and made
   *    a restarted streaming ingest bootstrap at id 0 — silent data
   *    loss.) Rename-as-commit is atomic on HDFS and POSIX; an object
   *    store would swap in its conditional-put here.
+  *  - `trash/t<lo>-<hi>` — the DEFERRED-DELETE list: a slice a
+  *    compaction has subsumed keeps its data files until the NEXT
+  *    mutation's [[sweep]] (one full inter-mutation grace window), so a
+  *    query whose plan resolved the ladder just before the compaction
+  *    commit finishes its scan instead of dying on FileNotFoundException
+  *    mid-query. The single-writer contract covers writers; deferral is
+  *    what covers concurrent READERS. A reader that holds one resolved
+  *    plan across TWO artifact mutations is outside the window and may
+  *    have to re-resolve — the documented residual contract.
   *
   * Coverage is by ID RANGE, not row presence: a range whose items all
   * fail to derive (undecodable blobs) commits a valid empty slice —
@@ -44,9 +53,16 @@ import org.apache.spark.sql.functions._
   * Within this JVM that is enforced: every mutating op serializes on a
   * per-`base` lock, so a streaming sink and a train/append/compact call
   * racing from another thread cannot both read the same prior bound and
-  * orphan each other's slice. Cross-process single-writer stays a
-  * deployment contract (one owner per artifact root), as it is for any
-  * lake-format manifest without a lock service.
+  * orphan each other's slice. Compaction holds that lock ONLY for the
+  * ladder snapshot and the marker commit — the merged-slice Spark job
+  * itself (the hours-long part at 100 TB) runs UNLOCKED, because
+  * committed slices are immutable and appends only ever add above the
+  * top boundary, so live ingest never stalls behind maintenance
+  * (SliceLadderSpec proves an appendBatch completes mid-merge). The
+  * commit re-validates the snapshot under the lock and abandons the
+  * merge if a racing compactor got there first. Cross-process
+  * single-writer stays a deployment contract (one owner per artifact
+  * root), as it is for any lake-format manifest without a lock service.
   *
   * Replay contract (streaming [[appendBatch]]): ids are assigned at
   * ingest and DENSE-MONOTONE — micro-batch N+1 starts exactly where N
@@ -55,8 +71,11 @@ import org.apache.spark.sql.functions._
   * and are dropped before the boundary math, so the artifact stays
   * exactly-once however the stream is re-driven. The contract is
   * GUARDED, not assumed: a fresh batch whose ids start above the bound,
-  * or with holes in its range, fails fast — silently committing
-  * coverage over unprocessed ids would drop them forever as "replays".
+  * with holes in its range, or (for one-row-per-id modalities) with
+  * DUPLICATE rows for a fresh id fails fast — silently committing
+  * coverage over unprocessed ids would drop them forever as "replays",
+  * and silently committing an at-least-once producer's in-batch
+  * duplicates would break the exactly-once artifact property.
   */
 final class SliceLadder(
     val base: String,
@@ -80,14 +99,22 @@ final class SliceLadder(
     onMutate: () => Unit = () => (),
     /** the "covers the full corpus" bound (Int.MaxValue for artifacts
       * whose boundary space is 32-bit, e.g. src_num) */
-    sentinel: Long = Long.MaxValue) {
+    sentinel: Long = Long.MaxValue,
+    /** true (the default) = an ingest batch carries AT MOST ONE row per
+      * fresh id (vectors, images, audio, video — one payload per item),
+      * so in-batch duplicates from an at-least-once producer are a
+      * guarded error, not silently committed twice. The text instance
+      * (many documents per boundary src_num) opts out. */
+    oneRowPerId: Boolean = true) {
 
   private def tok(b: Long): String = if (b == sentinel) "full" else b.toString
   private def untok(s: String): Long = if (s == "full") sentinel else s.toLong
   private[graft] def slicePath(lo: Long, hi: Long): String =
     s"$base/slices/s${tok(lo)}-${tok(hi)}"
   private def markerDir: String = s"$base/ladder"
+  private def trashDir: String = s"$base/trash"
   private val MarkerRe = "^e(\\d+|full)-(\\d+|full)$".r
+  private val TrashRe = "^t(\\d+|full)-(\\d+|full)$".r
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,24 +124,21 @@ final class SliceLadder(
 
   /** The committed slice ladder — empty when no artifact exists. A
     * directory listing of the marker files: tiny by construction (one
-    * entry per ingested batch, collapsed by [[compactSlices]]).
-    * Resolution: an entry strictly CONTAINED in another is a slice a
-    * compaction has subsumed — its marker and data may linger after a
-    * crash between the merged commit and the best-effort cleanup, and
-    * the reader must (and does) ignore it. The RESOLVED ladder is then
-    * validated CONTIGUOUS from 0 — a gap, or an overlap that is not
-    * containment, means manifest corruption and must surface, not be
-    * read through. */
+    * entry per ingested batch, collapsed by [[compactSlices]] /
+    * [[compactTiered]]). Resolution: an entry strictly CONTAINED in
+    * another is a slice a compaction has subsumed — its marker and data
+    * may linger after a crash between the merged commit and the
+    * best-effort cleanup, and the reader must (and does) ignore it (the
+    * next mutation's [[sweep]] finishes the interrupted cleanup). The
+    * RESOLVED ladder is then validated CONTIGUOUS from 0 — a gap, or an
+    * overlap that is not containment, means manifest corruption and
+    * must surface, not be read through. */
   def ladder(spark: SparkSession): Seq[(Long, Long)] = {
     val d = new Path(markerDir)
     val hfs = fs(spark, markerDir)
     if (!hfs.exists(d)) Nil
     else {
-      val raw = hfs.listStatus(d).toSeq.map(_.getPath.getName)
-        .collect { case MarkerRe(a, b) => (untok(a), untok(b)) }
-      val entries = raw.filterNot(e =>
-        raw.exists(c => c != e && c._1 <= e._1 && e._2 <= c._2))
-        .sortBy(_._1)
+      val entries = resolve(rawMarkers(spark))
       entries.headOption.foreach { h =>
         require(h._1 == 0L,
           s"$what ladder at $base is corrupt: first slice starts at " +
@@ -130,25 +154,79 @@ final class SliceLadder(
     }
   }
 
-  /** Collapse every committed slice with hi ≤ `upTo` into ONE merged
-    * slice [0, upTo) — the maintenance step that keeps a long-lived
-    * streaming artifact readable: one slice per micro-batch is correct
-    * but unbounded, and [[read]] unions one scan per slice, so a year
-    * of per-minute commits would mean a 500k-relation plan. Rows are
-    * copied EXACTLY as written (no re-derivation, no re-capping — for
-    * the shingle index the read-time census anti-join keeps doing the
-    * monotone-hot correction, so merged ≡ unmerged row-for-row).
+  private def rawMarkers(spark: SparkSession): Seq[(Long, Long)] = {
+    val d = new Path(markerDir)
+    val hfs = fs(spark, markerDir)
+    if (!hfs.exists(d)) Nil
+    else hfs.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case MarkerRe(a, b) => (untok(a), untok(b)) }
+  }
+
+  /** Containment resolution (see [[ladder]]). */
+  private def resolve(raw: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    raw.filterNot(e =>
+      raw.exists(c => c != e && c._1 <= e._1 && e._2 <= c._2))
+      .sortBy(_._1)
+
+  /** Deferred-delete GC, run at the start of EVERY mutation (under the
+    * writer lock — never from a read path):
     *
-    * Crash safety, same discipline as every other mutation: write the
-    * merged slice files, commit its CONTAINING marker atomically, and
-    * only then best-effort delete the subsumed markers and slice dirs.
-    * A crash before the merged marker leaves the old ladder intact and
-    * the merged files invisible; a crash during cleanup leaves
-    * subsumed markers that [[ladder]]'s containment resolution ignores.
-    * Coverage, bound and append behavior are unchanged throughout.
+    *  1. physically delete the slice directories the PREVIOUS mutation's
+    *     compaction trashed (the one-mutation grace window for in-flight
+    *     readers has elapsed) — unless the range has since been
+    *     re-committed as a live ladder entry, which a stale trash entry
+    *     must never shoot down;
+    *  2. finish any compaction cleanup a crash interrupted: a raw marker
+    *     strictly contained in a committed entry is a subsumed slice
+    *     whose delete never ran — drop the marker now and enqueue its
+    *     data for the next sweep, so the garbage is collected instead of
+    *     lingering forever behind the size-1 early return.
+    *
+    * Caches are evicted after any physical delete so a session cache
+    * repopulated during a compaction window cannot serve a plan over
+    * files this sweep just removed. */
+  private def sweep(spark: SparkSession): Unit = {
+    val hfs = fs(spark, base)
+    var deleted = false
+    val raw = rawMarkers(spark)
+    val live = resolve(raw).toSet
+    val t = new Path(trashDir)
+    if (hfs.exists(t)) {
+      hfs.listStatus(t).toSeq.map(_.getPath.getName).foreach {
+        case n @ TrashRe(a, b) =>
+          val range = (untok(a), untok(b))
+          if (!live.contains(range)) {
+            if (hfs.delete(new Path(slicePath(range._1, range._2)), true))
+              deleted = true
+          }
+          hfs.delete(new Path(trashDir, n), false)
+        case _ => ()
+      }
+    }
+    raw.filterNot(live.contains).foreach { case (lo, hi) =>
+      hfs.delete(new Path(markerDir, s"e${tok(lo)}-${tok(hi)}"), false)
+      addTrash(spark, lo, hi)
+    }
+    if (deleted) onMutate()
+  }
+
+  private def addTrash(spark: SparkSession, lo: Long, hi: Long): Unit = {
+    val hfs = fs(spark, trashDir)
+    hfs.mkdirs(new Path(trashDir))
+    hfs.create(new Path(trashDir, s"t${tok(lo)}-${tok(hi)}"), true).close()
+  }
+
+  /** Collapse every committed slice with hi ≤ `upTo` into ONE merged
+    * slice [0, upTo) — full-prefix compaction, the strongest collapse
+    * (for write-amplification-bounded maintenance use [[compactTiered]];
+    * the commit/cleanup mechanics are shared). Rows are copied EXACTLY
+    * as written (no re-derivation, no re-capping — for the shingle index
+    * the read-time census anti-join keeps doing the monotone-hot
+    * correction, so merged ≡ unmerged row-for-row).
     * `upTo` must be an existing slice boundary (ranges must align). */
-  def compactSlices(spark: SparkSession, upTo: Long): Unit =
-    lock.synchronized {
+  def compactSlices(spark: SparkSession, upTo: Long): Unit = {
+    val run = lock.synchronized {
+      sweep(spark)
       val l = ladder(spark)
       require(l.nonEmpty,
         s"$what compact: no committed artifact at $base")
@@ -156,19 +234,95 @@ final class SliceLadder(
       require(subsumed.nonEmpty && subsumed.map(_._2).max == upTo,
         s"$what compact: upTo $upTo is not a committed slice boundary " +
           s"(ladder: ${l.mkString(", ")})")
-      if (subsumed.size == 1) return // already compact
-      onMutate()
-      val rows = subsumed.map { case (lo, hi) =>
-          spark.read.schema(readSchema).parquet(slicePath(lo, hi)) }
-        .reduce(_.unionByName(_))
-      writeSliceFiles(rows, slicePath(0L, upTo))
-      commitMarker(spark, 0L, upTo)
-      val hfs = fs(spark, markerDir)
-      subsumed.foreach { case (lo, hi) =>
-        hfs.delete(new Path(markerDir, s"e${tok(lo)}-${tok(hi)}"), false)
-        hfs.delete(new Path(slicePath(lo, hi)), true)
-      }
+      subsumed
     }
+    if (run.size > 1) mergeRun(spark, run)
+  }
+
+  /** LSM-style size-tiered maintenance: repeatedly merge the first
+    * maximal run of ≥ `minRun` ADJACENT slices in the same size tier
+    * (⌊log2 bytes⌋ of the slice's files), until no such run exists.
+    * Each row is rewritten only when its slice is promoted a tier, so
+    * lifetime write amplification is O(N·log N) — [[compactSlices]]
+    * rewrites the whole prefix O(N) per call, which at 100 TB is an
+    * hours-long job per invocation. The ingest loop calls this after
+    * appends; every merge commits through the same unlocked-merge /
+    * locked-commit path, so ingest keeps flowing throughout. Returns
+    * the number of merges performed. */
+  def compactTiered(spark: SparkSession, minRun: Int = 4): Int = {
+    require(minRun >= 2, s"$what compactTiered: minRun must be ≥ 2")
+    var merges = 0
+    var run = pickTierRun(spark, minRun)
+    while (run.nonEmpty) {
+      mergeRun(spark, run)
+      merges += 1
+      run = pickTierRun(spark, minRun)
+    }
+    merges
+  }
+
+  private def pickTierRun(spark: SparkSession,
+      minRun: Int): Seq[(Long, Long)] = lock.synchronized {
+    sweep(spark)
+    val l = ladder(spark)
+    if (l.isEmpty) return Nil
+    val hfs = fs(spark, base)
+    def tier(s: (Long, Long)): Int = {
+      val p = new Path(slicePath(s._1, s._2))
+      val bytes = if (hfs.exists(p)) hfs.getContentSummary(p).getLength else 0L
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, bytes))
+    }
+    val tiers = l.map(s => (s, tier(s)))
+    var i = 0
+    while (i < tiers.size) {
+      var j = i + 1
+      while (j < tiers.size && tiers(j)._2 == tiers(i)._2) j += 1
+      if (j - i >= minRun) return tiers.slice(i, j).map(_._1)
+      i = j
+    }
+    Nil
+  }
+
+  /** Merge one run of ADJACENT committed slices into a single slice
+    * covering the run's span. The phase structure is the whole point:
+    *
+    *  - SNAPSHOT (caller, locked): the run was resolved from the ladder
+    *    under the writer lock.
+    *  - MERGE (unlocked): union the run's immutable slice files and
+    *    write the merged slice. Nothing races this — appends only add
+    *    above the top boundary, the merged files are invisible until
+    *    their marker lands, and subsumed data deletes are deferred —
+    *    so a streaming ingest keeps committing micro-batches while a
+    *    multi-hour merge runs.
+    *  - COMMIT (locked): re-validate that every run member is STILL a
+    *    live ladder entry (a racing compactor may have subsumed part of
+    *    it — then abandon: our uncommitted files go to the trash list
+    *    and the sweep collects them). Commit the containing marker,
+    *    drop the subsumed markers, enqueue their data on the trash list
+    *    (physically deleted at the NEXT mutation — the reader grace
+    *    window), and evict session caches so new plans resolve the
+    *    merged ladder. */
+  private def mergeRun(spark: SparkSession, run: Seq[(Long, Long)]): Unit = {
+    val (lo, hi) = (run.head._1, run.last._2)
+    val rows = run.map { case (a, b) =>
+        spark.read.schema(readSchema).parquet(slicePath(a, b)) }
+      .reduce(_.unionByName(_))
+    writeSliceFiles(rows, slicePath(lo, hi))
+    lock.synchronized {
+      val live = ladder(spark).toSet
+      if (!run.forall(live.contains)) {
+        addTrash(spark, lo, hi) // lost the race; sweep collects the files
+        return
+      }
+      commitMarker(spark, lo, hi)
+      val hfs = fs(spark, markerDir)
+      run.foreach { case (a, b) =>
+        hfs.delete(new Path(markerDir, s"e${tok(a)}-${tok(b)}"), false)
+        addTrash(spark, a, b)
+      }
+      onMutate()
+    }
+  }
 
   /** Current coverage: ids < bound are derived. None = no artifact. */
   def bound(spark: SparkSession): Option[Long] = {
@@ -222,6 +376,7 @@ final class SliceLadder(
     * rebuild: [[drop]] + [[train]]). */
   def append(spark: SparkSession, batchBound: Long): Unit =
     lock.synchronized {
+      sweep(spark)
       val l = ladder(spark)
       require(l.nonEmpty,
         s"$what append: no committed artifact at $base — " +
@@ -239,10 +394,12 @@ final class SliceLadder(
     * from its own payload and commit them as the next slice — the
     * `foreachBatch` body behind the per-modality ingest sinks. Replays
     * (ids below coverage) are dropped; the fresh remainder must satisfy
-    * the dense-monotone contract (guarded — see the class doc).
+    * the dense-monotone contract, and — for one-row-per-id modalities —
+    * carry no in-batch duplicates (guarded — see the class doc).
     * Bootstraps an empty artifact at lo = 0. */
   def appendBatch(spark: SparkSession, batch: DataFrame): Unit =
     lock.synchronized {
+      sweep(spark)
       val l = ladder(spark)
       val cur = if (l.isEmpty) 0L else l.map(_._2).max
       require(cur != sentinel,
@@ -256,7 +413,8 @@ final class SliceLadder(
         sum(when(col(idCol).isNull, 1L).otherwise(0L)),
         min(when(col(idCol) >= cur, col(idCol))),
         max(when(col(idCol) >= cur, col(idCol))),
-        countDistinct(when(col(idCol) >= cur, col(idCol)))).head()
+        countDistinct(when(col(idCol) >= cur, col(idCol))),
+        count(when(col(idCol) >= cur, lit(1L)))).head()
       require(st.isNullAt(0) || st.getLong(0) == 0L,
         s"$what ingest batch carries ${st.getLong(0)} rows with a null " +
           s"$idCol (malformed producer id or failed cast) — committing " +
@@ -272,6 +430,10 @@ final class SliceLadder(
         s"$what ingest broke the dense-monotone id contract: range " +
           s"[$cur, $hi) spans ${hi - cur} ids but the batch carries $n " +
           "distinct — the holes would be dropped as replays forever")
+      require(!oneRowPerId || st.getLong(4) == n,
+        s"$what ingest batch carries ${st.getLong(4)} rows for $n fresh " +
+          s"ids — an at-least-once producer duplicated rows WITHIN one " +
+          "micro-batch; committing would break the exactly-once artifact")
       onMutate()
       stage(spark, deriveBatch(spark, fresh), cur, hi)
     }
@@ -281,7 +443,7 @@ final class SliceLadder(
     * beyond `bound` forces a from-scratch rebuild at `bound` (a
     * test-ladder reset, never a production step). */
   def train(spark: SparkSession, bound: Long = sentinel): Unit =
-    lock.synchronized {
+    lock.synchronized { // reentrant: append re-takes the same monitor
       this.bound(spark) match {
         case Some(b) if b == bound => ()
         case Some(b) if b < bound => append(spark, bound)

@@ -187,7 +187,7 @@ class SliceLadderSpec extends SparkSpec {
       var covered = 0L
       var slices = 0
       for (_ <- 0 until 12) {
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // fresh batch, possibly with a replayed prefix
             val replayFrom = math.max(0L, covered - rnd.nextInt(3))
             val hi = covered + 1 + rnd.nextInt(4)
@@ -207,6 +207,9 @@ class SliceLadderSpec extends SparkSpec {
             val upTo = bounds(rnd.nextInt(bounds.size))
             lad.compactSlices(spark, upTo)
             slices = lad.ladder(spark).size
+          case 4 if slices > 1 => // tiered maintenance merge
+            lad.compactTiered(spark, minRun = 2)
+            slices = lad.ladder(spark).size
           case _ => ()
         }
         assert(lad.bound(spark) == (if (slices == 0) None else Some(covered)),
@@ -221,6 +224,156 @@ class SliceLadderSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("ingest never stalls behind maintenance: appendBatch completes while a compaction is mid-merge") {
+    import spark.implicits._
+    // The r14 design held the per-artifact lock across the whole merged-
+    // slice Spark job, so a streaming appendBatch stalled for the full
+    // merge — at 100 TB an hours-long ingest pause. The rework holds the
+    // lock only for the ladder snapshot and the marker commit; this test
+    // parks a compaction INSIDE its merge write (latch in the
+    // writeSliceFiles hook) and proves a concurrent appendBatch commits.
+    val base = tmpBase("midmerge")
+    val mergeStarted = new java.util.concurrent.CountDownLatch(1)
+    val releaseMerge = new java.util.concurrent.CountDownLatch(1)
+    val lad = new SliceLadder(base, "latch artifact",
+      idCol = "id",
+      readSchema = "id BIGINT, v BIGINT",
+      deriveRange = (spark, lo, hi) =>
+        spark.range(lo, math.min(hi, LakeRows))
+          .select(col("id"), (col("id") * 2).as("v")),
+      deriveBatch = (_, batch) =>
+        batch.select(col("id"), (col("id") * 2).as("v")),
+      writeSliceFiles = (df, path) => {
+        if (path.endsWith("/slices/s0-8")) { // the merge target, only
+          mergeStarted.countDown()
+          releaseMerge.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        df.write.mode("overwrite").parquet(path)
+      })
+    lad.appendBatch(spark, (0L to 3L).toDF("id"))
+    lad.appendBatch(spark, (4L to 7L).toDF("id"))
+    @volatile var compactErr: Throwable = null
+    val compactor = new Thread(() =>
+      try lad.compactSlices(spark, 8L)
+      catch { case t: Throwable => compactErr = t })
+    compactor.start()
+    assert(mergeStarted.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "compaction never reached its merge write")
+    // the merge is parked holding NO lock — live ingest must commit now
+    lad.appendBatch(spark, (8L to 11L).toDF("id"))
+    assert(lad.bound(spark) == Some(12L),
+      "appendBatch must commit while the merge job is in flight")
+    releaseMerge.countDown()
+    compactor.join(60000)
+    assert(compactErr == null, s"compaction failed: $compactErr")
+    assert(lad.ladder(spark) == Seq((0L, 8L), (8L, 12L)))
+    val got = lad.read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements((0L until 12L).map(i => (i, i * 2))))
+  }
+
+  test("deferred deletes: a read resolved before a compaction survives it; the next mutation GCs the subsumed slices") {
+    val base = tmpBase("defer")
+    val lad = mkLadder(base)
+    lad.train(spark, 4L)
+    lad.append(spark, 9L)
+    lad.append(spark, 13L)
+    // resolve a plan over the THREE pre-compaction slices
+    val preRead = lad.read(spark)
+    lad.compactSlices(spark, 13L)
+    assert(lad.ladder(spark) == Seq((0L, 13L)))
+    // subsumed data must still be on disk (trash-listed, not deleted) …
+    assert(new java.io.File(s"$base/slices/s0-4").exists,
+      "subsumed slice data must survive until the next mutation")
+    // … so the pre-compaction plan completes instead of dying on
+    // FileNotFoundException mid-query
+    assert(preRead.count() == 13L)
+    // the NEXT mutation's sweep collects the trash
+    lad.append(spark, 15L)
+    assert(!new java.io.File(s"$base/slices/s0-4").exists &&
+      !new java.io.File(s"$base/slices/s4-9").exists &&
+      !new java.io.File(s"$base/slices/s9-13").exists,
+      "the next mutation must GC trash-listed slice data")
+    assert(lad.read(spark).count() == 15L)
+  }
+
+  test("interrupted compaction cleanup is finished by the next mutation, not left to linger") {
+    val base = tmpBase("resume")
+    val lad = mkLadder(base)
+    lad.train(spark, 4L)
+    lad.append(spark, 9L)
+    lad.compactSlices(spark, 9L)
+    // simulate a crash BETWEEN the merged-marker commit and the subsumed-
+    // marker cleanup: the subsumed marker reappears while its data (still
+    // deferred) sits on disk
+    assert(new java.io.File(s"$base/ladder/e0-4").createNewFile())
+    assert(lad.ladder(spark) == Seq((0L, 9L)),
+      "containment resolution must keep ignoring the leftover")
+    // first mutation: the sweep adopts the orphan (marker dropped, data
+    // trash-listed) instead of early-returning past it forever
+    lad.append(spark, 11L)
+    assert(!new java.io.File(s"$base/ladder/e0-4").exists,
+      "the sweep must finish the interrupted marker cleanup")
+    // second mutation: the trash window elapses and the data is GC'd
+    lad.append(spark, 12L)
+    assert(!new java.io.File(s"$base/slices/s0-4").exists,
+      "orphaned slice data must be collected, not linger forever")
+    assert(lad.read(spark).count() == 12L)
+  }
+
+  test("one-row-per-id ingest guard: in-batch duplicates of a FRESH id fail fast; replay duplicates and opted-out instances pass") {
+    import spark.implicits._
+    val lad = mkLadder(tmpBase("dup")) // oneRowPerId = true (default)
+    lad.appendBatch(spark, (0L to 4L).toDF("id"))
+    // an at-least-once producer duplicating a fresh row WITHIN one batch
+    // previously passed every guard and committed duplicate rows
+    val dup = intercept[IllegalArgumentException] {
+      lad.appendBatch(spark, Seq(5L, 5L, 6L).toDF("id"))
+    }
+    assert(dup.getMessage.contains("duplicated rows WITHIN"))
+    assert(lad.bound(spark) == Some(5L),
+      "a failed duplicate guard must commit nothing")
+    // duplicates among REPLAY rows are dropped before the check
+    lad.appendBatch(spark, Seq(3L, 3L, 4L, 5L, 6L).toDF("id"))
+    assert(lad.bound(spark) == Some(7L))
+    // a many-rows-per-id modality (text: docs per src_num) opts out
+    val multi = new SliceLadder(tmpBase("multi"), "multi-row artifact",
+      idCol = "id",
+      readSchema = "id BIGINT, v BIGINT",
+      deriveRange = (spark, lo, hi) =>
+        spark.range(lo, math.min(hi, LakeRows))
+          .select(col("id"), (col("id") * 2).as("v")),
+      deriveBatch = (_, batch) =>
+        batch.select(col("id"), (col("id") * 2).as("v")).distinct(),
+      oneRowPerId = false)
+    multi.appendBatch(spark, Seq(0L, 0L, 1L, 1L, 2L).toDF("id"))
+    assert(multi.bound(spark) == Some(3L))
+  }
+
+  test("tiered compaction merges same-size adjacent runs and leaves the read identical") {
+    import spark.implicits._
+    val lad = mkLadder(tmpBase("tier"))
+    // four similar-size micro-batch slices — one size tier
+    lad.appendBatch(spark, (0L to 2L).toDF("id"))
+    lad.appendBatch(spark, (3L to 5L).toDF("id"))
+    lad.appendBatch(spark, (6L to 8L).toDF("id"))
+    lad.appendBatch(spark, (9L to 11L).toDF("id"))
+    def snapshot() = lad.read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = snapshot()
+    // a run threshold above the slice count merges nothing
+    assert(lad.compactTiered(spark, minRun = 5) == 0)
+    assert(lad.ladder(spark).size == 4)
+    val merges = lad.compactTiered(spark, minRun = 4)
+    assert(merges >= 1, "four same-tier adjacent slices must merge")
+    assert(lad.ladder(spark) == Seq((0L, 12L)))
+    assert(snapshot() == expected,
+      "tiered compaction must copy rows exactly, never change the read")
+    // coverage and append behavior are unchanged afterwards
+    lad.appendBatch(spark, (12L to 13L).toDF("id"))
+    assert(lad.bound(spark) == Some(14L))
   }
 
   test("concurrent appendBatch from racing threads serializes: every id covered exactly once") {
