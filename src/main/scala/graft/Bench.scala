@@ -36,6 +36,7 @@ object Bench {
         graft.queries.TextQueries.trainUnigramPieces(spark, d)
         graft.queries.DedupQueries.trainClusterLabels(spark, d)
         graft.queries.MultimodalQueries.trainAudioSigIndex(spark, d)
+        graft.queries.MultimodalQueries.trainVideoSigIndex(spark, d)
         graft.queries.MultimodalQueries.trainMediaSigIndex(spark, d)
         graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, d)
       } catch { case e: Throwable =>

@@ -27,6 +27,7 @@ object Verify {
       graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
       graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)
       graft.queries.MultimodalQueries.trainAudioSigIndex(spark, sfDir)
+      graft.queries.MultimodalQueries.trainVideoSigIndex(spark, sfDir)
       graft.queries.MultimodalQueries.trainMediaSigIndex(spark, sfDir)
       graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sfDir)
     } catch { case e: Throwable =>

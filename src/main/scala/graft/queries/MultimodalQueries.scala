@@ -910,17 +910,34 @@ object MultimodalQueries {
     * shuffled rows are 3-column integers, never blobs. The oracle
     * re-derives every luma analytically and mirrors the two-window
     * composition. */
-  private def videoScenes(spark: SparkSession, dir: String): DataFrame = {
-    val blobs = Multimodal.encodeSynthVideoPartitioned(
+  /** Range-scoped synthetic video blobs — the video lake's ingest stage
+    * and the scene index's append source. SINGLE SOURCE of the per-doc
+    * frame-count formula (20 + doc_id % 11): the index's hash stage and
+    * the query-side blobs must never drift. The doc_id filter is pushed
+    * to the documents scan, so an append reads only the batch's rows. */
+  private def videoBlobsRange(spark: SparkSession, dir: String, lo: Long,
+      hi: Long): DataFrame =
+    Multimodal.encodeSynthVideoPartitioned(
       Tables(spark, dir, "documents")
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
         .select(col("doc_id"),
           (lit(20) + col("doc_id") % 11).cast("int").as("n")),
       "doc_id", "n")
+
+  /** Change-point scene segmentation over a video blob column — the
+    * shared engine stage behind [[videoScenes]] (the scene-table query)
+    * and [[videoFingerprints]] (the scene-level signature): frame bytes
+    * re-extracted through the pure-Catalyst [[Multimodal.frameSample]]
+    * path, lag-delta cut flags, running cut sum as the scene id, then
+    * per-scene aggregates. Windows are per media id, so no global sort
+    * exists at any corpus size; shuffled rows are narrow integers,
+    * never blobs. */
+  private def videoSceneTableOf(blobs: DataFrame): DataFrame = {
     val frames = Multimodal.frameSample(blobs, stride = 1)
-      .selectExpr("media_id AS doc_id",
+      .selectExpr("media_id",
         "cast(frame_off - 13 AS BIGINT) AS f", "frame_byte AS luma")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("f")
+      .partitionBy("media_id").orderBy("f")
     frames
       .withColumn("cut",
         when(lag(col("luma"), 1).over(w).isNull ||
@@ -928,14 +945,19 @@ object MultimodalQueries {
             >= SceneCutThreshold, 1).otherwise(0))
       .withColumn("scene_id", sum(col("cut")).over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("f")
+          .partitionBy("media_id").orderBy("f")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy("doc_id", "scene_id")
+      .groupBy("media_id", "scene_id")
       .agg(min("f").as("start_f"), max("f").as("end_f"),
         count(lit(1)).as("n_frames"),
         sum(col("luma").cast("long")).as("luma_sum"))
-      .orderBy("doc_id", "scene_id")
   }
+
+  private def videoScenes(spark: SparkSession, dir: String): DataFrame =
+    videoSceneTableOf(videoBlobsRange(spark, dir, 0L, Long.MaxValue))
+      .selectExpr("media_id AS doc_id", "scene_id", "start_f", "end_f",
+        "n_frames", "luma_sum")
+      .orderBy("doc_id", "scene_id")
 
   private val videoScenesSql = s"""
     WITH dims AS (SELECT doc_id, 20 + doc_id % 11 AS n FROM documents),
@@ -964,6 +986,236 @@ object MultimodalQueries {
            CAST(sum(luma) AS BIGINT) AS luma_sum
     FROM s GROUP BY doc_id, scene_id
     ORDER BY doc_id, scene_id"""
+
+  // ==========================================================================
+  // Video signature index + near-dup + incremental — the fourth modality
+  // joins the triad (text shingles / image aHash / audio fingerprints /
+  // VIDEO scene signatures all now have: persisted SliceLadder artifact,
+  // batch-vs-lake incremental dedup, streaming ingest sink). The frame
+  // decode + scene segmentation is the expensive stage (petabytes of
+  // frames in, 8 bytes out per video) and runs exactly once per video,
+  // at ingest.
+  // ==========================================================================
+
+  /** Scene-level video signature: a 63-bit fingerprint packed from the
+    * CHANGE-POINT scene table ([[videoSceneTableOf]]) — the video twin
+    * of [[audioFingerprints]]'s frame-feature packing. Bands 0-2 carry
+    * the first three scenes (every video has ≥ 20 frames = 4 full
+    * 5-frame scenes): high byte = quantized scene luma sum
+    * (luma_sum div 4 mod 256), low byte = scene length. Band 3 carries
+    * whole-video shape — total frame count (7 bits, so the top bit
+    * stays clear and the DuckDB oracle's BIGINT shift cannot overflow)
+    * and quantized total luma — making the signature sensitive to video
+    * LENGTH, not just its opening scenes: equal-prefix videos of
+    * different length must not collide, the same reason the audio side
+    * restricts to the first three frames but here length is packed
+    * explicitly. All four 16-bit bands are informative, so the banded
+    * pigeonhole ([[Multimodal.mediaCandidates]]) has 4 real bands:
+    * a pair within Hamming ≤ 2 shares ≥ 2 untouched bands and is found
+    * whenever EITHER is under the bucket cap — one band stronger than
+    * the audio family's 3-real-band layout. Factored over the scene
+    * table so specs can drive it with planted scenes. */
+  private[graft] def videoFingerprints(scenes: DataFrame): DataFrame =
+    scenes.groupBy("media_id")
+      .agg(
+        sum(when(col("scene_id") <= 3,
+          expr("""shiftleft((luma_sum div 4) % 256,
+                            cast((scene_id - 1) * 16 + 8 AS INT)) +
+                  shiftleft(n_frames % 256,
+                            cast((scene_id - 1) * 16 AS INT))"""))
+          .otherwise(lit(0L))).as("p012"),
+        sum("n_frames").as("n_tot"),
+        sum("luma_sum").as("l_tot"))
+      .selectExpr("media_id",
+        """p012 + shiftleft((n_tot % 128) * 256 + (l_tot div 4) % 256, 48)
+           AS phash""")
+
+  private[graft] def videoSigBase(dir: String): String = sigBase(dir, "vsc63")
+
+  private def videoSigIndex(dir: String): graft.sources.SliceLadder =
+    new graft.sources.SliceLadder(videoSigBase(dir), "video signature",
+      idCol = "media_id",
+      readSchema = "media_id BIGINT, phash BIGINT",
+      deriveRange = (spark, lo, hi) =>
+        videoFingerprints(videoSceneTableOf(
+          videoBlobsRange(spark, dir, lo, hi))),
+      deriveBatch = (_, batch) =>
+        videoFingerprints(videoSceneTableOf(
+          batch.select(col("media_id"), col("bytes")))))
+
+  // Video-index public surface (delegating; see SliceLadder for contracts)
+  private[graft] def videoSigLadder(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] = videoSigIndex(dir).ladder(spark)
+  def videoSigBound(spark: SparkSession, dir: String): Option[Long] =
+    videoSigIndex(dir).bound(spark)
+  def videoSigTrained(spark: SparkSession, dir: String): Boolean =
+    videoSigIndex(dir).trained(spark)
+  def dropVideoSigIndex(spark: SparkSession, dir: String): Unit =
+    videoSigIndex(dir).drop(spark)
+  def appendVideoSigs(spark: SparkSession, dir: String,
+      batchBound: Long): Unit = videoSigIndex(dir).append(spark, batchBound)
+  def appendVideoSigBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit = videoSigIndex(dir).appendBatch(spark, batch)
+  def trainVideoSigIndex(spark: SparkSession, dir: String,
+      bound: Long = Long.MaxValue): Unit =
+    videoSigIndex(dir).train(spark, bound)
+  def compactVideoSigSlices(spark: SparkSession, dir: String,
+      upTo: Long): Unit = videoSigIndex(dir).compactSlices(spark, upTo)
+  def compactVideoSigTiered(spark: SparkSession, dir: String,
+      minRun: Int = 4): Int = videoSigIndex(dir).compactTiered(spark, minRun)
+  private[graft] def videoSigsFromIndex(spark: SparkSession,
+      dir: String): DataFrame = videoSigIndex(dir).read(spark)
+
+  /** Video near-dup pairs — the fourth leg of the media-dedup matrix:
+    * scene-level [[videoFingerprints]] ride the SAME banded pigeonhole
+    * join as the image and audio sides ([[Multimodal.mediaNearDups]]).
+    * Threshold Hamming ≤ 2 with 4 REAL bands (see the signature doc):
+    * any qualifying pair shares ≥ 2 untouched bands, so candidate
+    * coverage is exact while EITHER shared band's bucket is under
+    * [[Multimodal.BandBucketCap]] — above it the drop is mirrored by
+    * the oracle, the same documented gate-invisible miss as the other
+    * modalities. Served from the persisted signature index when one
+    * fully covers the corpus (frames decoded once, at ingest); computed
+    * inline otherwise — bit-identical either way (pure integer function
+    * of the payload). Synthetic-lake note: exact-duplicate signatures
+    * need doc_id ≡ doc_id' (mod lcm(251, 11) = 2761), so all three SFs
+    * emit rows (500 docs → quantization-neighbor pairs; 5000 → whole
+    * duplicate classes). */
+  private def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = (if (videoSigTrained(spark, dir))
+        videoSigsFromIndex(spark, dir)
+      else videoFingerprints(videoSceneTableOf(
+        videoBlobsRange(spark, dir, 0L, Long.MaxValue))))
+      .as[Multimodal.MediaSig]
+    Multimodal.mediaNearDups(sigs, maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Shared oracle CTE chain re-deriving the scene-level fingerprint
+    * analytically from the synthetic luma formula (scene table exactly
+    * as the [[videoScenesSql]] oracle derives it, then the same packing
+    * as [[videoFingerprints]]), banded with the hot-bucket cut —
+    * `vokb` mirrors the engine's okb rows. */
+  private val videoOkbCtes = s"""vdims AS (
+      SELECT doc_id, 20 + doc_id % 11 AS n FROM documents),
+    vfr AS (
+      SELECT doc_id, f,
+             (doc_id * 11 + (f // 5) * 97) % 251 + f % 5 AS luma
+      FROM vdims, unnest(generate_series(0, n - 1)) AS u(f)),
+    vd AS (
+      SELECT doc_id, f, luma,
+             CASE WHEN lag(luma) OVER (PARTITION BY doc_id ORDER BY f)
+                    IS NULL
+                  OR abs(luma - lag(luma)
+                       OVER (PARTITION BY doc_id ORDER BY f))
+                    >= $SceneCutThreshold
+                  THEN 1 ELSE 0 END AS cut
+      FROM vfr),
+    vsn AS (
+      SELECT doc_id, f, luma,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+                            ROWS UNBOUNDED PRECEDING) AS scene_id
+      FROM vd),
+    vscn AS (
+      SELECT doc_id, scene_id, count(*) AS n_frames,
+             sum(luma) AS luma_sum
+      FROM vsn GROUP BY doc_id, scene_id),
+    vfp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN scene_id <= 3
+                  THEN (((luma_sum // 4) % 256)
+                          << CAST((scene_id - 1) * 16 + 8 AS INT))
+                     + ((n_frames % 256)
+                          << CAST((scene_id - 1) * 16 AS INT))
+                  ELSE 0 END)
+                + (((sum(n_frames) % 128) * 256 + (sum(luma_sum) // 4) % 256)
+                     << 48)
+                AS BIGINT) AS fp
+      FROM vscn GROUP BY doc_id),
+    vbands AS (
+      SELECT doc_id, fp, band,
+             CASE band WHEN 0 THEN fp & 65535
+                       WHEN 1 THEN (fp >> 16) & 65535
+                       WHEN 2 THEN (fp >> 32) & 65535
+                       ELSE (fp >> 48) & 65535 END AS v
+      FROM vfp, unnest([0, 1, 2, 3]) AS u(band)),
+    vinf AS (
+      SELECT band, v FROM vbands GROUP BY band, v
+      HAVING count(*) <= ${Multimodal.BandBucketCap}),
+    vokb AS (SELECT vbands.* FROM vbands JOIN vinf USING (band, v))"""
+
+  private val videoNearDupSql = s"""
+    WITH $videoOkbCtes,
+    vcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.fp AS fa, c.fp AS fb
+      FROM vokb a JOIN vokb c
+        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM vcand
+    WHERE bit_count(xor(fa, fb)) <= 2
+    ORDER BY id_a, id_b"""
+
+  /** Incremental video dedup — the batch-vs-lake shape for the video
+    * modality, completing the per-modality incremental set: lake
+    * signatures come from the persisted index when it covers the corpus
+    * (lake frames are never re-decoded) and only the batch's bands
+    * probe the band buckets, so candidate volume scales with the batch.
+    * Threshold Hamming ≤ 2 (exactness argument in [[videoNearDup]]).
+    * Kept/dropped accounting per source, plus surviving frame volume. */
+  private def videoIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val srcs = mediaSrcs(spark, dir)
+    val sigs = (if (videoSigTrained(spark, dir))
+        videoSigsFromIndex(spark, dir)
+      else videoFingerprints(videoSceneTableOf(
+        videoBlobsRange(spark, dir, 0L, Long.MaxValue))))
+    val okb = okbOf(sigs.join(srcs.select("media_id", "src_num"), "media_id"))
+    val drops = okb.filter(col("src_num") >= 10).as("x")
+      .join(okb.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.media_id") =!= col("y.media_id") &&
+          (col("y.src_num") < 10 ||
+            col("y.media_id") < col("x.media_id")))
+      .filter(expr("bit_count(x.phash ^ y.phash) <= 2"))
+      .select(col("x.media_id").as("media_id")).distinct()
+    srcs.filter(col("src_num") >= 10)
+      .join(drops.withColumn("is_drop", lit(1L)), Seq("media_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        coalesce(sum("is_drop"), lit(0L)).as("n_dropped"),
+        sum(when(col("is_drop").isNull,
+          lit(20) + col("media_id") % 11).otherwise(lit(0L)))
+          .as("frames_kept"))
+      .orderBy("source")
+  }
+
+  private lazy val videoIncrementalSql = s"""
+    WITH $videoOkbCtes,
+    vsrc AS (
+      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num
+      FROM documents),
+    vokbs AS (
+      SELECT vokb.doc_id, vokb.fp, vokb.band, vokb.v, s.src_num
+      FROM vokb JOIN vsrc s USING (doc_id)),
+    vdrops AS (
+      SELECT DISTINCT x.doc_id AS media_id
+      FROM vokbs x JOIN vokbs y
+        ON x.band = y.band AND x.v = y.v AND x.doc_id <> y.doc_id
+       AND (y.src_num < 10 OR y.doc_id < x.doc_id)
+      WHERE x.src_num >= 10 AND bit_count(xor(x.fp, y.fp)) <= 2)
+    SELECT source, count(*) AS n_batch,
+           CAST(sum(CASE WHEN d.media_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.media_id IS NULL
+                    THEN 20 + doc_id % 11 ELSE 0 END)
+                AS BIGINT) AS frames_kept
+    FROM vsrc LEFT JOIN vdrops d ON vsrc.doc_id = d.media_id
+    WHERE src_num >= 10
+    GROUP BY source
+    ORDER BY source"""
 
   /** The oracle's banding works on (hi, lo) halves — DuckDB BIGINT left
     * shift errors on hi<<32 overflow, and band extraction / Hamming both
@@ -1084,5 +1336,8 @@ object MultimodalQueries {
       Some(audioIncrementalSql)),
     QueryDef("q_audio_segments", audioSilence, Some(audioSilenceSql)),
     QueryDef("q_video_scenes", videoScenes, Some(videoScenesSql)),
+    QueryDef("q_video_neardup", videoNearDup, Some(videoNearDupSql)),
+    QueryDef("q_video_incremental", videoIncremental,
+      Some(videoIncrementalSql)),
   )
 }

@@ -530,6 +530,24 @@ object StreamingPipeline {
           batch.sparkSession, dir, batch)
       }
 
+  /** Continual-ingest sink for the VIDEO modality: each micro-batch of
+    * arriving (media_id, bytes) framed video blobs is scene-segmented
+    * (pure-Catalyst frame extraction + per-id change-point windows) and
+    * its scene-level signature committed as the next slice of the
+    * persisted video signature index — frames are decoded exactly once,
+    * at ingest, and every near-dup/incremental stage downstream reads
+    * 8-byte signatures. Same replay contract as the other sinks — see
+    * [[graft.queries.MultimodalQueries.appendVideoSigBatch]]. */
+  def ingestVideoSink(src: DataFrame, dir: String):
+      DataStreamWriter[org.apache.spark.sql.Row] =
+    src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.MultimodalQueries.appendVideoSigBatch(
+          batch.sparkSession, dir, batch)
+      }
+
   /** Continual-ingest sink for the TEXT modality — the fourth leg of
     * the per-modality ingest set (vectors → IVF inverted file, images →
     * signature index, audio → fingerprint index, documents → SHINGLE

@@ -477,6 +477,66 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("appended video-signature index equals from-scratch build across a multi-step ladder") {
+    import graft.queries.MultimodalQueries
+    val sf = "/root/testdata/sf0.001"
+    def snapshot() = MultimodalQueries.videoSigsFromIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    MultimodalQueries.dropVideoSigIndex(spark, sf)
+    MultimodalQueries.trainVideoSigIndex(spark, sf)
+    val expected = snapshot()
+    assert(expected.nonEmpty)
+    MultimodalQueries.dropVideoSigIndex(spark, sf)
+    MultimodalQueries.trainVideoSigIndex(spark, sf, bound = 12)
+    assert(MultimodalQueries.videoSigBound(spark, sf) == Some(12L))
+    assert(!MultimodalQueries.videoSigTrained(spark, sf))
+    MultimodalQueries.appendVideoSigs(spark, sf, 20)
+    MultimodalQueries.appendVideoSigs(spark, sf, Long.MaxValue)
+    assert(MultimodalQueries.videoSigTrained(spark, sf))
+    assert(snapshot() == expected,
+      "appended video index diverged from from-scratch")
+    // idempotent re-train; reversed bound refuses
+    MultimodalQueries.trainVideoSigIndex(spark, sf)
+    assert(MultimodalQueries.videoSigLadder(spark, sf).size == 3)
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.appendVideoSigs(spark, sf, 5)
+    }
+  }
+
+  test("video scene-fingerprint planted recall: twins and quantization-local edits pair up; longer or different videos do not") {
+    import spark.implicits._
+    import graft.queries.MultimodalQueries
+    // planted scene tables (media_id, scene_id, n_frames, luma_sum):
+    //  1 & 2 — identical scene structure → identical fingerprint
+    //  3 — video 1 with ONE scene nudged a quantization step (600→604):
+    //      scene byte 150→151 (1 bit) + total byte 564→565 (1 bit) = H2
+    //  4 — same OPENING scenes as 1 but longer: band 3's length byte
+    //      (20 vs 25 frames) must split equal-prefix videos
+    //  5 — structurally different everywhere
+    val scenes = Seq(
+      (1L, 1L, 5L, 600L), (1L, 2L, 5L, 410L), (1L, 3L, 5L, 220L),
+      (1L, 4L, 5L, 1026L),
+      (2L, 1L, 5L, 600L), (2L, 2L, 5L, 410L), (2L, 3L, 5L, 220L),
+      (2L, 4L, 5L, 1026L),
+      (3L, 1L, 5L, 604L), (3L, 2L, 5L, 410L), (3L, 3L, 5L, 220L),
+      (3L, 4L, 5L, 1026L),
+      (4L, 1L, 5L, 600L), (4L, 2L, 5L, 410L), (4L, 3L, 5L, 220L),
+      (4L, 4L, 5L, 1026L), (4L, 5L, 5L, 500L),
+      (5L, 1L, 5L, 111L), (5L, 2L, 5L, 987L), (5L, 3L, 5L, 55L),
+      (5L, 4L, 5L, 770L)
+    ).toDF("media_id", "scene_id", "n_frames", "luma_sum")
+    val sigs = MultimodalQueries.videoFingerprints(scenes)
+      .as[Multimodal.MediaSig]
+    val got = Multimodal.mediaNearDups(sigs, maxHamming = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"planted recall diverged: $got")
+    assert(got((1L, 2L)) == 0L, "twins must collide exactly")
+    assert(got((1L, 3L)) == 2L,
+      "a one-step scene edit must land within the near-dup threshold")
+  }
+
   test("synthVideoLuma: in-scene deltas are ±1-ish texture, cross-scene jumps clear the cut") {
     // the constructed margins the scene detector's threshold relies on:
     // every |delta| within a scene < 32, every scene-boundary |delta| ≥ 32

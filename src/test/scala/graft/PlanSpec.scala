@@ -367,6 +367,39 @@ class PlanSpec extends SparkSpec {
       s"q_audio_neardup lost the hot-bucket anti-join:\n$logical")
   }
 
+  test("q_video_incremental reads lake signatures from the persisted index; no cartesian") {
+    import graft.queries.MultimodalQueries
+    MultimodalQueries.trainVideoSigIndex(spark, sf)
+    val df = Registry.byName("q_video_incremental").fn(spark, sf)
+    df.collect()
+    // lake video is never re-segmented: scene signatures come from the
+    // persisted index's parquet slices
+    assert(df.inputFiles.exists(_.contains("media-sigs/v1-vsc63")),
+      s"q_video_incremental does not read the signature index: " +
+        df.inputFiles.take(3).mkString(", "))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_video_incremental must not sort-merge 8-byte signatures:\n$plan")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"),
+      s"q_video_incremental lost the hot-bucket anti-join:\n$logical")
+  }
+
+  test("q_video_neardup: banded candidate join, no sort-merge, anti-join hot-bucket cut") {
+    val df = graft.queries.Registry.byName("q_video_neardup").fn(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"q_video_neardup must not sort-merge 8-byte signatures:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"),
+      s"q_video_neardup lost the hot-bucket anti-join:\n$logical")
+  }
+
   test("q_gopher_rules is one narrow pass: no joins, single exchange for the output sort") {
     val df = graft.queries.Registry.byName("q_gopher_rules").fn(spark, sf)
     df.collect()

@@ -855,6 +855,46 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == expected)
   }
 
+  test("streaming video ingest maintains the signature index: stream-built equals from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    import graft.operators.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    def snapshot() = MultimodalQueries.videoSigsFromIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    MultimodalQueries.dropVideoSigIndex(spark, dir)
+    MultimodalQueries.trainVideoSigIndex(spark, dir)
+    val expected = snapshot()
+    MultimodalQueries.dropVideoSigIndex(spark, dir)
+    // the stream carries the same framed video blobs the lake generates
+    val rows = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "cast(20 + doc_id % 11 AS INT) AS n")
+      .as[(Long, Int)].collect().sorted
+    val mem = MemoryStream[(Long, Int)]
+    mem.addData(rows.toSeq)
+    val blobs = Multimodal.encodeSynthVideoPartitioned(
+      mem.toDF.toDF("doc_id", "n"), "doc_id", "n")
+    StreamingPipeline.ingestVideoSink(blobs, dir).start().awaitTermination()
+    assert(MultimodalQueries.videoSigTrained(spark, dir) ||
+      MultimodalQueries.videoSigBound(spark, dir) == Some(rows.last._1 + 1))
+    assert(snapshot() == expected,
+      "stream-built video index diverged from the offline build")
+    // replaying the whole corpus against the committed index is a no-op
+    val before = MultimodalQueries.videoSigLadder(spark, dir)
+    val mem2 = MemoryStream[(Long, Int)]
+    mem2.addData(rows.toSeq)
+    StreamingPipeline.ingestVideoSink(
+      Multimodal.encodeSynthVideoPartitioned(
+        mem2.toDF.toDF("doc_id", "n"), "doc_id", "n"), dir)
+      .start().awaitTermination()
+    assert(MultimodalQueries.videoSigLadder(spark, dir) == before,
+      "replayed blobs must not re-commit")
+    // seal for full-corpus consumers; reads survive the empty top slice
+    MultimodalQueries.trainVideoSigIndex(spark, dir)
+    assert(snapshot() == expected)
+  }
+
   test("streaming sketch maintenance: Count-Min cells over a stream equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
