@@ -9,6 +9,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Host load (1-min average) sampled at each phase boundary and
+    // emitted in the JSON: bench totals on a shared machine swing with
+    // EXTERNAL load (r14's 102.6 vs 87.0 s same-code delta), and the
+    // adjudication should read contention off these fields instead of
+    // re-arguing it from prose each round.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     val spark = Sessions.local(cpus)
     val headline = Registry.all.filter(_.headline)
     // JVM+codegen warmup: run EVERY headline query once on the smallest SF
@@ -66,6 +75,7 @@ object Bench {
     // min matches steady state). The cold pass is still MEASURED and
     // reported as its own "cold" column, so first-touch cost stays
     // visible instead of polluting the steady-state gate signal.
+    val loadAfterWarmup = loadAvg()
     val coldTimes = headline.map { q =>
       val t0 = System.nanoTime()
       try {
@@ -87,6 +97,7 @@ object Bench {
     // regression (round 5's q_ann_pq false alarm: rep array
     // [1.97, 9.77, 1.99]). Interleaved, the same stall lands one slow rep
     // on several DIFFERENT queries, and each query's median sheds it.
+    val loadAfterCold = loadAvg()
     val Reps = 3
     val repTimes = Array.fill(headline.size, Reps)(-1.0)
     for (r <- 0 until Reps; (q, i) <- headline.zipWithIndex) {
@@ -137,8 +148,10 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val summary = s"""{"total_sec":${f"$total%.2f"},"n_queries":${results.size},"n_failed":${failed.size},"n_partial":${partial.size},"top5_median":${top5(results.map { case (k, v, _) => (k, v) })},"top5_cold":${top5(coldTimes)}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"cold":$coldJson,"failures":${failed.mkString("[", ",", "]")},"partial_failures":${partial.mkString("[", ",", "]")},"sf":"$sfDir","summary":$summary}""")
+    val loadEnd = loadAvg()
+    val loadJson = f"""{"start":$loadStart%.2f,"after_warmup":$loadAfterWarmup%.2f,"after_cold":$loadAfterCold%.2f,"end":$loadEnd%.2f,"cpus":"$cpus"}"""
+    val summary = s"""{"total_sec":${f"$total%.2f"},"n_queries":${results.size},"n_failed":${failed.size},"n_partial":${partial.size},"top5_median":${top5(results.map { case (k, v, _) => (k, v) })},"top5_cold":${top5(coldTimes)},"load_avg":$loadJson}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"cold":$coldJson,"failures":${failed.mkString("[", ",", "]")},"partial_failures":${partial.mkString("[", ",", "]")},"sf":"$sfDir","load_avg":$loadJson,"summary":$summary}""")
     spark.stop()
   }
 }

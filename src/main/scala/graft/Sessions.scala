@@ -19,6 +19,13 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // STATIC conf (first-session only): the suite compiles 190+ plan
+      // shapes × several codegen stages each; the default 100-entry
+      // janino cache thrashes across them, so the bench's cold pass
+      // re-pays whole-stage compilation per eviction (r14 driver colds
+      // of 8-15 s on sub-2 s queries). Sized to hold every stage of the
+      // full suite; entries are compiled classes, tens of MB total.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensureConf(spark)

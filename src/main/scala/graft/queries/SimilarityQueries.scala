@@ -72,8 +72,6 @@ object SimilarityQueries {
   private[queries] def probeMasks(planes: Int, radius: Int): Seq[Int] =
     (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
 
-  private def planeSpark(t: Int, p: Int): String =
-    hyperplanes(t)(p).map(v => s"${v}D").mkString("array(", ", ", ")")
   private def planeDuck(t: Int, p: Int): String =
     hyperplanes(t)(p).mkString("[", ", ", "]::DOUBLE[]")
 
@@ -81,12 +79,6 @@ object SimilarityQueries {
     * bit-identical to the aggregate∘zip_with composition and to DuckDB's
     * list_dot_product — strict left-to-right summation. */
   private val dotSpark = "dot_product(%s, %s)"
-
-  /** Per-table LSH bucket id for a double-array column expression. */
-  private def bucketSpark(t: Int, v: String, planes: Int = LSH_PLANES): String =
-    (0 until planes).map { p =>
-      s"(CASE WHEN ${dotSpark.format(v, planeSpark(t, p))} >= 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
 
   private def bucketDuck(t: Int, v: String, planes: Int = LSH_PLANES): String =
     (0 until planes).map { p =>
@@ -343,13 +335,31 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** (vec_id, tbl, bucket) triples — the narrow LSH bucket assignment
-    * pass shared by [[annLsh]] and the recall diagnostics. */
+    * pass shared by [[annLsh]] and the recall diagnostics. The
+    * hyperplane pool rides a ONE-ROW broadcast relation (tables ×
+    * planes × dim nested array) instead of inline literals: the old
+    * spelling baked TABLES·planes·DIM = 3.5k double literals into the
+    * plan — the largest expression tree in the engine, recompiled by
+    * janino on every codegen-cache eviction — where as DATA it is ~2 KB
+    * that never recompiles. Still zero shuffle: a broadcast 1-row cross
+    * join is map-side, and the per-table bucket folds inside one
+    * codegen stage via indexed transform/aggregate. Bit-identical to
+    * the literal spelling (same planes, same strict left-to-right
+    * dot_product, same sign rule). */
   private[queries] def lshBucketsOf(e: DataFrame,
       planes: Int = LSH_PLANES): DataFrame = {
-    val tblCols = (0 until TABLES).map { t =>
-      s"named_struct('tbl', $t, 'bucket', ${bucketSpark(t, "v", planes)})"
-    }.mkString(", ")
-    e.selectExpr("vec_id", s"explode(array($tblCols)) AS tb")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pool = Seq(Tuple1(
+      hyperplanes.take(TABLES).map(_.take(planes)))).toDF("hps")
+    e.crossJoin(broadcast(pool))
+      .selectExpr("vec_id",
+        """explode(transform(hps, (tp, t) -> named_struct(
+             'tbl', t,
+             'bucket', aggregate(
+               transform(tp, (pl, p) ->
+                 IF(dot_product(v, pl) >= 0D, shiftleft(1, p), 0)),
+               0, (a, x) -> a + x)))) AS tb""")
       .selectExpr("vec_id", "tb.tbl AS tbl", "tb.bucket AS bucket")
   }
 
