@@ -2618,7 +2618,7 @@ object TextQueries {
                  / ((count(*) FILTER (label)) *
                     CAST(count(*) FILTER (NOT label) AS DOUBLE))
                  + 1e-9, 4) AS auc,
-           round(avg(CASE WHEN (score > 0) = label THEN 1.0 ELSE 0.0 END)
+           round(avg(CASE WHEN (score > 0) = label THEN 1e0 ELSE 0e0 END)
                  + 1e-9, 4) AS accuracy
     FROM ranked"""
 
@@ -2648,7 +2648,7 @@ object TextQueries {
       FROM scored)
     SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
            count(*) FILTER (label) AS n_pos,
-           round(avg(CASE WHEN label THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+           round(avg(CASE WHEN label THEN 1e0 ELSE 0e0 END) + 1e-9, 4)
              AS pos_rate,
            min(score) AS min_score, max(score) AS max_score
     FROM binned
