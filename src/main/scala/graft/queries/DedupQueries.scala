@@ -350,6 +350,13 @@ object DedupQueries {
       upTo: Int): Unit =
     shingleIndex(dir).compactSlices(spark, upTo.toLong)
 
+  /** Size-tiered (LSM-style) maintenance merge — see
+    * [[graft.sources.SliceLadder.compactTiered]]; the bounded-write-
+    * amplification alternative to the full-prefix collapse, exposed on
+    * every modality's index. Censuses untouched, read unchanged. */
+  def compactShingleTiered(spark: SparkSession, dir: String,
+      minRun: Int = 4): Int = shingleIndex(dir).compactTiered(spark, minRun)
+
   /** Ensure the index covers src_num < `bound` (default: full corpus).
     * Idempotent; a partially-covering index is ADVANCED by appending
     * (the production shape — Verify/Bench setup after a compaction

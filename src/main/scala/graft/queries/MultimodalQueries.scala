@@ -241,6 +241,8 @@ object MultimodalQueries {
     mediaSigIndex(dir).train(spark, bound)
   def compactMediaSigSlices(spark: SparkSession, dir: String,
       upTo: Long): Unit = mediaSigIndex(dir).compactSlices(spark, upTo)
+  def compactMediaSigTiered(spark: SparkSession, dir: String,
+      minRun: Int = 4): Int = mediaSigIndex(dir).compactTiered(spark, minRun)
   private[graft] def sigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = mediaSigIndex(dir).read(spark)
 
@@ -273,6 +275,8 @@ object MultimodalQueries {
     audioSigIndex(dir).train(spark, bound)
   def compactAudioSigSlices(spark: SparkSession, dir: String,
       upTo: Long): Unit = audioSigIndex(dir).compactSlices(spark, upTo)
+  def compactAudioSigTiered(spark: SparkSession, dir: String,
+      minRun: Int = 4): Int = audioSigIndex(dir).compactTiered(spark, minRun)
   private[graft] def audioSigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = audioSigIndex(dir).read(spark)
 

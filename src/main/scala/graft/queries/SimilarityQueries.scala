@@ -657,6 +657,12 @@ object SimilarityQueries {
       upTo: Long): Unit =
     ivfAssignIndex(dir).compactSlices(spark, upTo)
 
+  /** Size-tiered maintenance merge for the inverted file — see
+    * [[graft.sources.SliceLadder.compactTiered]]; merged slices re-land
+    * through the same `partitionBy(c_id)` writer. */
+  def compactIvfTiered(spark: SparkSession, dir: String,
+      minRun: Int = 4): Int = ivfAssignIndex(dir).compactTiered(spark, minRun)
+
   /** Ensure the inverted file covers vec_id < `bound` (default: full
     * corpus). Idempotent; partial coverage is ADVANCED by appending;
     * coverage beyond `bound` forces a from-scratch rebuild at `bound`

@@ -376,6 +376,60 @@ class SliceLadderSpec extends SparkSpec {
     assert(lad.bound(spark) == Some(14L))
   }
 
+  test("tiered compaction bounds write amplification: rows rewritten O(N log K) across K batches, below the full-prefix control") {
+    import spark.implicits._
+    // The claim behind compactTiered: maintaining the ladder after every
+    // micro-batch rewrites each row only on tier promotion — binary-
+    // counter merging, <= ceil(log2 K) + 1 rewrites per row — where
+    // running the full-prefix collapse after every batch rewrites the
+    // whole prefix each time, O(K) rewrites for the oldest rows. Count
+    // the rows every slice write lands via the writeSliceFiles hook and
+    // compare the two schedules on identical ingest. Rows carry a
+    // 100-byte pad so parquet size tracks row count (tier = log2 bytes
+    // must separate doublings; tiny padless files are overhead-dominated
+    // and collapse into one tier).
+    val K = 16
+    val B = 1024L // rows per batch
+    def mk(tag: String): (SliceLadder, () => Long) = {
+      var written = 0L
+      val lad = new SliceLadder(tmpBase(tag), s"amp-$tag artifact",
+        idCol = "id",
+        readSchema = "id BIGINT, pad STRING",
+        deriveRange = (spark, lo, hi) =>
+          spark.range(lo, hi).select(col("id"),
+            expr("repeat('x', 100)").as("pad")),
+        deriveBatch = (_, batch) =>
+          batch.select(col("id"), expr("repeat('x', 100)").as("pad")),
+        writeSliceFiles = (df, path) => {
+          written += df.count()
+          df.write.mode("overwrite").parquet(path)
+        })
+      (lad, () => written)
+    }
+    val (tiered, tieredWritten) = mk("amptier")
+    val (full, fullWritten) = mk("ampfull")
+    for (k <- 0 until K) {
+      val batch = (k * B until (k + 1) * B).toDF("id")
+      tiered.appendBatch(spark, batch)
+      tiered.compactTiered(spark, minRun = 2)
+      full.appendBatch(spark, batch)
+      full.compactSlices(spark, (k + 1) * B)
+    }
+    val n = K * B
+    assert(tiered.read(spark).count() == n &&
+      full.read(spark).count() == n)
+    // log2(16) = 4 tier promotions max per row, +1 for the ingest write
+    val bound = n * (1 + (64 - java.lang.Long.numberOfLeadingZeros(K - 1L)))
+    assert(tieredWritten() <= bound,
+      s"tiered schedule wrote ${tieredWritten()} rows > O(N log K) bound $bound")
+    assert(tieredWritten() * 2 <= fullWritten(),
+      s"tiered (${tieredWritten()}) must beat per-batch full-prefix " +
+        s"(${fullWritten()}) by a wide margin at K = $K")
+    // and the maintained ladder stays shallow: <= log2(K) + 1 slices
+    assert(tiered.ladder(spark).size <= 5,
+      s"tiered ladder too deep: ${tiered.ladder(spark)}")
+  }
+
   test("concurrent appendBatch from racing threads serializes: every id covered exactly once") {
     import spark.implicits._
     val lad = mkLadder(tmpBase("race"))
