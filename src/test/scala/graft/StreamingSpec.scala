@@ -895,6 +895,49 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == expected)
   }
 
+  test("live video ingest under tiered maintenance: per-drain compactTiered keeps the ladder shallow, rows exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.MultimodalQueries
+    import graft.operators.Multimodal
+    // the production maintenance loop: drain a micro-batch, run the
+    // size-tiered merge, repeat — ingest and maintenance interleave on
+    // one artifact and the read stays row-for-row the offline build
+    // while the ladder depth stays logarithmic in the batch count
+    val dir = "/root/testdata/sf0.001"
+    def snapshot() = MultimodalQueries.videoSigsFromIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    MultimodalQueries.dropVideoSigIndex(spark, dir)
+    MultimodalQueries.trainVideoSigIndex(spark, dir)
+    val expected = snapshot()
+    MultimodalQueries.dropVideoSigIndex(spark, dir)
+    val rows = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "cast(20 + doc_id % 11 AS INT) AS n")
+      .as[(Long, Int)].collect().sorted
+    val chunks = rows.grouped(math.max(1, rows.length / 8)).toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_video_ingest").toString
+    val mem = MemoryStream[(Long, Int)]
+    chunks.foreach { c =>
+      mem.addData(c.toSeq)
+      StreamingPipeline.ingestVideoSink(
+          Multimodal.encodeSynthVideoPartitioned(
+            mem.toDF.toDF("doc_id", "n"), "doc_id", "n"), dir)
+        .option("checkpointLocation", ckpt).start().awaitTermination()
+      MultimodalQueries.compactVideoSigTiered(spark, dir, minRun = 2)
+    }
+    assert(MultimodalQueries.videoSigBound(spark, dir)
+      == Some(rows.last._1 + 1))
+    val depth = MultimodalQueries.videoSigLadder(spark, dir).size
+    assert(depth <= 5,
+      s"tiered maintenance must keep the ladder shallow, got depth $depth")
+    assert(snapshot() == expected,
+      "ingest interleaved with tiered merges diverged from the offline build")
+    // sealing still works over the maintained ladder
+    MultimodalQueries.trainVideoSigIndex(spark, dir)
+    assert(snapshot() == expected)
+  }
+
   test("streaming sketch maintenance: Count-Min cells over a stream equal the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
