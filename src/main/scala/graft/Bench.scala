@@ -48,6 +48,8 @@ object Bench {
         graft.queries.MultimodalQueries.trainVideoSigIndex(spark, d)
         graft.queries.MultimodalQueries.trainMediaSigIndex(spark, d)
         graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, d)
+        graft.queries.MultimodalQueries.trainVideoClusterLabels(spark, d)
+        graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, d)
       } catch { case e: Throwable =>
         warmupFailures += 1
         System.err.println(s"[bench] WARNING: offline model training failed on " +

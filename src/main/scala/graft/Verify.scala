@@ -30,6 +30,8 @@ object Verify {
       graft.queries.MultimodalQueries.trainVideoSigIndex(spark, sfDir)
       graft.queries.MultimodalQueries.trainMediaSigIndex(spark, sfDir)
       graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sfDir)
+      graft.queries.MultimodalQueries.trainVideoClusterLabels(spark, sfDir)
+      graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] offline model training failed: ${e.getMessage}")
     }

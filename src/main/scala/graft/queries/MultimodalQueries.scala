@@ -775,18 +775,93 @@ object MultimodalQueries {
       HAVING count(*) <= ${Multimodal.BandBucketCap}),
     aokb AS (SELECT abands.* FROM abands JOIN ainf USING (band, v))"""
 
-  private val audioNearDupSql = s"""
-    WITH $audioOkbCtes,
+  /** `apairs` = the audio near-dup pair set — shared by the near-dup,
+    * clusters and canonical oracles so the three can never drift. */
+  private val audioPairCtes = s"""$audioOkbCtes,
     acand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              a.fp AS fa, c.fp AS fb
       FROM aokb a JOIN aokb c
-        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
-    SELECT id_a, id_b,
-           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-    FROM acand
-    WHERE bit_count(xor(fa, fb)) <= 2
+        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id),
+    apairs AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      FROM acand
+      WHERE bit_count(xor(fa, fb)) <= 2)"""
+
+  private val audioNearDupSql = s"""
+    WITH $audioPairCtes
+    SELECT id_a, id_b, hamming
+    FROM apairs
     ORDER BY id_a, id_b"""
+
+  /** The audio fingerprints as a Dataset — from the persisted index
+    * when it covers the corpus, inline otherwise; bit-identical. */
+  private def audioSigsDs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    (if (audioSigTrained(spark, dir)) audioSigsFromIndex(spark, dir)
+     else audioFingerprints(
+       Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))))
+      .as[Multimodal.MediaSig]
+  }
+
+  /** Offline audio-clustering setup (idempotent) — kind "audio" in the
+    * shared label-artifact store; with this and the video twin, every
+    * modality (text / image / audio / video) carries the same
+    * near-dup → clusters → canonical dedup chain. */
+  def trainAudioClusterLabels(spark: SparkSession, dir: String): Unit =
+    DedupQueries.trainLabelArtifact(spark, dir, "audio")(
+      Multimodal.mediaNearDups(audioSigsDs(spark, dir), maxHamming = 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+
+  private def audioClusterLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    DedupQueries.persistedLabels(spark, dir, "audio")
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+
+  /** Connected components over the audio near-dup pair graph — the
+    * audio twin of `q_media_clusters`; the oracle re-derives the
+    * closure independently via the unrolled label CTEs. */
+  private def audioClusters(spark: SparkSession, dir: String): DataFrame =
+    audioClusterLabels(spark, dir).orderBy("media_id")
+
+  /** The audio-dedup end-product: keep the min-media_id representative
+    * per cluster, survivor accounting per source (recording count +
+    * samples retained). */
+  private def audioCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val drops = audioClusterLabels(spark, dir)
+      .filter(col("media_id") =!= col("cluster_id"))
+      .select(col("media_id").as("doc_id"))
+    Tables(spark, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_recordings"),
+        sum(lit(200) + col("doc_id") % 7 * 48).as("total_samples"))
+      .orderBy("source")
+  }
+
+  /** Unrolled label-propagation chain ending in `alabels` — the audio
+    * instance of [[DedupQueries.unrolledLabelCtes]]. */
+  private val audioLabelCtes = s"""${audioPairCtes.replace(
+      "apairs AS (", "apairs AS MATERIALIZED (")},
+    ${DedupQueries.unrolledLabelCtes("apairs", "id_a", "id_b", "al",
+      "alabels", "media_id")}"""
+
+  private val audioClustersSql = s"""
+    WITH $audioLabelCtes
+    SELECT media_id, cluster_id
+    FROM alabels
+    ORDER BY media_id"""
+
+  private val audioCanonicalSql = s"""
+    WITH $audioLabelCtes,
+    adrops AS (SELECT media_id FROM alabels WHERE media_id <> cluster_id)
+    SELECT source, count(*) AS n_recordings,
+           CAST(sum(200 + (doc_id % 7) * 48) AS BIGINT) AS total_samples
+    FROM documents
+    WHERE doc_id NOT IN (SELECT media_id FROM adrops)
+    GROUP BY source
+    ORDER BY source"""
 
   /** Energy threshold separating the sawtooth's active frames (~350k)
     * from the dithered near-silent ones (≤ 1024): VAD with an order-of-
@@ -1096,6 +1171,58 @@ object MultimodalQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The video signatures as a Dataset — from the persisted index when
+    * it covers the corpus (frames decoded once, at ingest), inline
+    * otherwise; bit-identical either way. */
+  private def videoSigsDs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    (if (videoSigTrained(spark, dir)) videoSigsFromIndex(spark, dir)
+     else videoFingerprints(videoSceneTableOf(
+       videoBlobsRange(spark, dir, 0L, Long.MaxValue))))
+      .as[Multimodal.MediaSig]
+  }
+
+  /** Offline video-clustering setup (idempotent): persist the video
+    * cluster labels under [[DedupQueries.clusterModelPath]] kind
+    * "video" — the same trained-artifact pattern as the text and image
+    * labels, so the cluster-view queries are pure reads that fail
+    * fast. Trained over the signature artifact (frame decode not
+    * re-paid). */
+  def trainVideoClusterLabels(spark: SparkSession, dir: String): Unit =
+    DedupQueries.trainLabelArtifact(spark, dir, "video")(
+      Multimodal.mediaNearDups(videoSigsDs(spark, dir), maxHamming = 2)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+
+  private def videoClusterLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    DedupQueries.persistedLabels(spark, dir, "video")
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+
+  /** Connected components over the video near-dup pair graph — the
+    * video twin of `q_media_clusters`, off the shared min-label
+    * propagation and persisted as the same trained artifact; the
+    * oracle re-derives the closure independently (unrolled label CTEs
+    * over the analytically re-derived fingerprints), so a green hash
+    * certifies the offline training against DuckDB's own closure. */
+  private def videoClusters(spark: SparkSession, dir: String): DataFrame =
+    videoClusterLabels(spark, dir).orderBy("media_id")
+
+  /** The video-dedup end-product: keep the min-media_id representative
+    * of each near-dup cluster, with survivor accounting per source
+    * (video count + total frames retained) — the video twin of
+    * `q_media_canonical`, off the same shared clustering. */
+  private def videoCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val drops = videoClusterLabels(spark, dir)
+      .filter(col("media_id") =!= col("cluster_id"))
+      .select(col("media_id").as("doc_id"))
+    Tables(spark, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_videos"),
+        sum(lit(20) + col("doc_id") % 11).as("total_frames"))
+      .orderBy("source")
+  }
+
   /** Shared oracle CTE chain re-deriving the scene-level fingerprint
     * analytically from the synthetic luma formula (scene table exactly
     * as the [[videoScenesSql]] oracle derives it, then the same packing
@@ -1149,18 +1276,52 @@ object MultimodalQueries {
       HAVING count(*) <= ${Multimodal.BandBucketCap}),
     vokb AS (SELECT vbands.* FROM vbands JOIN vinf USING (band, v))"""
 
-  private val videoNearDupSql = s"""
-    WITH $videoOkbCtes,
+  /** `vpairs` = the video near-dup pair set — shared by the near-dup,
+    * clusters and canonical oracles so the three can never drift.
+    * MATERIALIZED where the unrolled edge list multiply references it
+    * (DuckDB 1.0 inlines plain CTEs per reference). */
+  private val videoPairCtes = s"""$videoOkbCtes,
     vcand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
              a.fp AS fa, c.fp AS fb
       FROM vokb a JOIN vokb c
-        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id)
-    SELECT id_a, id_b,
-           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-    FROM vcand
-    WHERE bit_count(xor(fa, fb)) <= 2
+        ON a.band = c.band AND a.v = c.v AND a.doc_id < c.doc_id),
+    vpairs AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      FROM vcand
+      WHERE bit_count(xor(fa, fb)) <= 2)"""
+
+  private val videoNearDupSql = s"""
+    WITH $videoPairCtes
+    SELECT id_a, id_b, hamming
+    FROM vpairs
     ORDER BY id_a, id_b"""
+
+  /** Unrolled label-propagation chain ending in `vlabels` =
+    * (media_id, cluster_id) — the video instance of
+    * [[DedupQueries.unrolledLabelCtes]]; the oracle re-derives labels
+    * independently of the engine's persisted artifact. */
+  private val videoLabelCtes = s"""${videoPairCtes.replace(
+      "vpairs AS (", "vpairs AS MATERIALIZED (")},
+    ${DedupQueries.unrolledLabelCtes("vpairs", "id_a", "id_b", "vl",
+      "vlabels", "media_id")}"""
+
+  private val videoClustersSql = s"""
+    WITH $videoLabelCtes
+    SELECT media_id, cluster_id
+    FROM vlabels
+    ORDER BY media_id"""
+
+  private val videoCanonicalSql = s"""
+    WITH $videoLabelCtes,
+    vdrops AS (SELECT media_id FROM vlabels WHERE media_id <> cluster_id)
+    SELECT source, count(*) AS n_videos,
+           CAST(sum(20 + doc_id % 11) AS BIGINT) AS total_frames
+    FROM documents
+    WHERE doc_id NOT IN (SELECT media_id FROM vdrops)
+    GROUP BY source
+    ORDER BY source"""
 
   /** Incremental video dedup — the batch-vs-lake shape for the video
     * modality, completing the per-modality incremental set: lake
@@ -1338,10 +1499,15 @@ object MultimodalQueries {
     QueryDef("q_audio_neardup", audioNearDup, Some(audioNearDupSql)),
     QueryDef("q_audio_incremental", audioIncremental,
       Some(audioIncrementalSql)),
+    QueryDef("q_audio_clusters", audioClusters, Some(audioClustersSql)),
+    QueryDef("q_audio_canonical", audioCanonical,
+      Some(audioCanonicalSql)),
     QueryDef("q_audio_segments", audioSilence, Some(audioSilenceSql)),
     QueryDef("q_video_scenes", videoScenes, Some(videoScenesSql)),
     QueryDef("q_video_neardup", videoNearDup, Some(videoNearDupSql)),
     QueryDef("q_video_incremental", videoIncremental,
       Some(videoIncrementalSql)),
+    QueryDef("q_video_clusters", videoClusters, Some(videoClustersSql)),
+    QueryDef("q_video_canonical", videoCanonical, Some(videoCanonicalSql)),
   )
 }
