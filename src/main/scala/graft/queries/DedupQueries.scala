@@ -306,29 +306,45 @@ object DedupQueries {
   private def srcAtomicPath(dir: String, hi: Long): String =
     s"${shingleIndexBase(dir)}/srcatomic-b${boundToken(hi)}"
 
+  /** Same-directory temp + rename, the commit discipline every other
+    * artifact write here follows: a crash mid-write must leave either
+    * the previous record or none — a TORN record would make every
+    * subsequent batch's read throw, wedging ingest until hand repair
+    * (the guard is best-effort; a broken guard file must degrade to
+    * "no guard", never to "no ingest"). */
   private def writeSrcAtomic(spark: SparkSession, dir: String, hi: Long,
       src: Long, maxDoc: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, hi))
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = hfs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".tmp-${p.getName}")
+    val out = hfs.create(tmp, true)
     out.writeUTF(s"$src:$maxDoc")
     out.close()
+    if (!hfs.rename(tmp, p)) {
+      hfs.delete(p, false)
+      hfs.rename(tmp, p)
+    }
+    ()
   }
 
   private def readSrcAtomic(spark: SparkSession, dir: String,
-      hi: Long): Option[(Long, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, hi))
-    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(p)) None
-    else {
-      val in = hfs.open(p)
-      val s = try in.readUTF() finally in.close()
-      s.split(":") match {
-        case Array(a, b) => Some((a.toLong, b.toLong))
-        case _ => None
+      hi: Long): Option[(Long, Long)] =
+    // any unreadable/garbled record degrades to "guard window skipped"
+    // (the documented best-effort contract), never to a wedged ingest
+    try {
+      val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, hi))
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!hfs.exists(p)) None
+      else {
+        val in = hfs.open(p)
+        val s = try in.readUTF() finally in.close()
+        s.split(":") match {
+          case Array(a, b) => Some((a.toLong, b.toLong))
+          case _ => None
+        }
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Advance the index from its current boundary to `batchBound` by
     * appending the new batch's slice and merging the df census — the

@@ -742,20 +742,13 @@ object MultimodalQueries {
     * phase AND length class to agree (doc_id ≡ doc_id' mod 768), so
     * pairs appear from sf0.1 up; smaller SFs legitimately emit zero rows
     * and the planted-recall proof lives in MediaSpec. */
-  private def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // Served from the persisted fingerprint index when one fully covers
-    // the corpus (the audio decode then ran once, at ingest); computed
-    // inline otherwise. Bit-identical either way: the fingerprint is a
-    // pure integer function of the payload bytes.
-    val sigs = (if (audioSigTrained(spark, dir))
-        audioSigsFromIndex(spark, dir)
-      else audioFingerprints(
-        Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))))
-      .as[Multimodal.MediaSig]
-    Multimodal.mediaNearDups(sigs, maxHamming = 2)
+  private def audioNearDup(spark: SparkSession, dir: String): DataFrame =
+    // served from the persisted fingerprint index when one fully covers
+    // the corpus (decode ran once, at ingest); inline otherwise —
+    // bit-identical either way (one selection, [[audioSigsDs]], shared
+    // with the clusters and incremental views so they can never drift)
+    Multimodal.mediaNearDups(audioSigsDs(spark, dir), maxHamming = 2)
       .orderBy("id_a", "id_b")
-  }
 
   private val audioOkbCtes = s"""$audioFrameCtes,
     afp AS (
@@ -877,11 +870,8 @@ object MultimodalQueries {
     * source, plus surviving sample volume. */
   private def audioIncremental(spark: SparkSession, dir: String): DataFrame = {
     val srcs = mediaSrcs(spark, dir)
-    val sigs = (if (audioSigTrained(spark, dir))
-        audioSigsFromIndex(spark, dir)
-      else audioFingerprints(
-        Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))))
-    val okb = okbOf(sigs.join(srcs.select("media_id", "src_num"), "media_id"))
+    val okb = okbOf(audioSigsDs(spark, dir).toDF()
+      .join(srcs.select("media_id", "src_num"), "media_id"))
     val drops = okb.filter(col("src_num") >= 10).as("x")
       .join(okb.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
@@ -1160,16 +1150,9 @@ object MultimodalQueries {
     * need doc_id ≡ doc_id' (mod lcm(251, 11) = 2761), so all three SFs
     * emit rows (500 docs → quantization-neighbor pairs; 5000 → whole
     * duplicate classes). */
-  private def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sigs = (if (videoSigTrained(spark, dir))
-        videoSigsFromIndex(spark, dir)
-      else videoFingerprints(videoSceneTableOf(
-        videoBlobsRange(spark, dir, 0L, Long.MaxValue))))
-      .as[Multimodal.MediaSig]
-    Multimodal.mediaNearDups(sigs, maxHamming = 2)
+  private def videoNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaNearDups(videoSigsDs(spark, dir), maxHamming = 2)
       .orderBy("id_a", "id_b")
-  }
 
   /** The video signatures as a Dataset — from the persisted index when
     * it covers the corpus (frames decoded once, at ingest), inline
@@ -1333,11 +1316,8 @@ object MultimodalQueries {
   private def videoIncremental(spark: SparkSession,
       dir: String): DataFrame = {
     val srcs = mediaSrcs(spark, dir)
-    val sigs = (if (videoSigTrained(spark, dir))
-        videoSigsFromIndex(spark, dir)
-      else videoFingerprints(videoSceneTableOf(
-        videoBlobsRange(spark, dir, 0L, Long.MaxValue))))
-    val okb = okbOf(sigs.join(srcs.select("media_id", "src_num"), "media_id"))
+    val okb = okbOf(videoSigsDs(spark, dir).toDF()
+      .join(srcs.select("media_id", "src_num"), "media_id"))
     val drops = okb.filter(col("src_num") >= 10).as("x")
       .join(okb.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&

@@ -204,8 +204,12 @@ final class SliceLadder(
       }
     }
     raw.filterNot(live.contains).foreach { case (lo, hi) =>
-      hfs.delete(new Path(markerDir, s"e${tok(lo)}-${tok(hi)}"), false)
+      // trash-THEN-untrack: both steps are idempotent, and this order
+      // means a crash between them re-adopts the orphan next sweep —
+      // the reverse order would leak the data forever (marker gone,
+      // no trash entry, nothing left to find it by)
       addTrash(spark, lo, hi)
+      hfs.delete(new Path(markerDir, s"e${tok(lo)}-${tok(hi)}"), false)
     }
     if (deleted) onMutate()
   }
@@ -224,20 +228,21 @@ final class SliceLadder(
     * the read-time census anti-join keeps doing the monotone-hot
     * correction, so merged ≡ unmerged row-for-row).
     * `upTo` must be an existing slice boundary (ranges must align). */
-  def compactSlices(spark: SparkSession, upTo: Long): Unit = {
-    val run = lock.synchronized {
-      sweep(spark)
-      val l = ladder(spark)
-      require(l.nonEmpty,
-        s"$what compact: no committed artifact at $base")
-      val subsumed = l.filter(_._2 <= upTo)
-      require(subsumed.nonEmpty && subsumed.map(_._2).max == upTo,
-        s"$what compact: upTo $upTo is not a committed slice boundary " +
-          s"(ladder: ${l.mkString(", ")})")
-      subsumed
+  def compactSlices(spark: SparkSession, upTo: Long): Unit =
+    compactionLock.synchronized {
+      val run = lock.synchronized {
+        sweep(spark)
+        val l = ladder(spark)
+        require(l.nonEmpty,
+          s"$what compact: no committed artifact at $base")
+        val subsumed = l.filter(_._2 <= upTo)
+        require(subsumed.nonEmpty && subsumed.map(_._2).max == upTo,
+          s"$what compact: upTo $upTo is not a committed slice boundary " +
+            s"(ladder: ${l.mkString(", ")})")
+        subsumed
+      }
+      if (run.size > 1) mergeRun(spark, run)
     }
-    if (run.size > 1) mergeRun(spark, run)
-  }
 
   /** LSM-style size-tiered maintenance: repeatedly merge the first
     * maximal run of ≥ `minRun` ADJACENT slices in the same size tier
@@ -249,21 +254,39 @@ final class SliceLadder(
     * appends; every merge commits through the same unlocked-merge /
     * locked-commit path, so ingest keeps flowing throughout. Returns
     * the number of merges performed. */
-  def compactTiered(spark: SparkSession, minRun: Int = 4): Int = {
-    require(minRun >= 2, s"$what compactTiered: minRun must be ≥ 2")
-    var merges = 0
-    var run = pickTierRun(spark, minRun)
-    while (run.nonEmpty) {
-      mergeRun(spark, run)
-      merges += 1
-      run = pickTierRun(spark, minRun)
+  def compactTiered(spark: SparkSession, minRun: Int = 4): Int =
+    compactionLock.synchronized {
+      require(minRun >= 2, s"$what compactTiered: minRun must be ≥ 2")
+      // ONE sweep at entry, not per merge iteration: the loop's cascading
+      // merges trash slices as they subsume them, and sweeping again
+      // inside the same call would delete that data immediately —
+      // collapsing the documented one-mutation reader grace window to
+      // zero. Everything this call trashes survives until the NEXT
+      // mutation.
+      lock.synchronized { sweep(spark) }
+      var merges = 0
+      var run = pickTierRun(spark, minRun)
+      while (run.nonEmpty) {
+        mergeRun(spark, run)
+        merges += 1
+        run = pickTierRun(spark, minRun)
+      }
+      merges
     }
-    merges
-  }
+
+  /** Compactions serialize against EACH OTHER on this per-base lock
+    * (held across snapshot + merge + commit) while never blocking
+    * appends, which take only [[lock]]: two concurrent compactors would
+    * otherwise pick the same run span and race `mode("overwrite")`
+    * writes on one slice directory — the loser could clobber the
+    * winner's already-committed files under a live marker. The
+    * commit-time liveness re-validation in [[mergeRun]] stays as the
+    * backstop for cross-process races the in-JVM lock cannot see. */
+  private def compactionLock: Object =
+    SliceLadder.locks.getOrElseUpdate(base + "#compact", new Object)
 
   private def pickTierRun(spark: SparkSession,
       minRun: Int): Seq[(Long, Long)] = lock.synchronized {
-    sweep(spark)
     val l = ladder(spark)
     if (l.isEmpty) return Nil
     val hfs = fs(spark, base)
@@ -317,8 +340,11 @@ final class SliceLadder(
       commitMarker(spark, lo, hi)
       val hfs = fs(spark, markerDir)
       run.foreach { case (a, b) =>
-        hfs.delete(new Path(markerDir, s"e${tok(a)}-${tok(b)}"), false)
+        // trash-then-untrack (same crash argument as the sweep): a crash
+        // before the marker delete leaves a contained orphan the next
+        // sweep adopts; the reverse order could leak the data forever
         addTrash(spark, a, b)
+        hfs.delete(new Path(markerDir, s"e${tok(a)}-${tok(b)}"), false)
       }
       onMutate()
     }

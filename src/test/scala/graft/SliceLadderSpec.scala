@@ -376,6 +376,35 @@ class SliceLadderSpec extends SparkSpec {
     assert(lad.bound(spark) == Some(14L))
   }
 
+  test("tiered compaction preserves the reader grace window: nothing it trashes is deleted within the same call") {
+    import spark.implicits._
+    // compactTiered cascades merges in a loop; an early version swept at
+    // every iteration, deleting data trashed seconds earlier by its own
+    // previous merge — collapsing the documented one-mutation grace
+    // window to zero for any reader that resolved just before the call
+    val base = tmpBase("tiergrace")
+    val lad = mkLadder(base)
+    lad.appendBatch(spark, (0L to 2L).toDF("id"))
+    lad.appendBatch(spark, (3L to 5L).toDF("id"))
+    lad.appendBatch(spark, (6L to 8L).toDF("id"))
+    lad.appendBatch(spark, (9L to 11L).toDF("id"))
+    val preRead = lad.read(spark) // resolved over the four micro-slices
+    assert(lad.compactTiered(spark, minRun = 2) >= 1)
+    assert(lad.ladder(spark) == Seq((0L, 12L)))
+    // every pre-merge slice (including intermediates the cascade itself
+    // subsumed) must still be on disk …
+    assert(new java.io.File(s"$base/slices/s0-3").exists,
+      "tiered compaction must defer deletes, not collapse the window")
+    // … so the pre-compaction plan still completes
+    assert(preRead.count() == 12L)
+    // the NEXT mutation sweeps everything the call trashed
+    lad.appendBatch(spark, Seq(12L).toDF("id"))
+    assert(!new java.io.File(s"$base/slices/s0-3").exists &&
+      !new java.io.File(s"$base/slices/s3-6").exists,
+      "the next mutation must GC the tiered call's trash")
+    assert(lad.read(spark).count() == 13L)
+  }
+
   test("tiered compaction bounds write amplification: rows rewritten O(N log K) across K batches, below the full-prefix control") {
     import spark.implicits._
     // The claim behind compactTiered: maintaining the ladder after every

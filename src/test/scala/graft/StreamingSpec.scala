@@ -699,6 +699,47 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == expected)
   }
 
+  test("source-atomic guard: a split source fails fast; a torn guard record degrades to a skipped window, never wedged ingest") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    DedupQueries.dropShingleIndex(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "text",
+        "cast(substring(source, 4, 8) AS INT) AS src_num")
+      .as[(Long, String, String, Int)].collect()
+    def rowsOf(ds: Seq[(Long, String, String, Int)]) =
+      ds.map(d => (d._1, d._2, d._3)).toSeq.toDF("doc_id", "source", "text")
+    val s5 = docs.filter(_._4 == 5).sortBy(_._1)
+    assert(s5.size >= 2, "test needs a multi-doc source")
+    // batch 1 SPLITS source 5: everything below 5 plus all of source 5
+    // except its max-doc_id tail — the range guards cannot see inside a
+    // source, so this commits coverage through src 6
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(_._4 < 5).toSeq ++ s5.dropRight(1)))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(6))
+    // batch 2 delivers the split tail (doc_id above the recorded max for
+    // source 5) — the heuristic guard must fail fast instead of silently
+    // dropping the tail as a replay
+    val tailBatch = rowsOf(s5.takeRight(1) ++ docs.filter(_._4 == 6))
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendShingleBatch(spark, dir, tailBatch)
+    }
+    assert(ex.getMessage.contains("SOURCE-ATOMIC"))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(6),
+      "a fired guard must commit nothing")
+    // a TORN guard record (crash mid-write) must degrade to a skipped
+    // guard window — ingest proceeds — never to a wedged stream
+    val rec = java.nio.file.Paths.get(
+      s"${DedupQueries.shingleIndexBase(dir)}/srcatomic-b6")
+    java.nio.file.Files.write(rec, Array[Byte](0, 3, 1)) // truncated UTF
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(_._4 == 6).toSeq))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(7),
+      "a garbled guard record must not block ingest")
+    DedupQueries.dropShingleIndex(spark, dir)
+  }
+
   test("streaming document ingest maintains the shingle index: stream-built equals from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
