@@ -802,10 +802,122 @@ object MultimodalQueries {
     * shared label-artifact store; with this and the video twin, every
     * modality (text / image / audio / video) carries the same
     * near-dup → clusters → canonical dedup chain. */
-  def trainAudioClusterLabels(spark: SparkSession, dir: String): Unit =
-    DedupQueries.trainLabelArtifact(spark, dir, "audio")(
-      Multimodal.mediaNearDups(audioSigsDs(spark, dir), maxHamming = 2)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+  def trainAudioClusterLabels(spark: SparkSession, dir: String): Unit = {
+    def pairs = Multimodal.mediaNearDups(audioSigsDs(spark, dir),
+        maxHamming = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    DedupQueries.trainLabelArtifact(spark, dir, "audio")(pairs)
+    // lake-side prior (src_num < 10) that the incremental merge extends
+    // — restricting the SAME corpus-censused pair set to lake endpoints,
+    // so the merge over it provably equals full-corpus retraining
+    DedupQueries.trainLabelArtifact(spark, dir, audioPriorKind(10)) {
+      val srcn = mediaSrcs(spark, dir).select("media_id", "src_num")
+      pairs
+        .join(srcn.select(col("media_id").as("doc_a"),
+          col("src_num").as("sa")), "doc_a")
+        .join(srcn.select(col("media_id").as("doc_b"),
+          col("src_num").as("sb")), "doc_b")
+        .filter(col("sa") < 10 && col("sb") < 10)
+        .select("doc_a", "doc_b")
+    }
+  }
+
+  private[graft] def audioPriorKind(lakeBound: Int): String =
+    if (lakeBound == 10) "audio-lake" else s"audio-lake-b$lakeBound"
+
+  /** Batch-touching audio near-dup pairs (batch×batch + batch×lake,
+    * never lake×lake — the prior already contracted that structure);
+    * the audio instance of the image side's incremental pair stage,
+    * same Hamming ≤ 2 bound as every other audio view. */
+  private def audioPairsAmong(spark: SparkSession, dir: String,
+      lakeBound: Int, batchBound: Int): DataFrame = {
+    val srcn = mediaSrcs(spark, dir).select("media_id", "src_num")
+    val okb = okbOf(audioSigsDs(spark, dir).toDF().join(srcn, "media_id")
+      .filter(col("src_num") < batchBound))
+    val okbB = okb.filter(col("src_num") >= lakeBound)
+    val okbL = okb.filter(col("src_num") < lakeBound)
+    val bb = okbB.as("a").join(okbB.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.media_id") < col("c.media_id"))
+      .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
+      .select(col("a.media_id").as("doc_a"), col("c.media_id").as("doc_b"))
+    val bl = okbB.as("a").join(okbL.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v"))
+      .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
+      .select(least(col("a.media_id"), col("c.media_id")).as("doc_a"),
+        greatest(col("a.media_id"), col("c.media_id")).as("doc_b"))
+    bb.unionByName(bl).distinct()
+  }
+
+  private def audioClustersIncrementalLabels(spark: SparkSession,
+      dir: String, lakeBound: Int = 10,
+      batchBound: Int = Int.MaxValue): DataFrame =
+    DedupQueries.incrementalLabels(
+      DedupQueries.persistedLabels(spark, dir, audioPriorKind(lakeBound))
+        .select("doc_id", "cluster_id"),
+      audioPairsAmong(spark, dir, lakeBound, batchBound))
+
+  /** The audio compaction step closing the modality's continual-ingest
+    * loop (ingest blobs → [[graft.streaming.StreamingPipeline
+    * .ingestAudioSink]] maintains the fingerprint index → THIS merges
+    * the new recordings' near-dup structure into the persisted cluster
+    * prior and advances it) — the audio twin of
+    * [[compactMediaClusterLabels]], same boundary-space note. */
+  def compactAudioClusterLabels(spark: SparkSession, dir: String,
+      lakeBound: Int = 10, batchBound: Int = Int.MaxValue): Unit = {
+    require(batchBound > lakeBound,
+      s"compactAudioClusterLabels: batchBound $batchBound must exceed " +
+        s"lakeBound $lakeBound")
+    val merged = audioClustersIncrementalLabels(spark, dir, lakeBound,
+        batchBound)
+      .select("doc_id", "cluster_id")
+    val kind =
+      if (batchBound == Int.MaxValue) "audio" else audioPriorKind(batchBound)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(DedupQueries.clusterModelPath(dir, kind))
+    DedupQueries.releaseGeneration(merged)
+  }
+
+  /** Incremental audio clustering as an oracle-checked query — the
+    * audio twin of `q_media_clusters_incremental`: the src_num ≥ 10
+    * recordings arrive as the batch, the persisted "audio-lake" prior
+    * stands in for the compacted lake, and the DuckDB oracle recomputes
+    * the FULL closure independently — a green hash proves merge ≡ full
+    * retraining for this modality too. */
+  private def audioClustersIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val out = audioClustersIncrementalLabels(spark, dir)
+    val srcn = mediaSrcs(spark, dir).select(
+      col("media_id").as("doc_id"), col("src_num"))
+    out.join(srcn, "doc_id")
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        when(col("src_num") >= 10, lit("batch"))
+          .when(col("cluster_id") =!= col("prior_id"), lit("merged"))
+          .otherwise(lit("stable")).as("status"))
+      .orderBy("media_id")
+  }
+
+  private lazy val audioClustersIncrementalSql = s"""
+    WITH $audioLabelCtes,
+    asrcn AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num
+      FROM documents),
+    aqpairs AS MATERIALIZED (
+      SELECT id_a AS doc_a, id_b AS doc_b FROM apairs
+      JOIN asrcn sa ON sa.doc_id = id_a
+      JOIN asrcn sb ON sb.doc_id = id_b
+      WHERE sa.src_num < 10 AND sb.src_num < 10),
+    ${DedupQueries.unrolledLabelCtes("aqpairs", "doc_a", "doc_b", "ak",
+      "aklabels", "doc_id")}
+    SELECT m.media_id, m.cluster_id,
+           CASE WHEN s.src_num >= 10 THEN 'batch'
+                WHEN coalesce(k.cluster_id, m.media_id) <> m.cluster_id
+                  THEN 'merged'
+                ELSE 'stable' END AS status
+    FROM alabels m
+    JOIN asrcn s ON s.doc_id = m.media_id
+    LEFT JOIN aklabels k ON k.doc_id = m.media_id
+    ORDER BY m.media_id"""
 
   private def audioClusterLabels(spark: SparkSession,
       dir: String): DataFrame =
@@ -1171,10 +1283,119 @@ object MultimodalQueries {
     * labels, so the cluster-view queries are pure reads that fail
     * fast. Trained over the signature artifact (frame decode not
     * re-paid). */
-  def trainVideoClusterLabels(spark: SparkSession, dir: String): Unit =
-    DedupQueries.trainLabelArtifact(spark, dir, "video")(
-      Multimodal.mediaNearDups(videoSigsDs(spark, dir), maxHamming = 2)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+  def trainVideoClusterLabels(spark: SparkSession, dir: String): Unit = {
+    def pairs = Multimodal.mediaNearDups(videoSigsDs(spark, dir),
+        maxHamming = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    DedupQueries.trainLabelArtifact(spark, dir, "video")(pairs)
+    // lake-side prior (src_num < 10) the incremental merge extends
+    DedupQueries.trainLabelArtifact(spark, dir, videoPriorKind(10)) {
+      val srcn = mediaSrcs(spark, dir).select("media_id", "src_num")
+      pairs
+        .join(srcn.select(col("media_id").as("doc_a"),
+          col("src_num").as("sa")), "doc_a")
+        .join(srcn.select(col("media_id").as("doc_b"),
+          col("src_num").as("sb")), "doc_b")
+        .filter(col("sa") < 10 && col("sb") < 10)
+        .select("doc_a", "doc_b")
+    }
+  }
+
+  private[graft] def videoPriorKind(lakeBound: Int): String =
+    if (lakeBound == 10) "video-lake" else s"video-lake-b$lakeBound"
+
+  /** Batch-touching video near-dup pairs (batch×batch + batch×lake,
+    * never lake×lake) — the video instance of the incremental pair
+    * stage, Hamming ≤ 2 like every other video view. */
+  private def videoPairsAmong(spark: SparkSession, dir: String,
+      lakeBound: Int, batchBound: Int): DataFrame = {
+    val srcn = mediaSrcs(spark, dir).select("media_id", "src_num")
+    val okb = okbOf(videoSigsDs(spark, dir).toDF().join(srcn, "media_id")
+      .filter(col("src_num") < batchBound))
+    val okbB = okb.filter(col("src_num") >= lakeBound)
+    val okbL = okb.filter(col("src_num") < lakeBound)
+    val bb = okbB.as("a").join(okbB.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.media_id") < col("c.media_id"))
+      .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
+      .select(col("a.media_id").as("doc_a"), col("c.media_id").as("doc_b"))
+    val bl = okbB.as("a").join(okbL.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v"))
+      .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
+      .select(least(col("a.media_id"), col("c.media_id")).as("doc_a"),
+        greatest(col("a.media_id"), col("c.media_id")).as("doc_b"))
+    bb.unionByName(bl).distinct()
+  }
+
+  private def videoClustersIncrementalLabels(spark: SparkSession,
+      dir: String, lakeBound: Int = 10,
+      batchBound: Int = Int.MaxValue): DataFrame =
+    DedupQueries.incrementalLabels(
+      DedupQueries.persistedLabels(spark, dir, videoPriorKind(lakeBound))
+        .select("doc_id", "cluster_id"),
+      videoPairsAmong(spark, dir, lakeBound, batchBound))
+
+  /** The video compaction step closing the modality's continual-ingest
+    * loop (ingest blobs → [[graft.streaming.StreamingPipeline
+    * .ingestVideoSink]] maintains the signature index → THIS merges the
+    * new videos' near-dup structure into the persisted cluster prior
+    * and advances it) — the video twin of
+    * [[compactMediaClusterLabels]], same boundary-space note. */
+  def compactVideoClusterLabels(spark: SparkSession, dir: String,
+      lakeBound: Int = 10, batchBound: Int = Int.MaxValue): Unit = {
+    require(batchBound > lakeBound,
+      s"compactVideoClusterLabels: batchBound $batchBound must exceed " +
+        s"lakeBound $lakeBound")
+    val merged = videoClustersIncrementalLabels(spark, dir, lakeBound,
+        batchBound)
+      .select("doc_id", "cluster_id")
+    val kind =
+      if (batchBound == Int.MaxValue) "video" else videoPriorKind(batchBound)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(DedupQueries.clusterModelPath(dir, kind))
+    DedupQueries.releaseGeneration(merged)
+  }
+
+  /** Incremental video clustering as an oracle-checked query — the
+    * video twin of `q_media_clusters_incremental`: src_num ≥ 10 videos
+    * arrive as the batch, the persisted "video-lake" prior stands in
+    * for the compacted lake, and the DuckDB oracle recomputes the FULL
+    * closure independently — a green hash proves merge ≡ full
+    * retraining. */
+  private def videoClustersIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val out = videoClustersIncrementalLabels(spark, dir)
+    val srcn = mediaSrcs(spark, dir).select(
+      col("media_id").as("doc_id"), col("src_num"))
+    out.join(srcn, "doc_id")
+      .select(col("doc_id").as("media_id"), col("cluster_id"),
+        when(col("src_num") >= 10, lit("batch"))
+          .when(col("cluster_id") =!= col("prior_id"), lit("merged"))
+          .otherwise(lit("stable")).as("status"))
+      .orderBy("media_id")
+  }
+
+  private lazy val videoClustersIncrementalSql = s"""
+    WITH $videoLabelCtes,
+    vsrcn AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num
+      FROM documents),
+    vqpairs AS MATERIALIZED (
+      SELECT id_a AS doc_a, id_b AS doc_b FROM vpairs
+      JOIN vsrcn sa ON sa.doc_id = id_a
+      JOIN vsrcn sb ON sb.doc_id = id_b
+      WHERE sa.src_num < 10 AND sb.src_num < 10),
+    ${DedupQueries.unrolledLabelCtes("vqpairs", "doc_a", "doc_b", "vk",
+      "vklabels", "doc_id")}
+    SELECT m.media_id, m.cluster_id,
+           CASE WHEN s.src_num >= 10 THEN 'batch'
+                WHEN coalesce(k.cluster_id, m.media_id) <> m.cluster_id
+                  THEN 'merged'
+                ELSE 'stable' END AS status
+    FROM vlabels m
+    JOIN vsrcn s ON s.doc_id = m.media_id
+    LEFT JOIN vklabels k ON k.doc_id = m.media_id
+    ORDER BY m.media_id"""
 
   private def videoClusterLabels(spark: SparkSession,
       dir: String): DataFrame =
@@ -1489,5 +1710,9 @@ object MultimodalQueries {
       Some(videoIncrementalSql)),
     QueryDef("q_video_clusters", videoClusters, Some(videoClustersSql)),
     QueryDef("q_video_canonical", videoCanonical, Some(videoCanonicalSql)),
+    QueryDef("q_audio_clusters_incremental", audioClustersIncremental,
+      Some(audioClustersIncrementalSql)),
+    QueryDef("q_video_clusters_incremental", videoClustersIncremental,
+      Some(videoClustersIncrementalSql)),
   )
 }

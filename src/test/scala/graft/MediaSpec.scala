@@ -477,6 +477,49 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("compactAudioClusterLabels / compactVideoClusterLabels: incremental merge + overwrite equals from-scratch retraining") {
+    import graft.queries.{DedupQueries, MultimodalQueries}
+    val sf = "/root/testdata/sf0.001"
+    // the same merge ≡ retraining theorem the image modality proves,
+    // now for the other two media modalities: single-shot compaction
+    // AND a staged b10 → b15 → full ladder must both reproduce the
+    // from-scratch artifact exactly
+    def check(kind: String,
+        train: () => Unit,
+        compact: (Int, Int) => Unit,
+        priorKind: Int => String): Unit = {
+      train()
+      val full = spark.read.parquet(DedupQueries.clusterModelPath(sf, kind))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      compact(10, Int.MaxValue)
+      val compacted = spark.read
+        .parquet(DedupQueries.clusterModelPath(sf, kind))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(compacted == full,
+        s"$kind compaction diverged from retraining: only-compacted=" +
+          s"${(compacted -- full).take(5)} only-full=${(full -- compacted).take(5)}")
+      compact(10, 15)
+      assert(DedupQueries.clusterModelTrained(spark, sf, priorKind(15)),
+        s"stage-1 $kind compaction must persist the advanced b15 prior")
+      compact(15, Int.MaxValue)
+      val staged = spark.read
+        .parquet(DedupQueries.clusterModelPath(sf, kind))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(staged == full,
+        s"staged $kind compaction diverged: only-staged=" +
+          s"${(staged -- full).take(5)} only-full=${(full -- staged).take(5)}")
+      intercept[IllegalArgumentException] { compact(15, 12) }
+    }
+    check("audio",
+      () => MultimodalQueries.trainAudioClusterLabels(spark, sf),
+      (lo, hi) => MultimodalQueries.compactAudioClusterLabels(spark, sf, lo, hi),
+      MultimodalQueries.audioPriorKind)
+    check("video",
+      () => MultimodalQueries.trainVideoClusterLabels(spark, sf),
+      (lo, hi) => MultimodalQueries.compactVideoClusterLabels(spark, sf, lo, hi),
+      MultimodalQueries.videoPriorKind)
+  }
+
   test("appended video-signature index equals from-scratch build across a multi-step ladder") {
     import graft.queries.MultimodalQueries
     val sf = "/root/testdata/sf0.001"
