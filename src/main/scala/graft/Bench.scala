@@ -151,7 +151,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg()
-    val loadJson = f"""{"start":$loadStart%.2f,"after_warmup":$loadAfterWarmup%.2f,"after_cold":$loadAfterCold%.2f,"end":$loadEnd%.2f,"cpus":"$cpus"}"""
+    // getSystemLoadAverage returns -1.0 where unavailable; emitting
+    // -1.00 would read downstream as near-zero contention — emit null
+    def loadVal(d: Double): String = if (d < 0) "null" else f"$d%.2f"
+    val loadJson = s"""{"start":${loadVal(loadStart)},"after_warmup":${loadVal(loadAfterWarmup)},"after_cold":${loadVal(loadAfterCold)},"end":${loadVal(loadEnd)},"cpus":"$cpus"}"""
     val summary = s"""{"total_sec":${f"$total%.2f"},"n_queries":${results.size},"n_failed":${failed.size},"n_partial":${partial.size},"top5_median":${top5(results.map { case (k, v, _) => (k, v) })},"top5_cold":${top5(coldTimes)},"load_avg":$loadJson}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"cold":$coldJson,"failures":${failed.mkString("[", ",", "]")},"partial_failures":${partial.mkString("[", ",", "]")},"sf":"$sfDir","load_avg":$loadJson,"summary":$summary}""")
     spark.stop()

@@ -479,7 +479,7 @@ object SqlCrossCheck {
     graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)
     graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sfDir)
     graft.queries.MultimodalQueries.trainVideoClusterLabels(spark, sfDir)
-      graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, sfDir)
+    graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, sfDir)
     // one view per testdata table, through the SAME read path as the
     // DataFrame queries (events ns→µs truncation included)
     Tables.names.foreach { n =>

@@ -222,7 +222,9 @@ object DedupQueries {
       // many documents share one boundary src_num, so in-batch id
       // duplicates are the normal shape here — the one-row-per-id
       // ingest guard is the other modalities' contract, not text's
-      oneRowPerId = false)
+      oneRowPerId = false,
+      gcSide = (spark, liveBounds, cutoff) =>
+        gcShingleSideArtifacts(spark, dir, liveBounds, cutoff))
 
   /** The committed slice ladder — empty when no index exists. */
   private[graft] def shingleIndexLadder(spark: SparkSession,
@@ -247,6 +249,42 @@ object DedupQueries {
     * scheme change — never the per-batch one. */
   def dropShingleIndex(spark: SparkSession, dir: String): Unit =
     shingleIndex(dir).drop(spark)
+
+  /** Explicit maintenance GC for a QUIESCED shingle index — delegates
+    * to [[graft.sources.SliceLadder.gc]] (trash-listed slices, orphaned
+    * merge scratch, time-based grace window) with the shingle-specific
+    * side artifacts wired in: the per-bound df census and source-atomic
+    * guard records at DEAD bounds, which the mutation-driven sweep
+    * never owned (they accumulated one file per append forever). */
+  def gcShingleIndex(spark: SparkSession, dir: String,
+      graceMs: Long = 0L): Unit =
+    shingleIndex(dir).gc(spark, graceMs)
+
+  /** [[graft.sources.SliceLadder]]'s `gcSide` hook for the shingle
+    * instance: censuses and guard records are keyed to committed
+    * bounds, so any file at a bound no live ladder entry ends on is
+    * dead — readers resolve these at LIVE bounds only. The same
+    * time-based grace window as the slice GC covers an in-flight plan
+    * that resolved the census just before a mutation. */
+  private def gcShingleSideArtifacts(spark: SparkSession, dir: String,
+      liveBounds: Set[Long], cutoff: Long): Unit = {
+    val base = new org.apache.hadoop.fs.Path(shingleIndexBase(dir))
+    val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(base)) return
+    val CensusRe = "^census-b(\\d+|full)\\.parquet$".r
+    val GuardRe = "^srcatomic-b(\\d+|full)$".r
+    def bound(tok: String): Long =
+      if (tok == "full") ShingleSentinel else tok.toLong
+    hfs.listStatus(base).toSeq.foreach { st =>
+      val dead = st.getPath.getName match {
+        case CensusRe(t) => !liveBounds.contains(bound(t))
+        case GuardRe(t) => !liveBounds.contains(bound(t))
+        case _ => false
+      }
+      if (dead && st.getModificationTime <= cutoff)
+        hfs.delete(st.getPath, true)
+    }
+  }
 
   /** STREAMING-ingest append: shingle one arriving micro-batch of
     * (doc_id, source, text) documents and commit them as the index's
@@ -278,25 +316,46 @@ object DedupQueries {
     val b = batch.withColumn("src_num",
       expr("cast(substring(source, 4, 8) AS INT)"))
     val idx = shingleIndex(dir)
-    val before = idx.bound(spark)
-    before.foreach { cur =>
-      readSrcAtomic(spark, dir, cur).foreach { case (s, maxDoc) =>
-        val bad = b.filter(col("src_num") === s && col("doc_id") > maxDoc)
-          .count()
-        require(bad == 0L,
-          s"shingle ingest broke the SOURCE-ATOMIC batch contract: $bad " +
-            s"rows for already-covered source $s carry doc_ids above the " +
-            s"recorded max $maxDoc — the producer split one source across " +
-            "micro-batches, and its unshingled tail would be dropped " +
-            "forever as a replay")
+    // the WHOLE read-guard → validate → append → write-guard sequence
+    // runs under the ladder's per-base writer lock (reentrant — the
+    // appendBatch inside re-takes it): two in-JVM threads interleaving
+    // here could otherwise both read the same prior bound's guard and
+    // one would record a stale bound's record, silently skipping a
+    // guard window the doc claims is serialized
+    idx.withWriterLock {
+      val before = idx.bound(spark)
+      before.foreach { cur =>
+        readSrcAtomic(spark, dir, cur).foreach { case (s, maxDoc) =>
+          val bad = b.filter(col("src_num") === s && col("doc_id") > maxDoc)
+            .count()
+          require(bad == 0L,
+            s"shingle ingest broke the SOURCE-ATOMIC batch contract: $bad " +
+              s"rows for already-covered source $s carry doc_ids above the " +
+              s"recorded max $maxDoc — the producer split one source across " +
+              "micro-batches, and its unshingled tail would be dropped " +
+              "forever as a replay")
+        }
       }
-    }
-    idx.appendBatch(spark, b)
-    val after = idx.bound(spark)
-    if (after != before) after.foreach { hi =>
-      val st = b.filter(col("src_num") === (hi - 1))
-        .agg(max("doc_id")).head()
-      if (!st.isNullAt(0)) writeSrcAtomic(spark, dir, hi, hi - 1, st.getLong(0))
+      idx.appendBatch(spark, b)
+      val after = idx.bound(spark)
+      if (after != before) after.foreach { hi =>
+        val st = b.filter(col("src_num") === (hi - 1))
+          .agg(max("doc_id")).head()
+        if (!st.isNullAt(0))
+          writeSrcAtomic(spark, dir, hi, hi - 1, st.getLong(0))
+        // the previous bound's record is never read again (the guard
+        // reads at the CURRENT bound only) — best-effort delete so a
+        // long-lived stream doesn't accumulate one tiny file per
+        // micro-batch; a crash landing between the write above and
+        // this delete just leaves one extra record for [[gc]]
+        before.foreach { prev =>
+          if (prev != hi) {
+            val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, prev))
+            val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            hfs.delete(p, false)
+          }
+        }
+      }
     }
   }
 
@@ -1144,7 +1203,7 @@ object DedupQueries {
     * oracle RE-DERIVES the labels independently — it never reads the
     * engine's persisted artifact, so a green hash certifies the offline
     * training run against DuckDB's own closure. */
-  private val clusterLabelCtes = s"""$shingleHashesSql,
+  private[queries] val clusterLabelCtes = s"""$shingleHashesSql,
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM shing a JOIN shing b ON a.h = b.h AND a.doc_id < b.doc_id

@@ -41,7 +41,29 @@ import org.apache.spark.sql.functions._
   *    mid-query. The single-writer contract covers writers; deferral is
   *    what covers concurrent READERS. A reader that holds one resolved
   *    plan across TWO artifact mutations is outside the window and may
-  *    have to re-resolve — the documented residual contract.
+  *    have to re-resolve — the documented residual contract. An
+  *    artifact that QUIESCES (stops mutating) keeps its last trash
+  *    forever under the mutation-driven sweep — [[gc]] is the explicit
+  *    maintenance entry that collects it on a TIME-based grace window
+  *    instead.
+  *  - `slices/.merge-<lo>-<hi>-<nonce>/` — a compaction merge's
+  *    job-scoped SCRATCH output. Merges never write at a committable
+  *    slice path: the merged rows land here (invisible to every
+  *    reader — slice reads go through [[slicePath]] only) and are
+  *    RENAMED into place inside the locked commit. So two compactors —
+  *    even cross-process, where the in-JVM locks cannot see each
+  *    other — can never interleave `mode("overwrite")` writes on one
+  *    committed directory, and a merge that crashes mid-write leaves
+  *    garbage only at a scratch path no reader or commit will ever
+  *    resolve ([[gc]] ages it out).
+  *  - `ladder/x<epoch>` — the REBUILD EPOCH marker. [[drop]] (and so
+  *    every from-scratch [[train]]) bumps it; an in-flight merge
+  *    snapshots the epoch when its run is picked and refuses to commit
+  *    under a different one. Liveness re-validation alone cannot catch
+  *    a rebuild whose re-ingest happens to recreate the exact slice
+  *    boundaries the stale merge snapshotted (deterministic batch
+  *    sizes make that real): the boundaries match but the ROWS are the
+  *    old derivation — the epoch is what makes that merge abandon.
   *
   * Coverage is by ID RANGE, not row presence: a range whose items all
   * fail to derive (undecodable blobs) commits a valid empty slice —
@@ -105,7 +127,13 @@ final class SliceLadder(
       * so in-batch duplicates from an at-least-once producer are a
       * guarded error, not silently committed twice. The text instance
       * (many documents per boundary src_num) opts out. */
-    oneRowPerId: Boolean = true) {
+    oneRowPerId: Boolean = true,
+    /** [[gc]] hook for per-modality SIDE artifacts keyed to committed
+      * bounds (the shingle census / source-atomic guard records): called
+      * with the live ladder's bound set and the grace cutoff (epoch ms);
+      * the hook deletes its side files at dead bounds older than the
+      * cutoff. Default: no side artifacts. */
+    gcSide: (SparkSession, Set[Long], Long) => Unit = (_, _, _) => ()) {
 
   private def tok(b: Long): String = if (b == sentinel) "full" else b.toString
   private def untok(s: String): Long = if (s == "full") sentinel else s.toLong
@@ -115,6 +143,15 @@ final class SliceLadder(
   private def trashDir: String = s"$base/trash"
   private val MarkerRe = "^e(\\d+|full)-(\\d+|full)$".r
   private val TrashRe = "^t(\\d+|full)-(\\d+|full)$".r
+  private val EpochRe = "^x(\\d+)$".r
+  private val MergeTmpRe = "^\\.merge-.*$".r
+  /** Job-scoped merge scratch dir: the nonce makes racing compactors —
+    * including CROSS-PROCESS ones the in-JVM locks cannot serialize —
+    * write disjoint scratch paths, so the last writer standing renames
+    * into place and the loser's files never touch committed state. */
+  private def mergeTmpPath(lo: Long, hi: Long): String =
+    s"$base/slices/.merge-${tok(lo)}-${tok(hi)}-" +
+      java.util.UUID.randomUUID().toString.take(8)
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -310,44 +347,97 @@ final class SliceLadder(
     * covering the run's span. The phase structure is the whole point:
     *
     *  - SNAPSHOT (caller, locked): the run was resolved from the ladder
-    *    under the writer lock.
+    *    under the writer lock; the rebuild epoch is snapshotted here.
     *  - MERGE (unlocked): union the run's immutable slice files and
-    *    write the merged slice. Nothing races this — appends only add
-    *    above the top boundary, the merged files are invisible until
-    *    their marker lands, and subsumed data deletes are deferred —
-    *    so a streaming ingest keeps committing micro-batches while a
-    *    multi-hour merge runs.
+    *    write the merged slice to a job-scoped SCRATCH dir
+    *    (`slices/.merge-…`), never to the committable path. Nothing
+    *    races this — appends only add above the top boundary, the
+    *    scratch files are invisible to every reader, and subsumed data
+    *    deletes are deferred — so a streaming ingest keeps committing
+    *    micro-batches while a multi-hour merge runs, and a crash here
+    *    leaves garbage only at a path no commit will ever resolve
+    *    ([[gc]] ages it out).
     *  - COMMIT (locked): re-validate that every run member is STILL a
-    *    live ladder entry (a racing compactor may have subsumed part of
-    *    it — then abandon: our uncommitted files go to the trash list
-    *    and the sweep collects them). Commit the containing marker,
-    *    drop the subsumed markers, enqueue their data on the trash list
-    *    (physically deleted at the NEXT mutation — the reader grace
-    *    window), and evict session caches so new plans resolve the
-    *    merged ladder. */
+    *    live ladder entry AND the rebuild epoch is unchanged (a racing
+    *    compactor may have subsumed part of the run; a [[drop]]+
+    *    [[train]] rebuild may have replaced the DATA under identical
+    *    boundaries) — on either, abandon: the scratch dir is deleted
+    *    outright (no reader ever saw it, so it needs no trash grace).
+    *    Otherwise RENAME the scratch dir into the committable path
+    *    (same-filesystem dir rename — atomic on HDFS/POSIX; an object
+    *    store swaps in its copy+conditional-put here), commit the
+    *    containing marker, drop the subsumed markers, enqueue their
+    *    data on the trash list (physically deleted at the NEXT
+    *    mutation — the reader grace window), and evict session caches
+    *    so new plans resolve the merged ladder. */
   private def mergeRun(spark: SparkSession, run: Seq[(Long, Long)]): Unit = {
     val (lo, hi) = (run.head._1, run.last._2)
+    val ep = epochOf(spark)
+    val scratch = mergeTmpPath(lo, hi)
     val rows = run.map { case (a, b) =>
         spark.read.schema(readSchema).parquet(slicePath(a, b)) }
       .reduce(_.unionByName(_))
-    writeSliceFiles(rows, slicePath(lo, hi))
+    writeSliceFiles(rows, scratch)
     lock.synchronized {
+      val hfs = fs(spark, base)
+      def abandon(): Unit = { hfs.delete(new Path(scratch), true); () }
       val live = ladder(spark).toSet
-      if (!run.forall(live.contains)) {
-        addTrash(spark, lo, hi) // lost the race; sweep collects the files
+      if (!run.forall(live.contains) || epochOf(spark) != ep) {
+        abandon() // lost a compactor race or a rebuild replaced the data
         return
       }
+      // the committable path cannot be a LIVE slice here (the run's
+      // members are live and the resolved ladder admits no overlap), so
+      // anything already at it is crash garbage or trash-pending data —
+      // clear it so the rename lands
+      val target = new Path(slicePath(lo, hi))
+      if (hfs.exists(target)) hfs.delete(target, true)
+      if (!hfs.rename(new Path(scratch), target)) {
+        abandon() // cross-process racer took the path between our two
+        return    // metadata ops; its commit is as good as ours
+      }
       commitMarker(spark, lo, hi)
-      val hfs = fs(spark, markerDir)
+      val mfs = fs(spark, markerDir)
       run.foreach { case (a, b) =>
         // trash-then-untrack (same crash argument as the sweep): a crash
         // before the marker delete leaves a contained orphan the next
         // sweep adopts; the reverse order could leak the data forever
         addTrash(spark, a, b)
-        hfs.delete(new Path(markerDir, s"e${tok(a)}-${tok(b)}"), false)
+        mfs.delete(new Path(markerDir, s"e${tok(a)}-${tok(b)}"), false)
       }
       onMutate()
     }
+  }
+
+  /** The current rebuild epoch — 0 until the first [[drop]]. Stored as
+    * a single `x<n>` marker next to the slice markers (same listing, a
+    * name [[MarkerRe]] can never match), bumped via the same
+    * temp+rename commit discipline. */
+  private def epochOf(spark: SparkSession): Long = {
+    val d = new Path(markerDir)
+    val hfs = fs(spark, markerDir)
+    if (!hfs.exists(d)) 0L
+    else hfs.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case EpochRe(n) => n.toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  private def bumpEpoch(spark: SparkSession, from: Long): Unit = {
+    val hfs = fs(spark, markerDir)
+    hfs.mkdirs(new Path(markerDir))
+    val tmp = new Path(markerDir, s".tmp-x${from + 1}")
+    hfs.create(tmp, true).close()
+    val fin = new Path(markerDir, s"x${from + 1}")
+    if (!hfs.rename(tmp, fin)) {
+      hfs.delete(tmp, false)
+      require(hfs.exists(fin),
+        s"$what rebuild-epoch bump to ${from + 1} failed: could not " +
+          s"rename $tmp")
+    }
+    // best-effort: the superseded epoch marker is never read again
+    // (epochOf takes the max), so a crash leaving it costs nothing
+    if (from > 0L) hfs.delete(new Path(markerDir, s"x$from"), false)
+    ()
   }
 
   /** Current coverage: ids < bound are derived. None = no artifact. */
@@ -365,12 +455,110 @@ final class SliceLadder(
 
   /** Delete the persisted artifact (and evict cached readers of its
     * files). Rebuild-from-scratch is the EXCEPTIONAL path — a scheme or
-    * model change — never the per-batch one. */
+    * model change — never the per-batch one. Bumps the rebuild epoch so
+    * an in-flight unlocked merge that snapshotted the pre-rebuild
+    * ladder refuses to commit even if the rebuilt artifact recreates
+    * identical slice boundaries over DIFFERENT rows (see [[mergeRun]]). */
   def drop(spark: SparkSession): Unit = lock.synchronized {
     onMutate()
+    val ep = epochOf(spark)
     val p = new Path(base)
     val hfs = fs(spark, base)
     if (hfs.exists(p)) { hfs.delete(p, true); () }
+    bumpEpoch(spark, ep)
+  }
+
+  /** Run `f` under this artifact's per-base writer lock — for callers
+    * that compose a read-check-append sequence AROUND the ladder ops
+    * (e.g. the shingle ingest's source-atomic guard: read guard record
+    * → validate batch → append → write guard record) and need the whole
+    * sequence serialized against other in-JVM writers, not just the
+    * append step. The monitor is reentrant, so ladder ops inside `f`
+    * re-take it safely. */
+  def withWriterLock[T](f: => T): T = lock.synchronized(f)
+
+  /** Explicit trash GC — the liveness complement to the mutation-driven
+    * [[sweep]]: an artifact that QUIESCES after a compaction would
+    * otherwise keep its trashed slice data forever (the sweep only runs
+    * at the start of the next mutation, which never comes). Collects,
+    * under a TIME-based grace window instead of the sweep's
+    * one-mutation one:
+    *
+    *  1. trash-listed slice data whose trash entry is older than
+    *     `graceMs` (younger entries stay — an in-flight reader inside
+    *     the window keeps its files);
+    *  2. orphaned merge scratch dirs (`slices/.merge-…`) older than
+    *     `graceMs` — a crashed merge's leftovers, never readable;
+    *  3. orphaned slice dirs at committable paths with neither a marker
+    *     nor a trash entry, older than `graceMs` — the residue of a
+    *     crash between a merge's rename and its marker commit (a
+    *     two-metadata-op window, but nonzero);
+    *  4. the [[gcSide]] hook's per-modality side artifacts at dead
+    *     bounds, same cutoff.
+    *
+    * Call with `graceMs` exceeding the longest in-flight read AND the
+    * longest in-flight merge or append when other writers/readers may
+    * be live (cross-process writers are outside the in-JVM locks);
+    * `graceMs = 0` is for provably quiesced artifacts only. */
+  def gc(spark: SparkSession, graceMs: Long = 0L): Unit =
+    lock.synchronized {
+      val hfs = fs(spark, base)
+      val cutoff = System.currentTimeMillis() - graceMs
+      var deleted = false
+      val live = resolve(rawMarkers(spark))
+      val liveSet = live.toSet
+      val t = new Path(trashDir)
+      if (hfs.exists(t)) {
+        hfs.listStatus(t).toSeq.foreach { st =>
+          st.getPath.getName match {
+            case n @ TrashRe(a, b) =>
+              val range = (untok(a), untok(b))
+              if (liveSet.contains(range)) {
+                // stale entry for a re-committed range: drop the marker,
+                // never the data
+                hfs.delete(new Path(trashDir, n), false)
+              } else if (st.getModificationTime <= cutoff) {
+                if (hfs.delete(new Path(slicePath(range._1, range._2)),
+                    true))
+                  deleted = true
+                hfs.delete(new Path(trashDir, n), false)
+              }
+            case _ => ()
+          }
+        }
+      }
+      val slicesDir = new Path(s"$base/slices")
+      if (hfs.exists(slicesDir)) {
+        val trashed = rawTrash(spark)
+        val raw = rawMarkers(spark).toSet
+        hfs.listStatus(slicesDir).toSeq.foreach { st =>
+          st.getPath.getName match {
+            case MergeTmpRe() if st.getModificationTime <= cutoff =>
+              if (hfs.delete(st.getPath, true)) deleted = true
+            case SliceDirRe(a, b) if st.getModificationTime <= cutoff =>
+              val range = (untok(a), untok(b))
+              // an orphan: no raw marker claims it (an in-flight
+              // append's pre-marker write is covered by the grace
+              // window) and no trash entry defers it
+              if (!raw.contains(range) && !trashed.contains(range)) {
+                if (hfs.delete(st.getPath, true)) deleted = true
+              }
+            case _ => ()
+          }
+        }
+      }
+      gcSide(spark, live.map(_._2).toSet, cutoff)
+      if (deleted) onMutate()
+    }
+
+  private val SliceDirRe = "^s(\\d+|full)-(\\d+|full)$".r
+
+  private def rawTrash(spark: SparkSession): Set[(Long, Long)] = {
+    val t = new Path(trashDir)
+    val hfs = fs(spark, trashDir)
+    if (!hfs.exists(t)) Set.empty
+    else hfs.listStatus(t).toSeq.map(_.getPath.getName)
+      .collect { case TrashRe(a, b) => (untok(a), untok(b)) }.toSet
   }
 
   /** The commit: slice files (and side artifacts) are already on disk —

@@ -246,7 +246,9 @@ class SliceLadderSpec extends SparkSpec {
       deriveBatch = (_, batch) =>
         batch.select(col("id"), (col("id") * 2).as("v")),
       writeSliceFiles = (df, path) => {
-        if (path.endsWith("/slices/s0-8")) { // the merge target, only
+        // the merge's scratch output, only (merges never write at a
+        // committable slice path — the commit renames scratch in)
+        if (path.contains("/slices/.merge-0-8-")) {
           mergeStarted.countDown()
           releaseMerge.await(60, java.util.concurrent.TimeUnit.SECONDS)
         }
@@ -457,6 +459,144 @@ class SliceLadderSpec extends SparkSpec {
     // and the maintained ladder stays shallow: <= log2(K) + 1 slices
     assert(tiered.ladder(spark).size <= 5,
       s"tiered ladder too deep: ${tiered.ladder(spark)}")
+  }
+
+  test("a crash mid-merge-write orphans only scratch: committed state intact, gc ages the scratch out, the re-compact succeeds") {
+    import spark.implicits._
+    var arm = false
+    val base = tmpBase("mergecrash")
+    val lad = mkLadder(base, failStage = () => arm)
+    lad.appendBatch(spark, (0L to 3L).toDF("id"))
+    lad.appendBatch(spark, (4L to 7L).toDF("id"))
+    val before = lad.ladder(spark)
+    // compaction writes ONLY its scratch dir, so arming the injected
+    // crash here hits exactly the mid-merge-write window
+    arm = true
+    intercept[RuntimeException] { lad.compactSlices(spark, 8L) }
+    arm = false
+    assert(lad.ladder(spark) == before,
+      "a crashed merge must not change committed state")
+    assert(lad.read(spark).count() == 8L)
+    def scratchDirs() = Option(new java.io.File(s"$base/slices").list())
+      .toSeq.flatten.filter(_.startsWith(".merge-"))
+    assert(scratchDirs().nonEmpty,
+      "the crashed merge's scratch dir should be orphaned, not vanish " +
+        "silently (gc owns its cleanup)")
+    // no committable path carries the crash's garbage — the r15 design
+    // wrote merges AT slicePath(lo,hi), so a crash left unreferenced
+    // data exactly where a later commit would land
+    assert(!new java.io.File(s"$base/slices/s0-8").exists,
+      "merge output must never touch a committable path before commit")
+    // a young scratch dir survives a graced gc (an in-flight merge from
+    // another process must not be shot down) …
+    lad.gc(spark, graceMs = 10 * 60 * 1000L)
+    assert(scratchDirs().nonEmpty)
+    // … and a quiesced gc collects it
+    lad.gc(spark)
+    assert(scratchDirs().isEmpty, "gc must age out orphaned merge scratch")
+    lad.compactSlices(spark, 8L)
+    assert(lad.ladder(spark) == Seq((0L, 8L)))
+    assert(lad.read(spark).count() == 8L)
+  }
+
+  test("gc gives quiesced artifacts trash liveness: graced gc keeps an in-window read alive, ungraced gc collects everything") {
+    val base = tmpBase("gc")
+    val lad = mkLadder(base)
+    lad.train(spark, 4L)
+    lad.append(spark, 9L)
+    lad.append(spark, 13L)
+    val preRead = lad.read(spark) // resolved over the three slices
+    lad.compactSlices(spark, 13L)
+    assert(lad.ladder(spark) == Seq((0L, 13L)))
+    // the artifact now QUIESCES: no further mutation will ever sweep.
+    // A gc inside the grace window must keep the trashed data …
+    lad.gc(spark, graceMs = 10 * 60 * 1000L)
+    assert(new java.io.File(s"$base/slices/s0-4").exists,
+      "graced gc must not collapse the reader grace window")
+    assert(preRead.count() == 13L,
+      "a read resolved before the compaction must complete")
+    // … and a gc past the window collects data AND trash markers
+    lad.gc(spark)
+    assert(!new java.io.File(s"$base/slices/s0-4").exists &&
+      !new java.io.File(s"$base/slices/s4-9").exists &&
+      !new java.io.File(s"$base/slices/s9-13").exists,
+      "ungraced gc must collect a quiesced artifact's trash")
+    assert(Option(new java.io.File(s"$base/trash").list())
+      .forall(_.isEmpty), "collected trash markers must not linger")
+    assert(lad.read(spark).count() == 13L)
+    // gc also adopts crash residue at a committable path (the window
+    // between a merge's rename and its marker commit): a slice dir with
+    // neither marker nor trash entry is an orphan
+    val orphan = new java.io.File(s"$base/slices/s50-60")
+    assert(orphan.mkdirs())
+    lad.gc(spark)
+    assert(!orphan.exists, "gc must adopt marker-less slice-dir orphans")
+    // … while LIVE slice dirs (marker present) are never touched
+    assert(new java.io.File(s"$base/slices/s0-13").exists)
+  }
+
+  test("a rebuild racing an in-flight merge: the merge abandons on the epoch bump even when the rebuilt boundaries coincide") {
+    import spark.implicits._
+    // Liveness re-validation alone cannot catch this: the rebuild below
+    // recreates the EXACT boundaries the merge snapshotted — [0,4),
+    // [4,8) — so every run member is a live ladder entry at commit time,
+    // but the rows underneath are a NEW derivation (v = 3·id, not 2·id).
+    // Without the epoch guard the stale merge would commit old rows
+    // over the rebuilt artifact.
+    val base = tmpBase("epoch")
+    val mergeStarted = new java.util.concurrent.CountDownLatch(1)
+    val releaseMerge = new java.util.concurrent.CountDownLatch(1)
+    @volatile var mult = 2L
+    val lad = new SliceLadder(base, "epoch artifact",
+      idCol = "id",
+      readSchema = "id BIGINT, v BIGINT",
+      deriveRange = (spark, lo, hi) => {
+        val m = mult
+        spark.range(lo, math.min(hi, LakeRows))
+          .select(col("id"), (col("id") * m).as("v"))
+      },
+      deriveBatch = (_, batch) =>
+        batch.select(col("id"), (col("id") * 2).as("v")),
+      writeSliceFiles = (df, path) => {
+        df.write.mode("overwrite").parquet(path)
+        // park AFTER the scratch write: the merge now holds a fully
+        // written OLD-derivation scratch dir and is headed for the
+        // commit — the exact state where only the epoch check stands
+        // between the stale rows and the rebuilt ladder. (A rebuild
+        // racing the write itself just fails the merge's scan loudly —
+        // that case needs no guard.)
+        if (path.contains("/slices/.merge-0-8-")) {
+          mergeStarted.countDown()
+          releaseMerge.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        }
+      })
+    lad.train(spark, 4L)
+    lad.append(spark, 8L)
+    @volatile var compactErr: Throwable = null
+    val compactor = new Thread(() =>
+      try lad.compactSlices(spark, 8L)
+      catch { case t: Throwable => compactErr = t })
+    compactor.start()
+    assert(mergeStarted.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "compaction never reached its merge write")
+    // the merge is parked unlocked — rebuild the artifact under it with
+    // a CHANGED derivation but IDENTICAL slice boundaries
+    mult = 3L
+    lad.train(spark, 4L) // bound 8 > 4 → from-scratch: drop + re-derive
+    lad.append(spark, 8L)
+    assert(lad.ladder(spark) == Seq((0L, 4L), (4L, 8L)))
+    releaseMerge.countDown()
+    compactor.join(60000)
+    assert(compactErr == null, s"abandoning must be clean, got $compactErr")
+    assert(lad.ladder(spark) == Seq((0L, 4L), (4L, 8L)),
+      "the stale merge must abandon, not commit over the rebuild")
+    val got = lad.read(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements((0L until 8L).map(i => (i, i * 3))),
+      "committed rows must be the REBUILT derivation, not the stale merge's")
+    assert(Option(new java.io.File(s"$base/slices").list()).toSeq.flatten
+      .forall(!_.startsWith(".merge-")),
+      "the abandoned merge must delete its scratch dir")
   }
 
   test("concurrent appendBatch from racing threads serializes: every id covered exactly once") {

@@ -740,6 +740,49 @@ class StreamingSpec extends SparkSpec {
     DedupQueries.dropShingleIndex(spark, dir)
   }
 
+  test("shingle side artifacts stay bounded: each append retires the prior guard record; gc collects dead-bound censuses after compaction") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    DedupQueries.dropShingleIndex(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "text",
+        "cast(substring(source, 4, 8) AS INT) AS src_num")
+      .as[(Long, String, String, Int)].collect()
+    def rowsOf(ds: Seq[(Long, String, String, Int)]) =
+      ds.map(d => (d._1, d._2, d._3)).toSeq.toDF("doc_id", "source", "text")
+    // three source-atomic micro-batches, each advancing the bound —
+    // pre-fix, every one left its srcatomic-b<hi> record behind forever
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(_._4 < 3).toSeq))
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(d => d._4 >= 3 && d._4 < 5).toSeq))
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(d => d._4 >= 5 && d._4 < 7).toSeq))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(7))
+    val baseDir = new java.io.File(DedupQueries.shingleIndexBase(dir))
+    def sides(prefix: String): Seq[String] =
+      Option(baseDir.list()).toSeq.flatten.filter(_.startsWith(prefix)).sorted
+    assert(sides("srcatomic-b") == Seq("srcatomic-b7"),
+      "a long-lived stream must not accumulate one guard record per batch")
+    // censuses are keyed to committed bounds: one per live ladder entry
+    assert(sides("census-b").size == 3)
+    // collapse the ladder, quiesce, gc: the dead bounds' censuses (and
+    // the trashed slices) are collected; the live bound's census stays
+    DedupQueries.compactShingleSlices(spark, dir, 7)
+    DedupQueries.gcShingleIndex(spark, dir)
+    assert(sides("census-b") == Seq("census-b7.parquet"),
+      "gc must collect censuses at dead bounds and keep the live one")
+    assert(sides("srcatomic-b") == Seq("srcatomic-b7"),
+      "the live bound's guard record must survive gc")
+    // the index still reads and appends fine after gc
+    assert(DedupQueries.shingleHashesFromIndex(spark, dir).count() > 0)
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(_._4 == 7).toSeq))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(8))
+    DedupQueries.dropShingleIndex(spark, dir)
+  }
+
   test("streaming document ingest maintains the shingle index: stream-built equals from-scratch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
