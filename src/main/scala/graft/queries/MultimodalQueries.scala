@@ -1679,6 +1679,137 @@ object MultimodalQueries {
     GROUP BY source
     ORDER BY source"""
 
+  // ───────────────────────── cross-modal linkage ─────────────────────────
+  // The one capability class the per-modality dedup matrix doesn't
+  // touch: documents and their media derive from the SAME doc_id, so
+  // text near-dup structure and image near-dup structure can be JOINED
+  // — the caption-dedup question of a multimodal training pipeline
+  // ("this caption is duplicated; do its images agree?") and its
+  // reverse ("this image is duplicated; do its captions agree?"). Both
+  // run off the two PERSISTED cluster-label artifacts (text + media) —
+  // no shingling, no pixel decode, no pair generation at query time:
+  // the linkage layer is two narrow label joins over doc-bounded
+  // tables, which is the 100 TB shape (the expensive closure work was
+  // paid once, offline, per modality).
+
+  /** Per-doc cross-modal canonical view: every document with its text
+    * canonical and image canonical (its own id when unclustered — the
+    * label artifacts carry only clustered nodes, whose clusters are
+    * ≥ 2 by construction). Shared by the three linkage queries. */
+  private def crossModalCanon(spark: SparkSession,
+      dir: String): DataFrame = {
+    val tl = DedupQueries.persistedLabels(spark, dir, "text")
+      .select(col("doc_id"), col("cluster_id").as("tc0"))
+    val il = mediaClusterLabels(spark, dir)
+      .select(col("media_id").as("doc_id"), col("cluster_id").as("ic0"))
+    Tables(spark, dir, "documents").select("doc_id", "source")
+      .join(tl, Seq("doc_id"), "left")
+      .join(il, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("tc0"), col("doc_id")).as("text_canon"),
+        coalesce(col("ic0"), col("doc_id")).as("img_canon"))
+  }
+
+  /** Caption-dedup accounting, text → image direction: for every text
+    * near-dup cluster (≥ 2 members), how many DISTINCT image canonicals
+    * its members map to — a conflict (n > 1) is a duplicated caption
+    * attached to genuinely different images, the pair a multimodal
+    * dedup must NOT collapse to one row. Cluster-level aggregation, so
+    * output is cluster-bounded, never pair-bounded. */
+  private def captionConflicts(spark: SparkSession,
+      dir: String): DataFrame =
+    crossModalCanon(spark, dir)
+      .groupBy("text_canon")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("img_canon").as("n_img_canonicals"))
+      .filter(col("n_docs") >= 2)
+      .select(col("text_canon").as("text_cluster"), col("n_docs"),
+        col("n_img_canonicals"),
+        (col("n_img_canonicals") > 1).as("is_conflict"))
+      .orderBy("text_cluster")
+
+  /** The reverse direction: for every IMAGE near-dup cluster (≥ 2
+    * members), how many distinct text canonicals its members carry — a
+    * conflict is one image published under genuinely different
+    * captions (alt-text divergence), the signal caption-selection
+    * pipelines rank by. */
+  private def imageCaptionConflicts(spark: SparkSession,
+      dir: String): DataFrame =
+    crossModalCanon(spark, dir)
+      .groupBy("img_canon")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("text_canon").as("n_text_canonicals"))
+      .filter(col("n_docs") >= 2)
+      .select(col("img_canon").as("image_cluster"), col("n_docs"),
+        col("n_text_canonicals"),
+        (col("n_text_canonicals") > 1).as("is_conflict"))
+      .orderBy("image_cluster")
+
+  /** Alignment accounting per source: of each source's documents, how
+    * many are text-side dups (non-canonical members of a text
+    * cluster), image-side dups, or both — the per-provider scorecard a
+    * lake operator reads to see WHERE cross-modal duplication comes
+    * from. One shuffle on source over the doc-bounded canonical view. */
+  private def crossModalAlignment(spark: SparkSession,
+      dir: String): DataFrame =
+    crossModalCanon(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text_canon") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_text_dup"),
+        sum(when(col("img_canon") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_img_dup"),
+        sum(when(col("text_canon") =!= col("doc_id") &&
+            col("img_canon") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_both_dup"))
+      .orderBy("source")
+
+  /** Combined oracle CTE chain: BOTH modalities' label closures,
+    * re-derived independently by DuckDB (text: shingle Jaccard pairs →
+    * unrolled min-label propagation → `labels`; image: aHash banded
+    * pairs → `mlabels`), joined per doc. The media chain's `pairs` CTE
+    * is renamed `mpairs` to coexist with the text chain's. A green
+    * hash certifies BOTH offline training runs AND the linkage
+    * arithmetic in one check. */
+  private val crossModalCtes = s"""${DedupQueries.clusterLabelCtes},
+    ${mediaLabelCtes.replaceAll("\\bpairs\\b", "mpairs")},
+    xm AS (
+      SELECT d.doc_id, d.source,
+             coalesce(l.cluster_id, d.doc_id) AS text_canon,
+             coalesce(m.cluster_id, d.doc_id) AS img_canon
+      FROM documents d
+      LEFT JOIN labels l ON l.doc_id = d.doc_id
+      LEFT JOIN mlabels m ON m.media_id = d.doc_id)"""
+
+  private val captionConflictsSql = s"""
+    WITH $crossModalCtes
+    SELECT text_canon AS text_cluster, count(*) AS n_docs,
+           count(DISTINCT img_canon) AS n_img_canonicals,
+           count(DISTINCT img_canon) > 1 AS is_conflict
+    FROM xm GROUP BY text_canon HAVING count(*) >= 2
+    ORDER BY text_cluster"""
+
+  private val imageCaptionConflictsSql = s"""
+    WITH $crossModalCtes
+    SELECT img_canon AS image_cluster, count(*) AS n_docs,
+           count(DISTINCT text_canon) AS n_text_canonicals,
+           count(DISTINCT text_canon) > 1 AS is_conflict
+    FROM xm GROUP BY img_canon HAVING count(*) >= 2
+    ORDER BY image_cluster"""
+
+  private val crossModalAlignmentSql = s"""
+    WITH $crossModalCtes
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN text_canon <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_text_dup,
+           CAST(sum(CASE WHEN img_canon <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_img_dup,
+           CAST(sum(CASE WHEN text_canon <> doc_id
+                          AND img_canon <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both_dup
+    FROM xm GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_media_neardup", mediaNearDup, Some(mediaNearDupSql)),
     QueryDef("q_media_clusters", mediaClusters, Some(mediaClustersSql)),
@@ -1714,5 +1845,11 @@ object MultimodalQueries {
       Some(audioClustersIncrementalSql)),
     QueryDef("q_video_clusters_incremental", videoClustersIncremental,
       Some(videoClustersIncrementalSql)),
+    QueryDef("q_caption_conflicts", captionConflicts,
+      Some(captionConflictsSql)),
+    QueryDef("q_image_caption_conflicts", imageCaptionConflicts,
+      Some(imageCaptionConflictsSql)),
+    QueryDef("q_crossmodal_alignment", crossModalAlignment,
+      Some(crossModalAlignmentSql)),
   )
 }

@@ -479,6 +479,34 @@ class PlanSpec extends SparkSpec {
     DedupQueries.clearShingleCache()
   }
 
+  test("cross-modal linkage is label-artifact-backed: narrow label joins, no shingling, no pixel decode in the query path") {
+    import graft.queries.Registry
+    // both closures were paid OFFLINE (trained in beforeAll); the
+    // linkage queries may read ONLY the two persisted label artifacts
+    // plus the documents table — any shingle derivation, pixel decode
+    // or propagation LogicalRDD here would re-run corpus-sized modality
+    // work per query, the opposite of the 100 TB linkage shape
+    Seq("q_caption_conflicts", "q_image_caption_conflicts",
+      "q_crossmodal_alignment").foreach { q =>
+      val df = Registry.byName(q).fn(spark, sf)
+      val files = df.inputFiles
+      assert(files.exists(_.contains("labels-text")),
+        s"$q must read the persisted TEXT label artifact, read: " +
+          files.mkString(", "))
+      assert(files.exists(_.contains("labels-media")),
+        s"$q must read the persisted MEDIA label artifact, read: " +
+          files.mkString(", "))
+      assert(files.forall(f => f.contains("labels-text") ||
+          f.contains("labels-media") || f.contains("documents")),
+        s"$q reads beyond the label artifacts + documents: " +
+          files.filterNot(f => f.contains("labels-") ||
+            f.contains("documents")).take(3).mkString(", "))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LogicalRDD"),
+        s"$q re-ran label propagation in the query path:\n$plan")
+    }
+  }
+
   test("q_semdedup_incremental is a pure inverted-file read: the quantizer runs zero times") {
     import graft.queries.{Registry, SimilarityQueries}
     SimilarityQueries.trainIvfAssignments(spark, sf)
