@@ -253,15 +253,15 @@ object DedupQueries {
   /** Explicit maintenance GC for a QUIESCED shingle index — delegates
     * to [[graft.sources.SliceLadder.gc]] (trash-listed slices, orphaned
     * merge scratch, time-based grace window) with the shingle-specific
-    * side artifacts wired in: the per-bound df census and source-atomic
-    * guard records at DEAD bounds, which the mutation-driven sweep
+    * side artifacts wired in: the per-bound df census and source-watermark
+    * guard artifacts at DEAD bounds, which the mutation-driven sweep
     * never owned (they accumulated one file per append forever). */
   def gcShingleIndex(spark: SparkSession, dir: String,
       graceMs: Long = 0L): Unit =
     shingleIndex(dir).gc(spark, graceMs)
 
   /** [[graft.sources.SliceLadder]]'s `gcSide` hook for the shingle
-    * instance: censuses and guard records are keyed to committed
+    * instance: censuses and watermark guards are keyed to committed
     * bounds, so any file at a bound no live ladder entry ends on is
     * dead — readers resolve these at LIVE bounds only. The same
     * time-based grace window as the slice GC covers an in-flight plan
@@ -272,7 +272,7 @@ object DedupQueries {
     val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(base)) return
     val CensusRe = "^census-b(\\d+|full)\\.parquet$".r
-    val GuardRe = "^srcatomic-b(\\d+|full)$".r
+    val GuardRe = "^watermark-b(\\d+|full)\\.parquet$".r
     def bound(tok: String): Long =
       if (tok == "full") ShingleSentinel else tok.toLong
     hfs.listStatus(base).toSeq.foreach { st =>
@@ -300,17 +300,27 @@ object DedupQueries {
     * source). The lake's ingest zones deliver source-partitioned
     * batches, so the contract is the natural batch shape.
     *
-    * The contract is now HEURISTICALLY GUARDED, not just documented:
-    * each append records the max doc_id it carried for its boundary
-    * (max) source, and the next batch fails fast if it delivers that
-    * source with a HIGHER doc_id — the most common split pattern (a
-    * producer cutting one source across two consecutive micro-batches)
-    * surfaces as an error instead of silently losing the tail as a
-    * "replay". Best-effort by construction: a guard record is written
-    * after the commit (a crash between them skips one guard window),
-    * and splits of non-boundary sources remain undetectable from the
-    * batch stream alone. Costs two batch-sized aggregate jobs per
-    * micro-batch, nothing corpus-sized. */
+    * The contract is FULLY GUARDED within the watermark era: each
+    * append merges the batch's per-source max doc_id into a SOURCE
+    * WATERMARK side artifact keyed to the committed bound (the same
+    * keying as the census), and the next batch fails fast if it
+    * delivers ANY already-covered source with a doc_id above that
+    * source's recorded max — or a covered source the watermark has
+    * never seen (its rows were never delivered, so "replay" would be a
+    * lie). That closes the interior-source hole the earlier
+    * boundary-source-only record left open: a producer splitting a
+    * NON-boundary source across micro-batches now surfaces as an error
+    * instead of silently losing the tail as a "replay". Best-effort by
+    * construction: the watermark is written after the commit (a crash
+    * between them skips one guard window), and an artifact bootstrapped
+    * by the RANGE-derive path ([[trainShingleIndex]]/
+    * [[appendShingleIndex]] read the lake, not a batch stream) has no
+    * per-source history — the watermark ERA starts at the first
+    * streamed batch's bound and sources below it stay unchecked
+    * (recorded in the artifact, so the guard never false-fails a replay
+    * of pre-era data). Costs one batch-sized aggregate plus one
+    * watermark-sized (distinct-sources-bounded, never corpus-sized)
+    * merge-and-write per micro-batch. */
   def appendShingleBatch(spark: SparkSession, dir: String,
       batch: DataFrame): Unit = {
     val b = batch.withColumn("src_num",
@@ -324,84 +334,112 @@ object DedupQueries {
     // guard window the doc claims is serialized
     idx.withWriterLock {
       val before = idx.bound(spark)
-      before.foreach { cur =>
-        readSrcAtomic(spark, dir, cur).foreach { case (s, maxDoc) =>
-          val bad = b.filter(col("src_num") === s && col("doc_id") > maxDoc)
-            .count()
-          require(bad == 0L,
-            s"shingle ingest broke the SOURCE-ATOMIC batch contract: $bad " +
-              s"rows for already-covered source $s carry doc_ids above the " +
-              s"recorded max $maxDoc — the producer split one source across " +
-              "micro-batches, and its unshingled tail would be dropped " +
-              "forever as a replay")
-        }
+      val prior = before.flatMap(cur => readWatermark(spark, dir, cur)
+        .map { case (era, wm) => (cur, era, wm) })
+      prior.foreach { case (cur, era, wm) =>
+        // batch rows claiming to be replays (src below coverage) inside
+        // the watermark era must match the recorded history: present
+        // source, doc_id ≤ its max. Both join sides are bounded — the
+        // batch aggregate by the batch, the watermark by the corpus's
+        // DISTINCT SOURCE count — so this is a guard-sized job however
+        // big the lake is.
+        val incoming = b
+          .filter(col("src_num") >= era && col("src_num") < cur)
+          .groupBy(col("src_num").as("in_src"))
+          .agg(max("doc_id").as("in_max"))
+        val bad = incoming
+          .join(wm, col("in_src") === col("src"), "left")
+          .filter(col("src").isNull || col("in_max") > col("max_doc"))
+          .count()
+        require(bad == 0L,
+          s"shingle ingest broke the SOURCE-ATOMIC batch contract: $bad " +
+            s"already-covered sources arrived with doc_ids above (or " +
+            s"absent from) the recorded per-source watermark at bound " +
+            s"$cur — the producer split sources across micro-batches, " +
+            "and their unshingled tails would be dropped forever as " +
+            "replays")
       }
       idx.appendBatch(spark, b)
       val after = idx.bound(spark)
       if (after != before) after.foreach { hi =>
-        val st = b.filter(col("src_num") === (hi - 1))
-          .agg(max("doc_id")).head()
-        if (!st.isNullAt(0))
-          writeSrcAtomic(spark, dir, hi, hi - 1, st.getLong(0))
+        val cur = before.getOrElse(0L)
+        // fresh sources are disjoint from the prior watermark's (all
+        // prior srcs < cur ≤ all fresh srcs), so the merge is a plain
+        // union; the era column survives from the prior rows and a
+        // fresh-start watermark opens its era at the pre-append bound
+        val fresh = b.filter(col("src_num") >= cur)
+          .groupBy(col("src_num").cast("long").as("src"))
+          .agg(max("doc_id").as("max_doc"))
+          .withColumn("era", lit(prior.map(_._2).getOrElse(cur)))
+        val merged = prior.map(_._3.unionByName(fresh)).getOrElse(fresh)
+        writeWatermark(spark, dir, hi, merged)
         // the previous bound's record is never read again (the guard
         // reads at the CURRENT bound only) — best-effort delete so a
-        // long-lived stream doesn't accumulate one tiny file per
+        // long-lived stream doesn't accumulate one file per
         // micro-batch; a crash landing between the write above and
         // this delete just leaves one extra record for [[gc]]
         before.foreach { prev =>
           if (prev != hi) {
-            val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, prev))
+            val p = new org.apache.hadoop.fs.Path(watermarkPath(dir, prev))
             val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            hfs.delete(p, false)
+            hfs.delete(p, true)
           }
         }
       }
     }
   }
 
-  /** Where [[appendShingleBatch]]'s boundary-source guard record lives —
-    * keyed to the committed bound like the census, tiny (one "src:doc"
-    * line), best-effort (absence just skips one guard window). */
-  private def srcAtomicPath(dir: String, hi: Long): String =
-    s"${shingleIndexBase(dir)}/srcatomic-b${boundToken(hi)}"
+  /** Where [[appendShingleBatch]]'s per-source watermark lives — keyed
+    * to the committed bound like the census, sized by the corpus's
+    * distinct sources (src, max_doc, era), best-effort (absence just
+    * skips one guard window). */
+  private def watermarkPath(dir: String, hi: Long): String =
+    s"${shingleIndexBase(dir)}/watermark-b${boundToken(hi)}.parquet"
 
-  /** Same-directory temp + rename, the commit discipline every other
+  /** Parquet-dir temp + rename, the commit discipline every other
     * artifact write here follows: a crash mid-write must leave either
-    * the previous record or none — a TORN record would make every
-    * subsequent batch's read throw, wedging ingest until hand repair
-    * (the guard is best-effort; a broken guard file must degrade to
-    * "no guard", never to "no ingest"). */
-  private def writeSrcAtomic(spark: SparkSession, dir: String, hi: Long,
-      src: Long, maxDoc: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, hi))
+    * the previous watermark or a torn one the READ path degrades on —
+    * never a wedged ingest (the guard is best-effort; a broken guard
+    * artifact must degrade to "no guard", never to "no ingest"). */
+  private def writeWatermark(spark: SparkSession, dir: String, hi: Long,
+      wm: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(watermarkPath(dir, hi))
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       p.getParent, s".tmp-${p.getName}")
-    val out = hfs.create(tmp, true)
-    out.writeUTF(s"$src:$maxDoc")
-    out.close()
+    wm.write.mode("overwrite").parquet(tmp.toString)
+    if (hfs.exists(p)) hfs.delete(p, true)
     if (!hfs.rename(tmp, p)) {
-      hfs.delete(p, false)
-      hfs.rename(tmp, p)
+      hfs.delete(tmp, true)
+      require(hfs.exists(p),
+        s"shingle watermark commit at bound $hi failed: could not " +
+          s"rename $tmp")
     }
     ()
   }
 
-  private def readSrcAtomic(spark: SparkSession, dir: String,
-      hi: Long): Option[(Long, Long)] =
-    // any unreadable/garbled record degrades to "guard window skipped"
-    // (the documented best-effort contract), never to a wedged ingest
+  /** The watermark at bound `hi`: (era, rows) — rows are (src LONG,
+    * max_doc LONG, era LONG), era = the min recorded era (the bound the
+    * watermark lineage started at; sources below it predate the guard).
+    * Any unreadable/garbled artifact degrades to "guard window skipped"
+    * (the documented best-effort contract), never to a wedged ingest.
+    * The rows stay a LAZY scan of this bound's parquet — safe because
+    * every action over them (the guard count, the merged write) runs
+    * before [[appendShingleBatch]] retires the file, and lazy beats a
+    * localCheckpoint that would pin watermark-sized blocks per
+    * micro-batch for the life of the stream's session. */
+  private def readWatermark(spark: SparkSession, dir: String,
+      hi: Long): Option[(Long, DataFrame)] =
     try {
-      val p = new org.apache.hadoop.fs.Path(srcAtomicPath(dir, hi))
+      val p = new org.apache.hadoop.fs.Path(watermarkPath(dir, hi))
       val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!hfs.exists(p)) None
       else {
-        val in = hfs.open(p)
-        val s = try in.readUTF() finally in.close()
-        s.split(":") match {
-          case Array(a, b) => Some((a.toLong, b.toLong))
-          case _ => None
-        }
+        val wm = spark.read
+          .schema("src BIGINT, max_doc BIGINT, era BIGINT")
+          .parquet(p.toString)
+        val st = wm.agg(min("era")).head()
+        if (st.isNullAt(0)) None else Some((st.getLong(0), wm))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -301,12 +301,20 @@ final class SliceLadder(
       // zero. Everything this call trashes survives until the NEXT
       // mutation.
       lock.synchronized { sweep(spark) }
+      // Slice sizes are immutable once committed, so one getContentSummary
+      // per slice PER CALL suffices: the cache persists across pick
+      // iterations (only each merge's OUTPUT slice is new). Without it a
+      // K-deep ladder's cascading merges re-stat the whole ladder every
+      // iteration — O(K²) namenode round-trips per maintenance call,
+      // which on a real HDFS at 100 TB is the maintenance loop's
+      // latency floor.
+      val sizes = scala.collection.mutable.Map.empty[(Long, Long), Long]
       var merges = 0
-      var run = pickTierRun(spark, minRun)
+      var run = pickTierRun(spark, minRun, sizes)
       while (run.nonEmpty) {
         mergeRun(spark, run)
         merges += 1
-        run = pickTierRun(spark, minRun)
+        run = pickTierRun(spark, minRun, sizes)
       }
       merges
     }
@@ -322,14 +330,17 @@ final class SliceLadder(
   private def compactionLock: Object =
     SliceLadder.locks.getOrElseUpdate(base + "#compact", new Object)
 
-  private def pickTierRun(spark: SparkSession,
-      minRun: Int): Seq[(Long, Long)] = lock.synchronized {
+  private def pickTierRun(spark: SparkSession, minRun: Int,
+      sizes: scala.collection.mutable.Map[(Long, Long), Long])
+      : Seq[(Long, Long)] = lock.synchronized {
     val l = ladder(spark)
     if (l.isEmpty) return Nil
     val hfs = fs(spark, base)
     def tier(s: (Long, Long)): Int = {
-      val p = new Path(slicePath(s._1, s._2))
-      val bytes = if (hfs.exists(p)) hfs.getContentSummary(p).getLength else 0L
+      val bytes = sizes.getOrElseUpdate(s, {
+        val p = new Path(slicePath(s._1, s._2))
+        if (hfs.exists(p)) hfs.getContentSummary(p).getLength else 0L
+      })
       63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, bytes))
     }
     val tiers = l.map(s => (s, tier(s)))

@@ -719,7 +719,7 @@ class StreamingSpec extends SparkSpec {
       rowsOf(docs.filter(_._4 < 5).toSeq ++ s5.dropRight(1)))
     assert(DedupQueries.shingleIndexBound(spark, dir) == Some(6))
     // batch 2 delivers the split tail (doc_id above the recorded max for
-    // source 5) — the heuristic guard must fail fast instead of silently
+    // source 5) — the watermark guard must fail fast instead of silently
     // dropping the tail as a replay
     val tailBatch = rowsOf(s5.takeRight(1) ++ docs.filter(_._4 == 6))
     val ex = intercept[IllegalArgumentException] {
@@ -728,15 +728,62 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("SOURCE-ATOMIC"))
     assert(DedupQueries.shingleIndexBound(spark, dir) == Some(6),
       "a fired guard must commit nothing")
-    // a TORN guard record (crash mid-write) must degrade to a skipped
+    // a TORN guard artifact (crash mid-write) must degrade to a skipped
     // guard window — ingest proceeds — never to a wedged stream
     val rec = java.nio.file.Paths.get(
-      s"${DedupQueries.shingleIndexBase(dir)}/srcatomic-b6")
-    java.nio.file.Files.write(rec, Array[Byte](0, 3, 1)) // truncated UTF
+      s"${DedupQueries.shingleIndexBase(dir)}/watermark-b6.parquet")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(c => rmTree(c))
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rmTree(rec) // replace the parquet dir with garbage bytes
+    java.nio.file.Files.write(rec, Array[Byte](0, 3, 1))
     DedupQueries.appendShingleBatch(spark, dir,
       rowsOf(docs.filter(_._4 == 6).toSeq))
     assert(DedupQueries.shingleIndexBound(spark, dir) == Some(7),
-      "a garbled guard record must not block ingest")
+      "a garbled guard artifact must not block ingest")
+    DedupQueries.dropShingleIndex(spark, dir)
+  }
+
+  test("source-atomic guard closes the interior hole: a split NON-boundary source fails fast on its late tail") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    DedupQueries.dropShingleIndex(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "text",
+        "cast(substring(source, 4, 8) AS INT) AS src_num")
+      .as[(Long, String, String, Int)].collect()
+    def rowsOf(ds: Seq[(Long, String, String, Int)]) =
+      ds.map(d => (d._1, d._2, d._3)).toSeq.toDF("doc_id", "source", "text")
+    val s3 = docs.filter(_._4 == 3).sortBy(_._1)
+    assert(s3.size >= 2, "test needs a multi-doc interior source")
+    // batch 1 splits INTERIOR source 3 (tail withheld) while the batch's
+    // boundary source is 6 — the retired boundary-only guard recorded
+    // only source 6 and was blind to this; the per-source watermark
+    // records every covered source's max doc_id
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(d => d._4 < 7 && d._4 != 3).toSeq ++
+        s3.dropRight(1)))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(7))
+    // batch 2 delivers source 3's late tail — pre-watermark this was
+    // silently dropped as a "replay" (doc_id below no recorded bound);
+    // now the watermark sees doc_id above source 3's recorded max
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendShingleBatch(spark, dir,
+        rowsOf(s3.takeRight(1) ++ docs.filter(_._4 == 7)))
+    }
+    assert(ex.getMessage.contains("SOURCE-ATOMIC"))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(7),
+      "a fired guard must commit nothing")
+    // a TRUE replay (whole earlier batch re-delivered, all doc_ids at or
+    // below the recorded maxes) must still pass and commit nothing new
+    DedupQueries.appendShingleBatch(spark, dir,
+      rowsOf(docs.filter(d => d._4 < 7 && d._4 != 3).toSeq ++
+        s3.dropRight(1)))
+    assert(DedupQueries.shingleIndexBound(spark, dir) == Some(7),
+      "a replay must neither fire the guard nor advance coverage")
     DedupQueries.dropShingleIndex(spark, dir)
   }
 
@@ -752,7 +799,7 @@ class StreamingSpec extends SparkSpec {
     def rowsOf(ds: Seq[(Long, String, String, Int)]) =
       ds.map(d => (d._1, d._2, d._3)).toSeq.toDF("doc_id", "source", "text")
     // three source-atomic micro-batches, each advancing the bound —
-    // pre-fix, every one left its srcatomic-b<hi> record behind forever
+    // pre-fix, every one left its per-bound guard artifact behind forever
     DedupQueries.appendShingleBatch(spark, dir,
       rowsOf(docs.filter(_._4 < 3).toSeq))
     DedupQueries.appendShingleBatch(spark, dir,
@@ -763,8 +810,8 @@ class StreamingSpec extends SparkSpec {
     val baseDir = new java.io.File(DedupQueries.shingleIndexBase(dir))
     def sides(prefix: String): Seq[String] =
       Option(baseDir.list()).toSeq.flatten.filter(_.startsWith(prefix)).sorted
-    assert(sides("srcatomic-b") == Seq("srcatomic-b7"),
-      "a long-lived stream must not accumulate one guard record per batch")
+    assert(sides("watermark-b") == Seq("watermark-b7.parquet"),
+      "a long-lived stream must not accumulate one guard artifact per batch")
     // censuses are keyed to committed bounds: one per live ladder entry
     assert(sides("census-b").size == 3)
     // collapse the ladder, quiesce, gc: the dead bounds' censuses (and
@@ -773,8 +820,8 @@ class StreamingSpec extends SparkSpec {
     DedupQueries.gcShingleIndex(spark, dir)
     assert(sides("census-b") == Seq("census-b7.parquet"),
       "gc must collect censuses at dead bounds and keep the live one")
-    assert(sides("srcatomic-b") == Seq("srcatomic-b7"),
-      "the live bound's guard record must survive gc")
+    assert(sides("watermark-b") == Seq("watermark-b7.parquet"),
+      "the live bound's guard artifact must survive gc")
     // the index still reads and appends fine after gc
     assert(DedupQueries.shingleHashesFromIndex(spark, dir).count() > 0)
     DedupQueries.appendShingleBatch(spark, dir,
