@@ -25,8 +25,11 @@ object QBench {
     graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
     graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)
     graft.queries.MultimodalQueries.trainAudioSigIndex(spark, sfDir)
+    graft.queries.MultimodalQueries.trainVideoSigIndex(spark, sfDir)
     graft.queries.MultimodalQueries.trainMediaSigIndex(spark, sfDir)
     graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sfDir)
+    graft.queries.MultimodalQueries.trainVideoClusterLabels(spark, sfDir)
+    graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, sfDir)
     val qs = names.toSeq.map(Registry.byName)
     qs.foreach(_.fn(spark, sfDir).count()) // warmup: codegen + page cache
     val times = Array.fill(qs.size, reps)(0.0)

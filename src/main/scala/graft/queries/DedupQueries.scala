@@ -279,6 +279,10 @@ object DedupQueries {
       val dead = st.getPath.getName match {
         case CensusRe(t) => !liveBounds.contains(bound(t))
         case GuardRe(t) => !liveBounds.contains(bound(t))
+        // a watermark write that crashed between its parquet dump and
+        // the rename leaves a .tmp-watermark-* dir nothing ever reads
+        // or retires — gc ages it out like merge scratch
+        case n if n.startsWith(".tmp-watermark-") => true
         case _ => false
       }
       if (dead && st.getModificationTime <= cutoff)

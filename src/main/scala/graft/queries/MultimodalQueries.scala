@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
@@ -1810,6 +1810,93 @@ object MultimodalQueries {
     FROM xm GROUP BY source
     ORDER BY source"""
 
+  /** Per-doc canonical view across ALL FOUR modalities — the uniform
+    * completion of [[crossModalCanon]]: every document with its text,
+    * image, audio and video canonicals (its own id when unclustered).
+    * Four narrow label joins over the PERSISTED per-modality cluster
+    * artifacts — no shingling, pixel decode, PCM framing or scene
+    * hashing at query time, the same 100 TB shape as the two-modality
+    * view (the closure work was paid once, offline, per modality). */
+  private def crossModalCanon4(spark: SparkSession,
+      dir: String): DataFrame = {
+    val al = DedupQueries.persistedLabels(spark, dir, "audio")
+      .select(col("doc_id"), col("cluster_id").as("ac0"))
+    val vl = DedupQueries.persistedLabels(spark, dir, "video")
+      .select(col("doc_id"), col("cluster_id").as("vc0"))
+    crossModalCanon(spark, dir)
+      .join(al, Seq("doc_id"), "left")
+      .join(vl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("text_canon"), col("img_canon"),
+        coalesce(col("ac0"), col("doc_id")).as("audio_canon"),
+        coalesce(col("vc0"), col("doc_id")).as("video_canon"))
+  }
+
+  /** The full cross-modal duplication matrix per source — the
+    * four-modality generalization of [[crossModalAlignment]]: how many
+    * of each source's documents are non-canonical on the text, image,
+    * audio and video side, and how many are duplicated in TWO OR MORE
+    * modalities at once (the strongest whole-record-duplicate signal a
+    * multimodal dedup pass acts on first). One shuffle on source over
+    * the doc-bounded canonical view; the oracle re-derives all FOUR
+    * label closures independently, so a green hash certifies every
+    * offline training run plus the linkage arithmetic in one check. */
+  private def crossModalMatrix(spark: SparkSession,
+      dir: String): DataFrame = {
+    def dup(c: String): Column = (col(c) =!= col("doc_id")).cast("long")
+    crossModalCanon4(spark, dir)
+      .select(col("source"),
+        dup("text_canon").as("td"), dup("img_canon").as("id"),
+        dup("audio_canon").as("ad"), dup("video_canon").as("vd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("td").as("n_text_dup"), sum("id").as("n_img_dup"),
+        sum("ad").as("n_audio_dup"), sum("vd").as("n_video_dup"),
+        sum(when(col("td") + col("id") + col("ad") + col("vd") >= 2L, 1L)
+          .otherwise(0L)).as("n_multi_dup"))
+      .orderBy("source")
+  }
+
+  /** All four modalities' closures in one oracle chain: the text chain
+    * keeps its names, the image chain's `pairs` is renamed (as in
+    * [[crossModalCtes]]), the audio chain's un-prefixed frame CTE
+    * `dims` is renamed so it can coexist with the image chain's pixel
+    * `dims`, and the video chain is v-prefixed throughout. */
+  private val crossModal4Ctes = s"""${DedupQueries.clusterLabelCtes},
+    ${mediaLabelCtes.replaceAll("\\bpairs\\b", "mpairs")},
+    ${audioLabelCtes.replaceAll("\\bdims\\b", "adims")},
+    $videoLabelCtes,
+    xm4 AS (
+      SELECT d.doc_id, d.source,
+             coalesce(l.cluster_id, d.doc_id) AS text_canon,
+             coalesce(m.cluster_id, d.doc_id) AS img_canon,
+             coalesce(a.cluster_id, d.doc_id) AS audio_canon,
+             coalesce(v.cluster_id, d.doc_id) AS video_canon
+      FROM documents d
+      LEFT JOIN labels l ON l.doc_id = d.doc_id
+      LEFT JOIN mlabels m ON m.media_id = d.doc_id
+      LEFT JOIN alabels a ON a.media_id = d.doc_id
+      LEFT JOIN vlabels v ON v.media_id = d.doc_id)"""
+
+  private val crossModalMatrixSql = s"""
+    WITH $crossModal4Ctes
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN text_canon <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_text_dup,
+           CAST(sum(CASE WHEN img_canon <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_img_dup,
+           CAST(sum(CASE WHEN audio_canon <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_audio_dup,
+           CAST(sum(CASE WHEN video_canon <> doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_video_dup,
+           CAST(sum(CASE WHEN (CASE WHEN text_canon <> doc_id THEN 1 ELSE 0 END)
+                           + (CASE WHEN img_canon <> doc_id THEN 1 ELSE 0 END)
+                           + (CASE WHEN audio_canon <> doc_id THEN 1 ELSE 0 END)
+                           + (CASE WHEN video_canon <> doc_id THEN 1 ELSE 0 END)
+                          >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_dup
+    FROM xm4 GROUP BY source
+    ORDER BY source"""
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_media_neardup", mediaNearDup, Some(mediaNearDupSql)),
     QueryDef("q_media_clusters", mediaClusters, Some(mediaClustersSql)),
@@ -1851,5 +1938,7 @@ object MultimodalQueries {
       Some(imageCaptionConflictsSql)),
     QueryDef("q_crossmodal_alignment", crossModalAlignment,
       Some(crossModalAlignmentSql)),
+    QueryDef("q_crossmodal_matrix", crossModalMatrix,
+      Some(crossModalMatrixSql)),
   )
 }

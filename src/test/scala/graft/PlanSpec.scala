@@ -31,6 +31,8 @@ class PlanSpec extends SparkSpec {
     graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
     graft.queries.DedupQueries.trainClusterLabels(spark, sf)
     graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sf)
+    graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, sf)
+    graft.queries.MultimodalQueries.trainVideoClusterLabels(spark, sf)
   }
 
   test("keep-last family plans have no Window: max_by hash aggregation") {
@@ -504,6 +506,28 @@ class PlanSpec extends SparkSpec {
       val plan = df.queryExecution.optimizedPlan.toString
       assert(!plan.contains("LogicalRDD"),
         s"$q re-ran label propagation in the query path:\n$plan")
+    }
+    // the four-modality matrix must read all FOUR label artifacts and
+    // nothing else beyond documents — no PCM framing or scene hashing
+    // sneaking in via the audio/video sides
+    locally {
+      val df = Registry.byName("q_crossmodal_matrix").fn(spark, sf)
+      val files = df.inputFiles
+      Seq("labels-text", "labels-media", "labels-audio", "labels-video")
+        .foreach { a =>
+          assert(files.exists(_.contains(a)),
+            s"q_crossmodal_matrix must read $a, read: " +
+              files.mkString(", "))
+        }
+      assert(files.forall(f => f.contains("labels-") ||
+          f.contains("documents")),
+        "q_crossmodal_matrix reads beyond the label artifacts + " +
+          "documents: " + files.filterNot(f => f.contains("labels-") ||
+            f.contains("documents")).take(3).mkString(", "))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LogicalRDD"),
+        "q_crossmodal_matrix re-ran label propagation in the query " +
+          s"path:\n$plan")
     }
   }
 
