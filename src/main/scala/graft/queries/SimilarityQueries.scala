@@ -1522,6 +1522,97 @@ object SimilarityQueries {
         Num.r(expr(dotSpark.format("sv", "tv")), 6).as("cosine")))
   }
 
+  /** Fixed size of the held-out benchmark set for SEMANTIC
+    * decontamination: the top-[[DecontamBenchN]] vec_ids stand in for
+    * an evaluation suite's embeddings. A benchmark suite is fixed-size
+    * while the corpus grows — the 100 TB scale anchor below. */
+  private val DecontamBenchN = 64
+
+  /** Cosine at which a corpus vector counts as semantically
+    * contaminated by a benchmark vector — the corpus's near-dup level
+    * (the q_embed_neardup threshold): paraphrased benchmark items that
+    * shingle decontamination (q_decontaminate) cannot see. */
+  private val DecontamTau = 0.4
+
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * [[DedupQueries]]'s shingle-based q_decontaminate: flag every
+    * corpus vector whose cosine to ANY held-out benchmark vector
+    * reaches [[DecontamTau]], with candidates restricted to the
+    * benchmark vectors' IVF lists. An n-gram check misses a PARAPHRASED
+    * benchmark item (zero shared shingles, same meaning); this pass
+    * catches exactly that class. Scale shape: the benchmark set is
+    * fixed-size and BROADCAST (its assignments come from the same
+    * persisted inverted file as everything else — the quantizer runs
+    * zero times at query time), the corpus side is a pure
+    * (vec_id, v, c_id) read of the inverted file, and the candidate
+    * join touches only the benchmark's ≤ [[DecontamBenchN]] lists —
+    * work scales with benchmark-list occupancy, never corpus². The
+    * same IVF-restriction is mirrored by the oracle, so the recall cut
+    * (a contaminated vector whose list differs from every benchmark
+    * list is missed) is a measured, gate-visible property of the
+    * quantizer — identical vectors always share a list. */
+  private def decontaminateSemantic(spark: SparkSession,
+      dir: String): DataFrame = {
+    if (!ivfAssignTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF assignment artifact missing for $dir — run " +
+          "trainIvfAssignments(spark, dir) first; Bench warmup and " +
+          "Verify setup do this automatically")
+    val a = assignmentsFromIndex(spark, dir)
+    // the benchmark cut rides a broadcast 1-row relation (no collect,
+    // no literal re-plan per SF) — derived from the inverted file
+    // itself, so the query's ONLY input is the persisted artifact
+    // (PlanSpec-pinned; the index covers the corpus, so its max vec_id
+    // is the embeddings table's)
+    val bcut = assignmentsFromIndex(spark, dir)
+      .agg((max("vec_id") - lit(DecontamBenchN.toLong) + lit(1L))
+        .as("bcut"))
+    val withCut = a.crossJoin(broadcast(bcut))
+    val bench = withCut.filter(col("vec_id") >= col("bcut"))
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"),
+        col("c_id"))
+    val corpus = withCut.filter(col("vec_id") < col("bcut"))
+      .select("vec_id", "v", "c_id")
+    corpus.join(broadcast(bench), Seq("c_id"))
+      .select(col("vec_id"), col("bench_id"),
+        Num.r(expr(dotSpark.format("v", "bv")), 6).as("cosine"))
+      .filter(col("cosine") >= DecontamTau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max("cosine").as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
+  private def decontaminateSemanticSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
+                  FROM read_parquet('$IvfCentroidsToken/*.parquet')),
+    scored_c AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim
+      FROM e CROSS JOIN centroids c),
+    assigned AS (
+      SELECT vec_id, v, c_id
+      FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) = 1),
+    bcut AS (SELECT max(vec_id) - ${DecontamBenchN - 1} AS b FROM e),
+    bench AS (
+      SELECT vec_id AS bench_id, v AS bv, c_id
+      FROM assigned, bcut WHERE vec_id >= b),
+    corpus AS (
+      SELECT vec_id, v, c_id
+      FROM assigned, bcut WHERE vec_id < b),
+    hits AS (
+      SELECT c.vec_id,
+             round(list_dot_product(c.v, bench.bv) + 1e-9, 6) AS cosine
+      FROM corpus c JOIN bench USING (c_id))
+    SELECT vec_id, count(*) AS n_bench_hits, max(cosine) AS max_cosine
+    FROM hits
+    WHERE cosine >= $DecontamTau
+    GROUP BY vec_id
+    ORDER BY vec_id"""
+
   private def bitextMarginSql = bitextTailSql(s"""e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
     centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
@@ -1590,5 +1681,7 @@ object SimilarityQueries {
     QueryDef("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     QueryDef("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q_mmr", mmr, Some(mmrSql)),
+    QueryDef("q_decontaminate_semantic", decontaminateSemantic,
+      Some(decontaminateSemanticSql)),
   )
 }

@@ -550,6 +550,30 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must stay an equi-join on c_id:\n$plan")
   }
 
+  test("q_decontaminate_semantic is a pure inverted-file read: bench set broadcast, quantizer runs zero times") {
+    import graft.queries.{Registry, SimilarityQueries}
+    SimilarityQueries.trainIvfAssignments(spark, sf)
+    val df = Registry.byName("q_decontaminate_semantic").fn(spark, sf)
+    // corpus side, bench side AND the benchmark cut all come from the
+    // persisted assignment slices — no embeddings scan, no
+    // centroid-model scan: the quantizer ran once, at ingest
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("ivf-assign")),
+      "query must read ONLY the assignment artifact, read: " +
+        df.inputFiles.filterNot(_.contains("ivf-assign")).take(3)
+          .mkString(", "))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the bench side and the 1-row cut relation must BROADCAST (the
+    // benchmark set is fixed-size while the corpus grows); candidate
+    // generation stays an equi-join on c_id
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"candidate generation must stay a broadcast equi-join on c_id:\n$plan")
+  }
+
   test("q_bitext_margin candidates come from the inverted file: no dense pairs, no quantizer, no sort-merge") {
     import graft.queries.{Registry, SimilarityQueries}
     SimilarityQueries.trainIvfAssignments(spark, sf)

@@ -827,6 +827,18 @@ class StreamingSpec extends SparkSpec {
     DedupQueries.appendShingleBatch(spark, dir,
       rowsOf(docs.filter(_._4 == 7).toSeq))
     assert(DedupQueries.shingleIndexBound(spark, dir) == Some(8))
+    // a watermark write that crashed between parquet dump and rename
+    // leaves a .tmp-watermark-* dir nothing reads — gc must age it out
+    // (and must NOT touch the live watermark while doing so)
+    val torn = new java.io.File(baseDir, ".tmp-watermark-b9.parquet")
+    assert(torn.mkdir())
+    java.nio.file.Files.write(torn.toPath.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    DedupQueries.gcShingleIndex(spark, dir)
+    assert(!torn.exists(),
+      "gc must collect a crashed watermark write's .tmp dir")
+    assert(sides("watermark-b") == Seq("watermark-b8.parquet"),
+      "the live watermark must survive the .tmp collection")
     DedupQueries.dropShingleIndex(spark, dir)
   }
 
