@@ -243,6 +243,10 @@ object MultimodalQueries {
       upTo: Long): Unit = mediaSigIndex(dir).compactSlices(spark, upTo)
   def compactMediaSigTiered(spark: SparkSession, dir: String,
       minRun: Int = 4): Int = mediaSigIndex(dir).compactTiered(spark, minRun)
+  /** Explicit trash GC for a quiesced image signature index — see
+    * [[graft.sources.SliceLadder.gc]]. */
+  def gcMediaSigIndex(spark: SparkSession, dir: String,
+      graceMs: Long = 0L): Unit = mediaSigIndex(dir).gc(spark, graceMs)
   private[graft] def sigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = mediaSigIndex(dir).read(spark)
 
@@ -277,6 +281,10 @@ object MultimodalQueries {
       upTo: Long): Unit = audioSigIndex(dir).compactSlices(spark, upTo)
   def compactAudioSigTiered(spark: SparkSession, dir: String,
       minRun: Int = 4): Int = audioSigIndex(dir).compactTiered(spark, minRun)
+  /** Explicit trash GC for a quiesced audio fingerprint index — see
+    * [[graft.sources.SliceLadder.gc]]. */
+  def gcAudioSigIndex(spark: SparkSession, dir: String,
+      graceMs: Long = 0L): Unit = audioSigIndex(dir).gc(spark, graceMs)
   private[graft] def audioSigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = audioSigIndex(dir).read(spark)
 
@@ -1244,6 +1252,10 @@ object MultimodalQueries {
       upTo: Long): Unit = videoSigIndex(dir).compactSlices(spark, upTo)
   def compactVideoSigTiered(spark: SparkSession, dir: String,
       minRun: Int = 4): Int = videoSigIndex(dir).compactTiered(spark, minRun)
+  /** Explicit trash GC for a quiesced video scene-signature index — see
+    * [[graft.sources.SliceLadder.gc]]. */
+  def gcVideoSigIndex(spark: SparkSession, dir: String,
+      graceMs: Long = 0L): Unit = videoSigIndex(dir).gc(spark, graceMs)
   private[graft] def videoSigsFromIndex(spark: SparkSession,
       dir: String): DataFrame = videoSigIndex(dir).read(spark)
 

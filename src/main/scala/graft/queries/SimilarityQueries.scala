@@ -663,6 +663,11 @@ object SimilarityQueries {
   def compactIvfTiered(spark: SparkSession, dir: String,
       minRun: Int = 4): Int = ivfAssignIndex(dir).compactTiered(spark, minRun)
 
+  /** Explicit trash GC for a quiesced inverted file — see
+    * [[graft.sources.SliceLadder.gc]]. */
+  def gcIvfIndex(spark: SparkSession, dir: String,
+      graceMs: Long = 0L): Unit = ivfAssignIndex(dir).gc(spark, graceMs)
+
   /** Ensure the inverted file covers vec_id < `bound` (default: full
     * corpus). Idempotent; partial coverage is ADVANCED by appending;
     * coverage beyond `bound` forces a from-scratch rebuild at `bound`

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE maintenance entry point a lake operator schedules: runs the
+  * bounded-write-amplification tiered merge and then the time-graced
+  * trash GC over EVERY append-maintained artifact the engine owns for
+  * a lake dir — the text shingle index, the IVF inverted file and the
+  * image/audio/video signature indexes. Before this existed, each
+  * artifact's compaction and gc were five separate per-modality calls
+  * (and four of the five gc entries were not even reachable from
+  * outside their query module) — a quiesced media artifact kept its
+  * trashed slice data forever unless someone remembered its specific
+  * hook.
+  *
+  * Safety is inherited wholesale from [[SliceLadder]]: merges run
+  * UNLOCKED (live streaming ingest keeps committing mid-merge), commits
+  * re-validate liveness + rebuild epoch, subsumed data is deleted one
+  * grace period later, and gc never touches an artifact that does not
+  * exist (each step is a no-op on an untrained modality — a text-only
+  * lake runs only the shingle leg). Artifacts are processed
+  * independently: one modality's failure (e.g. a concurrent rebuild
+  * racing a merge commit) must not block the others' maintenance, so
+  * per-artifact errors are collected and rethrown ONCE at the end,
+  * after every artifact had its turn.
+  *
+  * `graceMs` is the gc grace window — pick it above the longest
+  * in-flight read and merge when readers/writers may be live
+  * (cross-process ones are outside the in-JVM locks); 0 only for
+  * provably quiesced lakes. `minRun` is [[SliceLadder.compactTiered]]'s
+  * tier-run threshold. Returns the total number of tier merges
+  * performed across all artifacts. */
+object Maintenance {
+  def runAll(spark: SparkSession, dir: String, graceMs: Long = 0L,
+      minRun: Int = 4): Int = {
+    var merges = 0
+    val errors = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    def leg(what: String)(f: => Int): Unit =
+      try merges += f
+      catch { case scala.util.control.NonFatal(e) =>
+        errors += new RuntimeException(s"maintenance leg '$what' failed",
+          e) }
+    import graft.queries.{DedupQueries, MultimodalQueries,
+      SimilarityQueries}
+    leg("shingle") {
+      val n =
+        if (DedupQueries.shingleIndexBound(spark, dir).isDefined)
+          DedupQueries.compactShingleTiered(spark, dir, minRun)
+        else 0
+      DedupQueries.gcShingleIndex(spark, dir, graceMs); n
+    }
+    leg("ivf") {
+      val n =
+        if (SimilarityQueries.ivfAssignBound(spark, dir).isDefined)
+          SimilarityQueries.compactIvfTiered(spark, dir, minRun)
+        else 0
+      SimilarityQueries.gcIvfIndex(spark, dir, graceMs); n
+    }
+    leg("image") {
+      val n =
+        if (MultimodalQueries.mediaSigBound(spark, dir).isDefined)
+          MultimodalQueries.compactMediaSigTiered(spark, dir, minRun)
+        else 0
+      MultimodalQueries.gcMediaSigIndex(spark, dir, graceMs); n
+    }
+    leg("audio") {
+      val n =
+        if (MultimodalQueries.audioSigBound(spark, dir).isDefined)
+          MultimodalQueries.compactAudioSigTiered(spark, dir, minRun)
+        else 0
+      MultimodalQueries.gcAudioSigIndex(spark, dir, graceMs); n
+    }
+    leg("video") {
+      val n =
+        if (MultimodalQueries.videoSigBound(spark, dir).isDefined)
+          MultimodalQueries.compactVideoSigTiered(spark, dir, minRun)
+        else 0
+      MultimodalQueries.gcVideoSigIndex(spark, dir, graceMs); n
+    }
+    if (errors.nonEmpty) {
+      val ex = new RuntimeException(
+        s"${errors.size} maintenance leg(s) failed " +
+          s"(${merges} merges completed on the others)")
+      errors.foreach(ex.addSuppressed)
+      throw ex
+    }
+    merges
+  }
+}
