@@ -1618,6 +1618,56 @@ object SimilarityQueries {
     GROUP BY vec_id
     ORDER BY vec_id"""
 
+  /** IVF index-health report — the ops view a vector-lake operator
+    * reads before trusting probe latency: per-list occupancy, corpus
+    * share, and skew vs the uniform ideal (n·K/N). A hot list (skew ≫ 1)
+    * means probes landing there scan a corpus-share, not a K-th — the
+    * signal to retrain with more centroids or split the list. Pure
+    * (vec_id, c_id) read of the persisted inverted file — column
+    * pruning keeps the vectors on disk; one K-ary aggregate, output
+    * K rows. The mass-balance column (Σ n_vecs = corpus) makes a stale
+    * or torn artifact visible immediately, the same discipline as
+    * q_cluster_stats. */
+  private def ivfHealth(spark: SparkSession, dir: String): DataFrame = {
+    if (!ivfAssignTrained(spark, dir))
+      throw new IllegalStateException(
+        s"IVF assignment artifact missing for $dir — run " +
+          "trainIvfAssignments(spark, dir) first; Bench warmup and " +
+          "Verify setup do this automatically")
+    val occ = assignmentsFromIndex(spark, dir)
+      .groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = occ.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_lists"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("c_id"), col("n_vecs"), col("n_total"),
+        Num.r(col("n_vecs") / col("n_total"), 6).as("share"),
+        Num.r(col("n_vecs") * col("n_lists") / col("n_total"), 6)
+          .as("skew"))
+      .orderBy("c_id")
+  }
+
+  private def ivfHealthSql = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
+                  FROM read_parquet('$IvfCentroidsToken/*.parquet')),
+    scored_c AS (
+      SELECT e.vec_id, c.c_id,
+             round(list_dot_product(e.v, c.cv) + 1e-9, 6) AS c_sim
+      FROM e CROSS JOIN centroids c),
+    assigned AS (
+      SELECT vec_id, c_id
+      FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY c_sim DESC, c_id) = 1),
+    occ AS (SELECT c_id, count(*) AS n_vecs FROM assigned GROUP BY c_id),
+    tot AS (SELECT sum(n_vecs) AS n_total, count(*) AS n_lists FROM occ)
+    SELECT c_id, n_vecs, CAST(n_total AS BIGINT) AS n_total,
+           round(n_vecs / CAST(n_total AS DOUBLE) + 1e-9, 6) AS share,
+           round(n_vecs * n_lists / CAST(n_total AS DOUBLE) + 1e-9, 6)
+             AS skew
+    FROM occ, tot
+    ORDER BY c_id"""
+
   private def bitextMarginSql = bitextTailSql(s"""e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
     centroids AS (SELECT c_id, cv::DOUBLE[] AS cv
@@ -1688,5 +1738,6 @@ object SimilarityQueries {
     QueryDef("q_mmr", mmr, Some(mmrSql)),
     QueryDef("q_decontaminate_semantic", decontaminateSemantic,
       Some(decontaminateSemanticSql)),
+    QueryDef("q_ivf_health", ivfHealth, Some(ivfHealthSql)),
   )
 }
