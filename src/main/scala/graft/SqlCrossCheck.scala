@@ -291,6 +291,93 @@ object SqlCrossCheck {
     }
   }
 
+  /** Spark 4's lexer mis-parses the `>>` / `<<` OPERATORS when an
+    * `array(` appears EARLIER in the same statement: the ARRAY keyword
+    * flips the lexer into the nested-type-argument mode (where `>>`
+    * closes `ARRAY<ARRAY<…>>`) and the mode never resets, so
+    * `WITH a AS (SELECT array(0,1)), b AS (SELECT 6 >> 1) SELECT 1` is
+    * a PARSE_SYNTAX_ERROR while either CTE alone parses. The combined
+    * cross-modal oracle hits exactly that (the image chain's
+    * `explode(array(…))` textually precedes the audio/video chains'
+    * fingerprint shifts). Rewrite the operators to their Spark function
+    * spellings (`shiftleft`/`shiftright` — name-for-name per the Spark
+    * docs; DuckDB keeps the operators, it has no such functions), with
+    * real operand extraction: each side is a parenthesized group
+    * (optionally a call like `CAST(…)`), or an identifier/number — the
+    * only spellings the oracles use. An UNPARENTHESIZED compound left
+    * operand (`a % b << n`) would be precedence-hazardous under this
+    * rewrite and none exists; the extraction would take only `b` and
+    * the crosscheck would surface it as a DISAGREE, not silence it. */
+  private[graft] def rewriteShifts(sql: String): String = {
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+    var i = 0; var inQ = false
+    while (i < sql.length - 1) {
+      val c = sql(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if ((c == '<' || c == '>') && sql(i + 1) == c &&
+          (i + 2 >= sql.length || sql(i + 2) != c) &&
+          (i == 0 || sql(i - 1) != c)) {
+        // left operand: walk back over one balanced group (plus a
+        // call's name) or one identifier/number run, absorbing any
+        // '::TYPE' cast chain (`1::BIGINT << n` — both engines parse
+        // the colon cast, and splitting it would orphan the value)
+        var l = i - 1
+        while (l >= 0 && sql(l).isWhitespace) l -= 1
+        val lEnd = l + 1
+        def walkBackUnit(): Unit =
+          if (l >= 0 && sql(l) == ')') {
+            var d = 0
+            while (l >= 0 && d >= 0) {
+              if (sql(l) == ')') d += 1
+              else if (sql(l) == '(') { d -= 1; if (d == 0) d = -1 }
+              if (d != -1) l -= 1
+            }
+            while (l > 0 && isIdent(sql(l - 1))) l -= 1
+          } else {
+            while (l >= 0 && isIdent(sql(l))) l -= 1
+            l += 1
+          }
+        walkBackUnit()
+        while (l >= 2 && sql(l - 1) == ':' && sql(l - 2) == ':') {
+          l -= 3
+          walkBackUnit()
+        }
+        // right operand: one identifier (optionally a call) or one
+        // balanced group or one number run, plus any '::TYPE' suffix
+        var r = i + 2
+        while (r < sql.length && sql(r).isWhitespace) r += 1
+        val rStart = r
+        def walkFwdUnit(): Unit = {
+          while (r < sql.length && isIdent(sql(r))) r += 1
+          if (r < sql.length && sql(r) == '(') {
+            var d = 0
+            while (r < sql.length && d >= 0) {
+              if (sql(r) == '(') d += 1
+              else if (sql(r) == ')') { d -= 1; if (d == 0) d = -1 }
+              r += 1
+            }
+          }
+        }
+        walkFwdUnit()
+        while (r + 1 < sql.length && sql(r) == ':' && sql(r + 1) == ':') {
+          r += 2
+          walkFwdUnit()
+        }
+        require(lEnd > l && r > rStart,
+          s"shift-operator rewrite could not extract operands at: " +
+            sql.substring(math.max(0, i - 30), math.min(sql.length, i + 30)))
+        val fn = if (c == '<') "shiftleft" else "shiftright"
+        val rewritten = sql.substring(0, l) +
+          s"$fn(${sql.substring(l, lEnd)}, ${sql.substring(rStart, r)})" +
+          sql.substring(r)
+        return rewriteShifts(rewritten)
+      }
+      i += 1
+    }
+    sql
+  }
+
   /** DuckDB's FROM-clause lateral `, explode(args) AS t(c)` (spelled
     * `unnest` pre-rewrite) → Spark's `LATERAL VIEW explode(args) t AS c`. */
   private def rewriteLateral(sql: String): String = {
@@ -462,7 +549,7 @@ object SqlCrossCheck {
           s"aggregate(${ia(1)}, ${ia(0)}, ${a(1)})"
         } else s"__list_reduce_no_init(${a.mkString(", ")})")
     escapeLiteralBackslashes(rewriteQualify(rewriteLateral(
-      rewriteBrackets(called))))
+      rewriteBrackets(rewriteShifts(called)))))
   }
 
   def main(args: Array[String]): Unit = {
