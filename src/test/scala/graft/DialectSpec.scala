@@ -115,6 +115,40 @@ class DialectSpec extends AnyFunSuite {
     assert(cte.contains("WITH e AS (SELECT"), cte)
   }
 
+  test("shift operators rewrite to shiftleft/shiftright (Spark lexer breaks >> after an earlier array( constructor)") {
+    // the raw operator form is a live Spark 4 parser hazard: an array(
+    // earlier in the statement flips the lexer into nested-type mode
+    // and a later >> is a PARSE_SYNTAX_ERROR — the combined cross-modal
+    // oracle hit exactly this
+    val spark = TestSession.spark
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("WITH a AS (SELECT array(0,1) AS x), " +
+        "b AS (SELECT (6 >> 1) AS y) SELECT 1")
+    }
+    // operand extraction: parenthesized groups, calls, ::TYPE chains
+    assert(SqlCrossCheck.rewriteShifts("(fp >> 16) & 65535")
+      == "(shiftright(fp, 16)) & 65535")
+    assert(SqlCrossCheck.rewriteShifts("bit << (b - 32)")
+      == "shiftleft(bit, (b - 32))")
+    assert(SqlCrossCheck.rewriteShifts(
+        "((zc % 256) << CAST(frame * 16 AS INT))")
+      == "(shiftleft((zc % 256), CAST(frame * 16 AS INT)))")
+    assert(SqlCrossCheck.rewriteShifts("sum(1::BIGINT << (56 - mreg))")
+      == "sum(shiftleft(1::BIGINT, (56 - mreg)))")
+    // non-shift angle operators and quoted literals pass through
+    assert(SqlCrossCheck.rewriteShifts("a <> b AND x <= y AND p >= q")
+      == "a <> b AND x <= y AND p >= q")
+    assert(SqlCrossCheck.rewriteShifts("'s >> t' AS lit")
+      == "'s >> t' AS lit")
+    // the rewritten statement parses AND computes the same values
+    val rewritten = SqlCrossCheck.toSparkDialect(
+      "WITH a AS (SELECT unnest([0, 1]) AS x) " +
+        "SELECT x, (5 >> 1) AS r, (x << 2) AS l FROM a ORDER BY x")
+    val rows = spark.sql(rewritten).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(rows == Seq((0, 2, 0), (1, 2, 4)), s"$rewritten -> $rows")
+  }
+
   test("norm distinguishes NULL from empty string (planted drift → DISAGREE)") {
     val spark = TestSession.spark
     // a real drift where one engine returns NULL and the other '' must
