@@ -317,7 +317,13 @@ object SqlCrossCheck {
       else if (c == '\'') inQ = true
       else if ((c == '<' || c == '>') && sql(i + 1) == c &&
           (i + 2 >= sql.length || sql(i + 2) != c) &&
-          (i == 0 || sql(i - 1) != c)) {
+          // not part of a longer operator token: `x >>> y`, and arrow
+          // spellings like `->>` / `=>>` whose `>>` is NOT a shift —
+          // without the look-behind those would fall into operand
+          // extraction and die on the require below instead of being
+          // left alone (Spark would then surface them as a plan error,
+          // which is the visible failure we want for unknown operators)
+          (i == 0 || !"<>-=!".contains(sql(i - 1)))) {
         // left operand: walk back over one balanced group (plus a
         // call's name) or one identifier/number run, absorbing any
         // '::TYPE' cast chain (`1::BIGINT << n` — both engines parse
@@ -367,6 +373,18 @@ object SqlCrossCheck {
         require(lEnd > l && r > rStart,
           s"shift-operator rewrite could not extract operands at: " +
             sql.substring(math.max(0, i - 30), math.min(sql.length, i + 30)))
+        // The left-side precedence argument (docstring) applies to the
+        // RIGHT side too: DuckDB parses `x >> n + 1` as `x >> (n + 1)`,
+        // but the one-unit extraction would emit `shiftright(x, n) + 1`.
+        // No oracle spells a shift that way; if one ever does, fail
+        // loudly here instead of silently changing its meaning.
+        var rn = r
+        while (rn < sql.length && sql(rn).isWhitespace) rn += 1
+        require(rn >= sql.length || !"+-*/%&|^".contains(sql(rn)),
+          s"shift-operator rewrite: unparenthesized compound RIGHT " +
+            s"operand (operator '${sql(rn)}' follows it) would change " +
+            s"precedence under the function rewrite — parenthesize it: " +
+            sql.substring(math.max(0, i - 30), math.min(sql.length, rn + 10)))
         val fn = if (c == '<') "shiftleft" else "shiftright"
         val rewritten = sql.substring(0, l) +
           s"$fn(${sql.substring(l, lEnd)}, ${sql.substring(rStart, r)})" +

@@ -273,12 +273,18 @@ object DedupQueries {
     if (!hfs.exists(base)) return
     val CensusRe = "^census-b(\\d+|full)\\.parquet$".r
     val GuardRe = "^watermark-b(\\d+|full)\\.parquet$".r
+    // pre-watermark guard era wrote `srcatomic-b<tok>` (no .parquet);
+    // nothing reads that format any more, so on an upgraded lake every
+    // such record is dead — without this case they'd match no pattern
+    // and leak forever
+    val LegacyGuardRe = "^srcatomic-b(\\d+|full)$".r
     def bound(tok: String): Long =
       if (tok == "full") ShingleSentinel else tok.toLong
     hfs.listStatus(base).toSeq.foreach { st =>
       val dead = st.getPath.getName match {
         case CensusRe(t) => !liveBounds.contains(bound(t))
         case GuardRe(t) => !liveBounds.contains(bound(t))
+        case LegacyGuardRe(_) => true
         // a watermark write that crashed between its parquet dump and
         // the rename leaves a .tmp-watermark-* dir nothing ever reads
         // or retires — gc ages it out like merge scratch
@@ -414,10 +420,13 @@ object DedupQueries {
     wm.write.mode("overwrite").parquet(tmp.toString)
     if (hfs.exists(p)) hfs.delete(p, true)
     if (!hfs.rename(tmp, p)) {
+      // the append already committed; a failed GUARD write must degrade
+      // to "this guard window skipped" (the documented best-effort
+      // contract), never crash the stream — p was deleted above, so a
+      // require(exists) here would throw after a successful ingest
       hfs.delete(tmp, true)
-      require(hfs.exists(p),
-        s"shingle watermark commit at bound $hi failed: could not " +
-          s"rename $tmp")
+      System.err.println(s"[graft] WARNING: shingle watermark write at " +
+        s"bound $hi failed (rename $tmp -> $p); guard window skipped")
     }
     ()
   }

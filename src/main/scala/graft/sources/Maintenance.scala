@@ -24,14 +24,19 @@ import org.apache.spark.sql.SparkSession
   * per-artifact errors are collected and rethrown ONCE at the end,
   * after every artifact had its turn.
   *
-  * `graceMs` is the gc grace window — pick it above the longest
-  * in-flight read and merge when readers/writers may be live
-  * (cross-process ones are outside the in-JVM locks); 0 only for
-  * provably quiesced lakes. `minRun` is [[SliceLadder.compactTiered]]'s
+  * `graceMs` is the gc grace window and is deliberately REQUIRED (no
+  * default): the scheduled entry point defaulting to 0 — the
+  * quiesced-only setting — was a footgun where an operator scheduling
+  * `runAll(spark, dir)` verbatim on a LIVE lake would have gc delete
+  * trashed slices (and in-flight .tmp watermark dirs) under
+  * cross-process readers/writers that the in-JVM locks cannot see.
+  * Pick it above the longest in-flight read and merge when
+  * readers/writers may be live; pass 0 explicitly only for provably
+  * quiesced lakes. `minRun` is [[SliceLadder.compactTiered]]'s
   * tier-run threshold. Returns the total number of tier merges
   * performed across all artifacts. */
 object Maintenance {
-  def runAll(spark: SparkSession, dir: String, graceMs: Long = 0L,
+  def runAll(spark: SparkSession, dir: String, graceMs: Long,
       minRun: Int = 4): Int = {
     var merges = 0
     val errors = scala.collection.mutable.ArrayBuffer.empty[Throwable]

@@ -140,6 +140,16 @@ class DialectSpec extends AnyFunSuite {
       == "a <> b AND x <= y AND p >= q")
     assert(SqlCrossCheck.rewriteShifts("'s >> t' AS lit")
       == "'s >> t' AS lit")
+    // arrow-like operator tokens whose `>>` is NOT a shift (JSON
+    // extract) pass through untouched instead of crashing extraction
+    assert(SqlCrossCheck.rewriteShifts("doc ->> 'k' AS v")
+      == "doc ->> 'k' AS v")
+    // an unparenthesized compound RIGHT operand would silently change
+    // precedence under the function rewrite (DuckDB: x >> (n + 1),
+    // rewrite would emit shiftright(x, n) + 1) — must fail loudly
+    intercept[IllegalArgumentException] {
+      SqlCrossCheck.rewriteShifts("SELECT x >> n + 1 FROM t")
+    }
     // the rewritten statement parses AND computes the same values
     val rewritten = SqlCrossCheck.toSparkDialect(
       "WITH a AS (SELECT unnest([0, 1]) AS x) " +
