@@ -616,6 +616,14 @@ object SqlCrossCheck {
               graft.queries.TextQueries.bpeModelPath(sfDir))
             .replace(graft.queries.TextQueries.UnigramPiecesToken,
               graft.queries.TextQueries.unigramModelPath(sfDir))
+            .replace(graft.queries.DedupQueries.clusterLabelsToken("text"),
+              graft.queries.DedupQueries.clusterModelPath(sfDir, "text"))
+            .replace(graft.queries.DedupQueries.clusterLabelsToken("media"),
+              graft.queries.DedupQueries.clusterModelPath(sfDir, "media"))
+            .replace(graft.queries.DedupQueries.clusterLabelsToken("audio"),
+              graft.queries.DedupQueries.clusterModelPath(sfDir, "audio"))
+            .replace(graft.queries.DedupQueries.clusterLabelsToken("video"),
+              graft.queries.DedupQueries.clusterModelPath(sfDir, "video"))
             .replace("list_dot_product", "dot_product")
             .replace(" AS VARCHAR)", " AS STRING)"),
           m => s"parquet.`${m.group(1)}`"),
@@ -703,6 +711,9 @@ object SqlCrossCheck {
       report.toString)
     println(s"[crosscheck] $agree agree / $differ disagree / " +
       s"$incompatible incompatible / $planErr plan errors → $outPath")
+    // the crosscheck regen is the per-round doc step, so the generated
+    // operator manual rides along — one command keeps both current
+    OperatorManual.write()
     spark.stop()
     if (differ + planErr > 0) sys.exit(1)
   }

@@ -69,7 +69,12 @@ object Verify {
             graft.queries.TextQueries.bpeModelPath(sfDir))
           .replace(graft.queries.TextQueries.UnigramPiecesToken,
             graft.queries.TextQueries.unigramModelPath(sfDir))
-        s"${q(k)}: ${q(sql)}"
+        val sql2 = Seq("text", "media", "audio", "video").foldLeft(sql) {
+          (s, kind) => s.replace(
+            graft.queries.DedupQueries.clusterLabelsToken(kind),
+            graft.queries.DedupQueries.clusterModelPath(sfDir, kind))
+        }
+        s"${q(k)}: ${q(sql2)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

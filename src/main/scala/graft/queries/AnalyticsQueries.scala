@@ -534,6 +534,8 @@ object AnalyticsQueries {
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Sessionization: 30-minute-gap session windows per user via
+    * session_window, event counts and value mass per session. */
   private def sessionize(spark: SparkSession, dir: String): DataFrame =
     sessionWindows(Tables(spark, dir, "events"))
       .orderBy("user_id", "session_start")

@@ -672,6 +672,8 @@ object DedupQueries {
       .distinct()
   }
 
+  /** MinHash-LSH near-dup pairs: banded signature equi-join over the
+    * cached shingle hashes — candidate pairs only, never all-pairs. */
   private def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleHashesCached(spark, dir)
     val cand = minhashCandidatesOf(sh)
@@ -1056,6 +1058,9 @@ object DedupQueries {
     spark.read.parquet(clusterModelPath(dir, kind))
   }
 
+  /** Near-dup cluster labels: the persisted text cluster-label
+    * artifact read back (connected components over LSH candidate
+    * edges). */
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     persistedLabels(spark, dir, "text").orderBy("doc_id")
 
@@ -1254,6 +1259,18 @@ object DedupQueries {
     * oracle RE-DERIVES the labels independently — it never reads the
     * engine's persisted artifact, so a green hash certifies the offline
     * training run against DuckDB's own closure. */
+  /** Oracle-side token for the persisted label artifact of `kind` —
+    * resolved to [[clusterModelPath]] by Verify / SqlCrossCheck the
+    * same way the IVF/PQ/BPE model tokens are. An oracle reading the
+    * artifact certifies only the arithmetic ON TOP of the labels; it
+    * is sound exactly because each kind's closure is independently
+    * re-derived and hash-certified by its own query
+    * (q_dedup_clusters / q_media_clusters / q_audio_clusters /
+    * q_video_clusters), so composite oracles don't have to repeat the
+    * four most expensive CTE chains in the suite. */
+  def clusterLabelsToken(kind: String): String =
+    s"__CLUSTER_LABELS_${kind.toUpperCase}__"
+
   private[queries] val clusterLabelCtes = s"""$shingleHashesSql,
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -1983,6 +2000,9 @@ object DedupQueries {
       .select(col("doc_id"), col("s"), col("e"))
   }
 
+  /** Duplicate spans: per-document count and token mass of token
+    * windows shared with other documents (substring-dedup
+    * diagnostics). */
   private def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokensOf(Tables(spark, dir, "documents"))
       .select("doc_id", "n_tokens")
@@ -2082,6 +2102,8 @@ object DedupQueries {
         "array_join(transform(kept, x -> x.tok), ' ') AS text_clean")
   }
 
+  /** Substring-dedup cut: documents with their cross-document
+    * duplicated spans excised, keeping the remainder text. */
   private def dupCut(spark: SparkSession, dir: String): DataFrame =
     cutOf(Tables(spark, dir, "documents")).orderBy("doc_id")
 

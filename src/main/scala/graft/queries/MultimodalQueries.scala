@@ -13,6 +13,9 @@ import graft.operators.Multimodal
   * encode → header-parse is lossless. */
 object MultimodalQueries {
 
+  /** Multimodal metadata: fake-encoded binary media with typed
+    * width/height/format columns decoded back row-locally — the
+    * opaque-blob plumbing proof. */
   private def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.encodeFake(
       Tables(spark, dir, "documents")
@@ -439,6 +442,8 @@ object MultimodalQueries {
     bands.join(broadcast(hot), Seq("b", "v"), "left_anti")
   }
 
+  /** Incremental image dedup: new-source media banded-joined against
+    * the persisted signature lake — batch x lake, never lake x lake. */
   private def mediaIncremental(spark: SparkSession, dir: String): DataFrame = {
     val srcs = mediaSrcs(spark, dir)
     val okb = okbOf(mediaSigsCached(spark, dir)
@@ -1142,6 +1147,8 @@ object MultimodalQueries {
         sum(col("luma").cast("long")).as("luma_sum"))
   }
 
+  /** Video scene segmentation: per-video scene table (frame ranges +
+    * luma mass) from executor-side frame scanning of the blob. */
   private def videoScenes(spark: SparkSession, dir: String): DataFrame =
     videoSceneTableOf(videoBlobsRange(spark, dir, 0L, Long.MaxValue))
       .selectExpr("media_id AS doc_id", "scene_id", "start_f", "end_f",
@@ -1776,22 +1783,22 @@ object MultimodalQueries {
           .as("n_both_dup"))
       .orderBy("source")
 
-  /** Combined oracle CTE chain: BOTH modalities' label closures,
-    * re-derived independently by DuckDB (text: shingle Jaccard pairs →
-    * unrolled min-label propagation → `labels`; image: aHash banded
-    * pairs → `mlabels`), joined per doc. The media chain's `pairs` CTE
-    * is renamed `mpairs` to coexist with the text chain's. A green
-    * hash certifies BOTH offline training runs AND the linkage
-    * arithmetic in one check. */
-  private val crossModalCtes = s"""${DedupQueries.clusterLabelCtes},
-    ${mediaLabelCtes.replaceAll("\\bpairs\\b", "mpairs")},
+  /** Combined oracle CTE chain over the PERSISTED text + image label
+    * artifacts ([[DedupQueries.clusterLabelsToken]]): certifies the
+    * linkage arithmetic, while each artifact's content ≡ closure is
+    * independently re-derived and hash-certified by q_dedup_clusters /
+    * q_media_clusters. Split from the earlier two-closure re-derive
+    * chain for the same reason as [[crossModal4Ctes]] — the three
+    * linkage oracles each repeated ~20 s of DuckDB closure work the
+    * suite already certifies elsewhere. */
+  private val crossModalCtes = s"""
     xm AS (
       SELECT d.doc_id, d.source,
              coalesce(l.cluster_id, d.doc_id) AS text_canon,
              coalesce(m.cluster_id, d.doc_id) AS img_canon
       FROM documents d
-      LEFT JOIN labels l ON l.doc_id = d.doc_id
-      LEFT JOIN mlabels m ON m.media_id = d.doc_id)"""
+      LEFT JOIN read_parquet('${DedupQueries.clusterLabelsToken("text")}/*.parquet') l ON l.doc_id = d.doc_id
+      LEFT JOIN read_parquet('${DedupQueries.clusterLabelsToken("media")}/*.parquet') m ON m.doc_id = d.doc_id)"""
 
   private val captionConflictsSql = s"""
     WITH $crossModalCtes
@@ -1869,15 +1876,18 @@ object MultimodalQueries {
       .orderBy("source")
   }
 
-  /** All four modalities' closures in one oracle chain: the text chain
-    * keeps its names, the image chain's `pairs` is renamed (as in
-    * [[crossModalCtes]]), the audio chain's un-prefixed frame CTE
-    * `dims` is renamed so it can coexist with the image chain's pixel
-    * `dims`, and the video chain is v-prefixed throughout. */
-  private val crossModal4Ctes = s"""${DedupQueries.clusterLabelCtes},
-    ${mediaLabelCtes.replaceAll("\\bpairs\\b", "mpairs")},
-    ${audioLabelCtes.replaceAll("\\bdims\\b", "adims")},
-    $videoLabelCtes,
+  /** All four modalities' canonicals joined from the PERSISTED label
+    * artifacts ([[DedupQueries.clusterLabelsToken]]) rather than four
+    * re-derived closure chains: this oracle certifies the linkage +
+    * matrix arithmetic, while each artifact's content ≡ closure is
+    * independently hash-certified by q_dedup_clusters /
+    * q_media_clusters / q_audio_clusters / q_video_clusters (whose
+    * oracles DO re-derive). The earlier combined four-closure chain
+    * was the suite's most expensive DuckDB query (45 s at sf0.01,
+    * r16 ADVICE's recorded long-pole risk) for certification work the
+    * suite already carries elsewhere; this form is ~1 s and stays
+    * flat as testdata grows. */
+  private val crossModal4Ctes = s"""
     xm4 AS (
       SELECT d.doc_id, d.source,
              coalesce(l.cluster_id, d.doc_id) AS text_canon,
@@ -1885,10 +1895,10 @@ object MultimodalQueries {
              coalesce(a.cluster_id, d.doc_id) AS audio_canon,
              coalesce(v.cluster_id, d.doc_id) AS video_canon
       FROM documents d
-      LEFT JOIN labels l ON l.doc_id = d.doc_id
-      LEFT JOIN mlabels m ON m.media_id = d.doc_id
-      LEFT JOIN alabels a ON a.media_id = d.doc_id
-      LEFT JOIN vlabels v ON v.media_id = d.doc_id)"""
+      LEFT JOIN read_parquet('${DedupQueries.clusterLabelsToken("text")}/*.parquet') l ON l.doc_id = d.doc_id
+      LEFT JOIN read_parquet('${DedupQueries.clusterLabelsToken("media")}/*.parquet') m ON m.doc_id = d.doc_id
+      LEFT JOIN read_parquet('${DedupQueries.clusterLabelsToken("audio")}/*.parquet') a ON a.doc_id = d.doc_id
+      LEFT JOIN read_parquet('${DedupQueries.clusterLabelsToken("video")}/*.parquet') v ON v.doc_id = d.doc_id)"""
 
   private val crossModalMatrixSql = s"""
     WITH $crossModal4Ctes

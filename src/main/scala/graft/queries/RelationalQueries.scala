@@ -310,6 +310,9 @@ object RelationalQueries {
     * at 100 TB; drop the `exact_distinct`/`err_pct` columns there. */
   private val SketchMod = 8L
 
+  /** Distinct-count sketch: hash-mod sampled distinct-user estimate
+    * per event type, reported next to the exact count with its error
+    * pct. */
   private def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
     val h =
       "md5_60(cast(user_id AS STRING))"
@@ -568,6 +571,8 @@ object RelationalQueries {
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   private val digitsRe = "[0-9]{2,}"
 
+  /** PII scrub (events): count email/digit-run matches in props and
+    * mask them to <EMAIL>/<NUM> — row-local regex work, no shuffle. */
   private def piiScrub(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .selectExpr(

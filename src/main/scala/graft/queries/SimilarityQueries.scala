@@ -417,6 +417,8 @@ object SimilarityQueries {
     exactTopK(e, lshCandidatesOf(e, planes, radius))
   }
 
+  /** ANN via random-hyperplane LSH: multi-table bucket equi-join then
+    * exact cosine re-rank within buckets. */
   private def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLshWith(spark, dir, LSH_PLANES, LSH_RADIUS)
 

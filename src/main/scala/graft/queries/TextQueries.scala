@@ -76,6 +76,9 @@ object TextQueries {
     "es" -> Seq("el", "los", "que", "es"),
     "fr" -> Seq("le", "les", "et", "est"))
 
+  /** Language ID: stopword-marker scores per language, argmax per
+    * document — row-local set membership, no shuffle before the ORDER
+    * BY. */
   private def langId(spark: SparkSession, dir: String): DataFrame = {
     val scored = langMarkers.foldLeft(Tables(spark, dir, "documents")) {
       case (df, (l, ms)) => df.withColumn(s"s_$l",
@@ -675,6 +678,8 @@ object TextQueries {
          (a, b) -> named_struct('n', a.n + b % 1024, 'c', a.c + b DIV 1024))"""
   }
 
+  /** Unigram (SentencePiece-style) tokenize: per-word Viterbi piece
+    * segmentation using the broadcast trained piece-cost map. */
   private def unigramTokenize(spark: SparkSession, dir: String): DataFrame = {
     val pm = readUnigramPieces(spark, dir)
       .agg(map_from_entries(collect_list(struct(col("piece"),
@@ -808,6 +813,8 @@ object TextQueries {
       .selectExpr("cell.j AS j", "cell.b AS b")
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
 
+  /** Count-min sketch: fixed probe terms estimated from the mergeable
+    * counter grid, over-count bounded by the min across hash rows. */
   private def countMin(spark: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("a", "customer", "hash", "join", "slow", "spark",
       "the", "vector")
@@ -930,6 +937,8 @@ object TextQueries {
     s"""regexp_replace(translate(lower(trim($textCol)),
           '$AccentFrom', '$AccentTo'), '\\\\s+', ' ')"""
 
+  /** Text normalization: canonical cleanup expression per document
+    * with change flags and length deltas. */
   private def textNormalize(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .selectExpr("doc_id", "text", s"${normalizeExpr("text")} AS norm")
@@ -1005,6 +1014,8 @@ object TextQueries {
     * summed as scaled BIGINTs, so the doc score is independent of
     * summation order across partitionings and engines. */
   private val VocabK = 1000
+  /** Unigram LM logprob: per-document mean token log-probability
+    * against the corpus unigram frequency model. */
   private def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toksDf = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"explode($toks) AS token")
@@ -1096,6 +1107,8 @@ object TextQueries {
     LmParts(docs, bigrams, uniFreq, total, uniTop, bgCounts, bgModel)
   }
 
+  /** Bigram LM logprob: smoothed bigram model scored per document via
+    * broadcast model joins. */
   private def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val p = lmParts(spark, dir)
     val perDoc = p.bigrams
@@ -1186,6 +1199,8 @@ object TextQueries {
     * engines; only the final log10 is epsilon-nudge-rounded, then summed
     * as scaled BIGINTs. */
   private val KnDiscount = 0.75
+  /** Kneser-Ney LM: interpolated discounted bigram probabilities with
+    * continuation counts, scored per document. */
   private def knLogprob(spark: SparkSession, dir: String): DataFrame = {
     val p = lmParts(spark, dir)
     val nTypes = p.bgCounts.agg(count(lit(1)).as("n_types"))
@@ -1240,6 +1255,8 @@ object TextQueries {
     * joins + one per-doc aggregate. Determinism: total-ordered model
     * cuts, per-triple logprobs rounded then summed as scaled BIGINTs. */
   private val TrigramK = 3000
+  /** Trigram LM logprob: arrays_zip-windowed trigrams scored with
+    * backoff to the lower-order models. */
   private def trigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val p = lmParts(spark, dir)
     val trigrams = p.docs.selectExpr("doc_id", s"$toks AS t")
@@ -1520,6 +1537,8 @@ object TextQueries {
     * joins, no shuffles except the output sort. */
   private val gopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  /** Gopher quality rules: the published length/stopword/symbol-ratio
+    * document filters, one column per rule plus the verdict. */
   private def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val stops = gopherStops.map(s => s"'$s'").mkString(", ")
     Tables(spark, dir, "documents")
@@ -1660,6 +1679,8 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction (documents): email/phone/IP patterns replaced by
+    * typed placeholders in one row-local expression. */
   private def piiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedactOf(Tables(spark, dir, "documents"))
 
@@ -2125,6 +2146,8 @@ object TextQueries {
     FROM shares
     ORDER BY lang"""
 
+  /** Mixture reweighting: per-language sampling rates from sqrt-scaled
+    * counts — the corpus-balance knob for training mixes. */
   private def mixReweight(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -2344,6 +2367,9 @@ object TextQueries {
     * cross-engine differential check, never the plan shape. */
   private val DsirBuckets = 512
   private val DsirK = 100
+  /** DSIR data selection: hashed-bigram importance weights
+    * (target-vs-raw bucket log-ratios) score documents, top-K selected
+    * with ranks. */
   private def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val p = lmParts(spark, dir)
     val feats = p.bigrams.selectExpr("doc_id", "lang",
@@ -2491,6 +2517,8 @@ object TextQueries {
       .withColumn("pred", col("score") > 0)
   }
 
+  /** NB quality classifier: held-out documents scored by the trained
+    * hashed-token naive-Bayes model. */
   private def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     nbScoreHeldOut(spark, dir).orderBy("doc_id")
 
@@ -2741,6 +2769,8 @@ object TextQueries {
     * self-join broadcastable at 100 TB — same pattern as the unigram
     * LM). log determinism via the rExp nudge on both engines. */
   private val PmiVocab = 20
+  /** PMI token pairs: pointwise mutual information over per-doc
+    * distinct co-occurrence for the df-top vocabulary. */
   private def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
     val dt = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"explode($toks) AS tok")
@@ -2809,6 +2839,9 @@ object TextQueries {
     * ≤1e-13 cross-engine FP drift is swamped by the 1e-9 rounding
     * nudge. */
   private val TrIters = 10
+  /** TextRank keywords: co-occurrence edges (vocab-capped, <=400 rows
+    * by construction) power-iterated on the driver as a fixed-size
+    * model. */
   private def textrank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // cached for the TWO model collects below (vocab, then edges) so the

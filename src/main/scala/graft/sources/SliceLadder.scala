@@ -389,6 +389,7 @@ final class SliceLadder(
         spark.read.schema(readSchema).parquet(slicePath(a, b)) }
       .reduce(_.unionByName(_))
     writeSliceFiles(rows, scratch)
+    SliceLadder.failpoint(what, "merge-staged")
     lock.synchronized {
       val hfs = fs(spark, base)
       def abandon(): Unit = { hfs.delete(new Path(scratch), true); () }
@@ -408,6 +409,7 @@ final class SliceLadder(
         return    // metadata ops; its commit is as good as ours
       }
       commitMarker(spark, lo, hi)
+      SliceLadder.failpoint(what, "merge-committed")
       val mfs = fs(spark, markerDir)
       run.foreach { case (a, b) =>
         // trash-then-untrack (same crash argument as the sweep): a crash
@@ -698,4 +700,15 @@ object SliceLadder {
     * so two lakes never share a lock. */
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Test-only crash injection for the MAINTENANCE path: called with
+    * (artifact `what`, point name) at the named points below; a test
+    * installs a hook that throws to simulate a process crash at
+    * exactly that point (the style SliceLadderSpec uses for the
+    * append path via `writeSliceFiles`, extended to points a
+    * constructor arg can't reach). Points: `merge-staged` (scratch
+    * slice written, nothing committed), `merge-committed` (containing
+    * marker committed, subsumed markers and their data still on
+    * disk). Production never installs a hook — the default is free. */
+  private[graft] var failpoint: (String, String) => Unit = (_, _) => ()
 }
