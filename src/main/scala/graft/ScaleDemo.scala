@@ -40,8 +40,8 @@ object ScaleDemo {
         when(col("rep") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1_"), col("rep")))).as("text"),
-        col("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
