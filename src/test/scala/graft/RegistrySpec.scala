@@ -63,4 +63,14 @@ class RegistrySpec extends SparkSpec {
       }
     }
   }
+
+  test("OPERATORS.md is the current render of the registry (regenerate on drift)") {
+    // the manual is generated, but generated files still drift if the
+    // regen step is forgotten — sbt runs tests from the repo root, so
+    // render against the same sources and compare bytes
+    val committed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("OPERATORS.md")), "UTF-8")
+    assert(OperatorManual.render(".") == committed,
+      "OPERATORS.md is stale — run `sbt \"runMain graft.OperatorManual\"`")
+  }
 }
