@@ -291,7 +291,20 @@ object DedupQueries {
         case n if n.startsWith(".tmp-watermark-") => true
         case _ => false
       }
-      if (dead && st.getModificationTime <= cutoff)
+      // liveness by the newest mtime ANYWHERE under the candidate (the
+      // SliceLadder.newestMtime argument): an in-flight census or
+      // watermark parquet write keeps its _temporary task files fresh
+      // while the top dir's mtime stays at creation — top-level aging
+      // alone would let a graced gc delete the live write mid-job
+      def newest(p: org.apache.hadoop.fs.Path): Long =
+        try {
+          val s = hfs.getFileStatus(p)
+          var m = s.getModificationTime
+          if (s.isDirectory)
+            hfs.listStatus(p).foreach(c => m = math.max(m, newest(c.getPath)))
+          m
+        } catch { case _: java.io.FileNotFoundException => 0L }
+      if (dead && newest(st.getPath) <= cutoff)
         hfs.delete(st.getPath, true)
     }
   }

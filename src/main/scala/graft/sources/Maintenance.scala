@@ -30,9 +30,12 @@ import org.apache.spark.sql.SparkSession
   * `runAll(spark, dir)` verbatim on a LIVE lake would have gc delete
   * trashed slices (and in-flight .tmp watermark dirs) under
   * cross-process readers/writers that the in-JVM locks cannot see.
-  * Pick it above the longest in-flight read and merge when
-  * readers/writers may be live; pass 0 explicitly only for provably
-  * quiesced lakes. `minRun` is [[SliceLadder.compactTiered]]'s
+  * Pick it above the longest in-flight read AND the longest stall
+  * between a live writer's file-visible updates (orphan age is the
+  * newest mtime under the candidate, so a progressing write protects
+  * itself; one that surfaces nothing until close is covered only by
+  * the grace — lakehouse orphan-cleanup defaults are hours-days for
+  * this reason); pass 0 explicitly only for provably quiesced lakes. `minRun` is [[SliceLadder.compactTiered]]'s
   * tier-run threshold. Returns the total number of tier merges
   * performed across all artifacts. */
 object Maintenance {

@@ -156,6 +156,28 @@ final class SliceLadder(
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Newest modification time anywhere under `p` — the path's own or
+    * any descendant's, files AND directories. This is the LIVENESS
+    * check for orphan collection: an in-flight distributed write keeps
+    * touching entries deep inside the job's `_temporary` tree while
+    * the TOP directory's mtime stays at creation, so aging top-level
+    * mtimes alone lets gc delete a LIVE write once it runs longer than
+    * the grace (found by CrossProcessSpec: a cold JVM's first append
+    * lost its slice write to a 2 s-graced gc mid-job). A crashed write
+    * stops updating and ages out normally. Entries vanishing mid-walk
+    * (a racing delete) count as 0 — absence is not liveness. */
+  private def newestMtime(hfs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long =
+    try {
+      val st = hfs.getFileStatus(p)
+      var newest = st.getModificationTime
+      if (st.isDirectory)
+        hfs.listStatus(p).foreach { c =>
+          newest = math.max(newest, newestMtime(hfs, c.getPath))
+        }
+      newest
+    } catch { case _: java.io.FileNotFoundException => 0L }
+
   private def lock: Object =
     SliceLadder.locks.getOrElseUpdate(base, new Object)
 
@@ -509,9 +531,16 @@ final class SliceLadder(
     *  4. the [[gcSide]] hook's per-modality side artifacts at dead
     *     bounds, same cutoff.
     *
-    * Call with `graceMs` exceeding the longest in-flight read AND the
-    * longest in-flight merge or append when other writers/readers may
-    * be live (cross-process writers are outside the in-JVM locks);
+    * Orphan age (2, 3) is measured by [[newestMtime]] — the newest
+    * entry ANYWHERE under the candidate, not the top dir's mtime — so
+    * an in-flight distributed write (whose top dir goes stale while
+    * tasks write deep inside `_temporary`) stays protected as long as
+    * it keeps making file-visible progress. Call with `graceMs`
+    * exceeding the longest in-flight read AND the longest STALL
+    * between a live writer's visible file updates (a task that
+    * surfaces nothing until close — e.g. one giant object-store
+    * upload — is protected only by the grace; lakehouse
+    * orphan-cleanup tools default to hours-days for the same reason);
     * `graceMs = 0` is for provably quiesced artifacts only. */
   def gc(spark: SparkSession, graceMs: Long = 0L): Unit =
     lock.synchronized {
@@ -545,15 +574,21 @@ final class SliceLadder(
         val trashed = rawTrash(spark)
         val raw = rawMarkers(spark).toSet
         hfs.listStatus(slicesDir).toSeq.foreach { st =>
+          // liveness via newestMtime, and only AFTER the cheap dead
+          // checks pass: live slices never pay the recursive walk, so
+          // gc stays O(ladder) namenode calls + O(orphan files)
           st.getPath.getName match {
-            case MergeTmpRe() if st.getModificationTime <= cutoff =>
-              if (hfs.delete(st.getPath, true)) deleted = true
-            case SliceDirRe(a, b) if st.getModificationTime <= cutoff =>
+            case MergeTmpRe() =>
+              if (newestMtime(hfs, st.getPath) <= cutoff &&
+                  hfs.delete(st.getPath, true)) deleted = true
+            case SliceDirRe(a, b) =>
               val range = (untok(a), untok(b))
-              // an orphan: no raw marker claims it (an in-flight
-              // append's pre-marker write is covered by the grace
-              // window) and no trash entry defers it
-              if (!raw.contains(range) && !trashed.contains(range)) {
+              // an orphan: no raw marker claims it (an IN-FLIGHT
+              // append's pre-marker write stays newer than the grace
+              // by its own task activity — see newestMtime) and no
+              // trash entry defers it
+              if (!raw.contains(range) && !trashed.contains(range) &&
+                  newestMtime(hfs, st.getPath) <= cutoff) {
                 if (hfs.delete(st.getPath, true)) deleted = true
               }
             case _ => ()
