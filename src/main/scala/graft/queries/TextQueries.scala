@@ -143,6 +143,36 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("source", "split")
 
+  /** Epoch shard shuffle: the global reshuffle every pretraining epoch
+    * needs, delivered as shard MANIFESTS instead of a materialized
+    * permutation — shard = md5_60(doc_id ":" epoch) mod S gives each
+    * epoch an independent deterministic assignment (same shards on
+    * every cluster, engine and re-run — never rand(), the
+    * q_split_assign discipline with a per-epoch salt), and the output
+    * is what a data loader actually balances by: docs, estimated token
+    * mass (chars/4, the usual BPE rule of thumb) and distinct sources
+    * per shard. Scale: there is NO global sort — assignment is
+    * row-local and the only shuffle is the (epochs × S)-key manifest
+    * aggregation with map-side combine; the full per-doc assignment at
+    * 100 TB never materializes (a loader recomputes any doc's shard
+    * row-locally from the same hash). */
+  private def epochShards(spark: SparkSession, dir: String): DataFrame = {
+    val shards = 8
+    Seq(0, 1).map { e =>
+      Tables(spark, dir, "documents").selectExpr(
+        s"CAST($e AS BIGINT) AS epoch",
+        s"md5_60(concat(CAST(doc_id AS STRING), ':', CAST($e AS STRING))) % $shards AS shard",
+        "doc_id", "source", "n_chars")
+    }.reduce(_.unionByName(_))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(CAST(floor((n_chars + 3) / 4.0) AS BIGINT)) AS BIGINT)")
+          .as("n_tokens_est"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("first_doc"))
+      .orderBy("epoch", "shard")
+  }
+
   /** Vocabulary building: corpus-wide token frequencies, top 50 — the
     * first step of tokenizer training. Explode → one hash-shuffle count
     * with map-side partial aggregation. */
@@ -3255,6 +3285,19 @@ object TextQueries {
       FROM assigned
       GROUP BY source, split
       ORDER BY source, split""")),
+    QueryDef("q_epoch_shards", epochShards, Some("""
+      WITH assigned AS (
+        SELECT CAST(e.epoch AS BIGINT) AS epoch, doc_id, source, n_chars,
+               CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(e.epoch AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard
+        FROM documents
+        CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1) e)
+      SELECT epoch, shard, count(*) AS n_docs,
+             CAST(sum(CAST(floor((n_chars + 3) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens_est,
+             count(DISTINCT source) AS n_sources,
+             min(doc_id) AS first_doc
+      FROM assigned
+      GROUP BY epoch, shard
+      ORDER BY epoch, shard""")),
     QueryDef("q_vocab", vocab, Some("""
       SELECT t AS token, count(*) AS freq
       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
