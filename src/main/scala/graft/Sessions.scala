@@ -19,6 +19,22 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Streaming state lives in RocksDB, not on the executor heap: every
+      // stateful path (dropDuplicatesWithinWatermark fingerprints, the
+      // flatMapGroupsWithState latest/EWMA/Holt/SCD2 keys, stream-stream
+      // join buffers) is O(active keys) by design, but at a 100 TB
+      // keyspace "active keys" is billions of entries — the default
+      // HDFSBackedStateStoreProvider keeps every version of that map ON
+      // HEAP per executor and OOMs long before the watermark evicts.
+      // RocksDB spills state to executor-local disk with a bounded block
+      // cache, and changelog checkpointing ships per-batch deltas instead
+      // of re-uploading full snapshots — the difference between O(delta)
+      // and O(state) checkpoint traffic on a large stateful query.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
       // STATIC conf (first-session only): the suite compiles 190+ plan
       // shapes × several codegen stages each; the default 100-entry
       // janino cache thrashes across them, so the bench's cold pass

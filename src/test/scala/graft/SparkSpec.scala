@@ -14,6 +14,15 @@ object TestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // same state-store stack as production (Sessions.local): every
+      // StreamingSpec batch≡stream proof runs against RocksDB + changelog
+      // checkpointing, so the provider the 100 TB design depends on is
+      // what the suite actually exercises
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Tables.ensureConf(s)

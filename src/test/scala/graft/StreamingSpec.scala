@@ -1401,6 +1401,59 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("k").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("RocksDB state store: keyed state survives a query restart from checkpoint") {
+    import spark.implicits._
+    import graft.streaming.KeyedValue
+    implicit val sqlCtx = spark.sqlContext
+    // the provider under test is the session-wide production choice
+    // (Sessions.local and this suite set the same conf) — assert it so a
+    // future conf regression fails HERE, not silently back onto the
+    // heap-backed default this test exists to retire
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val work = Files.createTempDirectory("graft_rocksdb").toString
+    val mem = MemoryStream[KeyedValue]
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.latestPerKeyState(mem.toDS(), "1 hour")
+        .toDF.writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    mem.addData(KeyedValue("A", ts(100), 1L, 1.0))
+    runOnce()
+    // RESTART from the same checkpoint with an OLDER observation: if the
+    // per-key state (A → ts=100, 1.0) survived in RocksDB, the ts=50 row
+    // must NOT displace it and the newest re-emits unchanged; a provider
+    // that lost state would emit (A, 2.0) — exactly the corruption a
+    // restarted 100 TB latest-per-key stream cannot afford
+    mem.addData(KeyedValue("A", ts(50), 2L, 2.0))
+    runOnce()
+    val rows = spark.read.parquet(s"$work/out")
+      .select("key", "ts", "value")
+      .as[(String, Timestamp, Double)].collect().toSeq
+    assert(rows.size == 2 && rows.forall(_ == ("A", ts(100), 1.0)),
+      s"state lost across restart: $rows")
+    // and the state really is RocksDB-format: changelog deltas / zip
+    // snapshots under the checkpoint's state dir (the heap provider
+    // writes .delta/.snapshot instead)
+    val stateFiles = {
+      val b = Seq.newBuilder[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .foreach(walk)
+        else b += f.getName
+      walk(new java.io.File(s"$work/ckpt/state"))
+      b.result()
+    }
+    assert(stateFiles.exists(n =>
+      n.endsWith(".changelog") || n.endsWith(".zip")),
+      s"no RocksDB changelog/snapshot files in checkpoint: $stateFiles")
+  }
+
   test("upsertSink: insert-if-absent across micro-batches and re-runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
