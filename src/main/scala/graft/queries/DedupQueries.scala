@@ -291,20 +291,15 @@ object DedupQueries {
         case n if n.startsWith(".tmp-watermark-") => true
         case _ => false
       }
-      // liveness by the newest mtime ANYWHERE under the candidate (the
-      // SliceLadder.newestMtime argument): an in-flight census or
-      // watermark parquet write keeps its _temporary task files fresh
-      // while the top dir's mtime stays at creation — top-level aging
-      // alone would let a graced gc delete the live write mid-job
-      def newest(p: org.apache.hadoop.fs.Path): Long =
-        try {
-          val s = hfs.getFileStatus(p)
-          var m = s.getModificationTime
-          if (s.isDirectory)
-            hfs.listStatus(p).foreach(c => m = math.max(m, newest(c.getPath)))
-          m
-        } catch { case _: java.io.FileNotFoundException => 0L }
-      if (dead && newest(st.getPath) <= cutoff)
+      // liveness by the newest mtime ANYWHERE under the candidate — the
+      // ONE shared walk (SliceLadder.newestMtime), not a local copy, so
+      // the FileNotFound-as-0 rule and the recursion cannot drift from
+      // the ladder gc's: an in-flight census or watermark parquet write
+      // keeps its _temporary task files fresh while the top dir's mtime
+      // stays at creation — top-level aging alone would let a graced gc
+      // delete the live write mid-job
+      if (dead && graft.sources.SliceLadder.newestMtime(hfs, st.getPath)
+          <= cutoff)
         hfs.delete(st.getPath, true)
     }
   }

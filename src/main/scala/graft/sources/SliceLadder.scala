@@ -156,27 +156,8 @@ final class SliceLadder(
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Newest modification time anywhere under `p` — the path's own or
-    * any descendant's, files AND directories. This is the LIVENESS
-    * check for orphan collection: an in-flight distributed write keeps
-    * touching entries deep inside the job's `_temporary` tree while
-    * the TOP directory's mtime stays at creation, so aging top-level
-    * mtimes alone lets gc delete a LIVE write once it runs longer than
-    * the grace (found by CrossProcessSpec: a cold JVM's first append
-    * lost its slice write to a 2 s-graced gc mid-job). A crashed write
-    * stops updating and ages out normally. Entries vanishing mid-walk
-    * (a racing delete) count as 0 — absence is not liveness. */
   private def newestMtime(hfs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Long =
-    try {
-      val st = hfs.getFileStatus(p)
-      var newest = st.getModificationTime
-      if (st.isDirectory)
-        hfs.listStatus(p).foreach { c =>
-          newest = math.max(newest, newestMtime(hfs, c.getPath))
-        }
-      newest
-    } catch { case _: java.io.FileNotFoundException => 0L }
+      p: Path): Long = SliceLadder.newestMtime(hfs, p)
 
   private def lock: Object =
     SliceLadder.locks.getOrElseUpdate(base, new Object)
@@ -735,6 +716,31 @@ object SliceLadder {
     * so two lakes never share a lock. */
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Newest modification time anywhere under `p` — the path's own or
+    * any descendant's, files AND directories. This is THE liveness
+    * check for orphan collection, shared by every graced gc in the
+    * engine (the ladder's own and the shingle side-artifact gc in
+    * DedupQueries — one definition, so the semantics cannot drift): an
+    * in-flight distributed write keeps touching entries deep inside
+    * the job's `_temporary` tree while the TOP directory's mtime stays
+    * at creation, so aging top-level mtimes alone lets gc delete a
+    * LIVE write once it runs longer than the grace (found by
+    * CrossProcessSpec: a cold JVM's first append lost its slice write
+    * to a 2 s-graced gc mid-job). A crashed write stops updating and
+    * ages out normally. Entries vanishing mid-walk (a racing delete)
+    * count as 0 — absence is not liveness. */
+  private[graft] def newestMtime(hfs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long =
+    try {
+      val st = hfs.getFileStatus(p)
+      var newest = st.getModificationTime
+      if (st.isDirectory)
+        hfs.listStatus(p).foreach { c =>
+          newest = math.max(newest, newestMtime(hfs, c.getPath))
+        }
+      newest
+    } catch { case _: java.io.FileNotFoundException => 0L }
 
   /** Test-only crash injection for the MAINTENANCE path: called with
     * (artifact `what`, point name) at the named points below; a test

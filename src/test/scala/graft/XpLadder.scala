@@ -26,13 +26,19 @@ object XpLadder {
 }
 
 /** The second JVM of the cross-process test: appends the given bounds
-  * to the ladder at `args(0)` while the parent process compacts and
-  * GCs the SAME artifact concurrently. Run only by CrossProcessSpec —
-  * exits non-zero on any failure so the parent's waitFor sees it. */
+  * to one artifact while the parent process compacts and GCs the SAME
+  * artifact concurrently. `args = kind, target, bound...` — kind "xp"
+  * appends to the synthetic [[XpLadder]] at base `target`; the five
+  * real artifact kinds ("shingle", "ivf", "image", "audio", "video")
+  * append to that modality's index over the lake dir `target` via the
+  * SAME public append entry points production ingest uses. Run only by
+  * CrossProcessSpec — exits non-zero on any failure so the parent's
+  * waitFor sees it. */
 object XpChild {
   def main(args: Array[String]): Unit = {
-    val base = args(0)
-    val bounds = args.drop(1).map(_.toLong)
+    val kind = args(0)
+    val target = args(1)
+    val bounds = args.drop(2).map(_.toLong)
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("xp-child")
@@ -41,9 +47,21 @@ object XpChild {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
-      val lad = XpLadder.make(base)
+      import graft.queries.{DedupQueries, MultimodalQueries,
+        SimilarityQueries}
+      val append: Long => Unit = kind match {
+        case "xp" => XpLadder.make(target).append(spark, _)
+        case "shingle" =>
+          b => DedupQueries.appendShingleIndex(spark, target, b.toInt)
+        case "ivf" =>
+          SimilarityQueries.appendIvfAssignments(spark, target, _)
+        case "image" => MultimodalQueries.appendMediaSigs(spark, target, _)
+        case "audio" => MultimodalQueries.appendAudioSigs(spark, target, _)
+        case "video" => MultimodalQueries.appendVideoSigs(spark, target, _)
+        case other => throw new IllegalArgumentException(other)
+      }
       bounds.foreach { b =>
-        lad.append(spark, b)
+        append(b)
         // give the parent's maintenance loop windows to interleave
         Thread.sleep(200)
       }
