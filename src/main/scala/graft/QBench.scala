@@ -31,7 +31,13 @@ object QBench {
     graft.queries.MultimodalQueries.trainVideoClusterLabels(spark, sfDir)
     graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, sfDir)
     val qs = names.toSeq.map(Registry.byName)
-    qs.foreach(_.fn(spark, sfDir).count()) // warmup: codegen + page cache
+    // COLD-PROBE mode (SPARK_GRAFT_COLD_DIR=<small sf dir>): warm codegen
+    // on the small dir instead of sfDir, so rep 1 at sfDir is a true
+    // first-touch — the Bench cold column reproduced in isolation (used
+    // to adjudicate cold outliers like r17's 71 s q_vwap after a
+    // page-cache drop)
+    val coldDir = sys.env.get("SPARK_GRAFT_COLD_DIR")
+    qs.foreach(_.fn(spark, coldDir.getOrElse(sfDir)).count())
     val times = Array.fill(qs.size, reps)(0.0)
     for (r <- 0 until reps; (q, i) <- qs.zipWithIndex) {
       val t0 = System.nanoTime()
@@ -41,7 +47,8 @@ object QBench {
     qs.zipWithIndex.foreach { case (q, i) =>
       val sorted = times(i).sorted
       val med = sorted(reps / 2)
-      println(f"QBENCH ${q.name}%-24s median=$med%.3f reps=${times(i).map(t => f"$t%.3f").mkString(",")}")
+      val cold = if (coldDir.isDefined) f" cold=${times(i)(0)}%.3f" else ""
+      println(f"QBENCH ${q.name}%-24s median=$med%.3f$cold reps=${times(i).map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }
