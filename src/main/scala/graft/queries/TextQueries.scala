@@ -155,10 +155,17 @@ object TextQueries {
     * row-local and the only shuffle is the (epochs × S)-key manifest
     * aggregation with map-side combine; the full per-doc assignment at
     * 100 TB never materializes (a loader recomputes any doc's shard
-    * row-locally from the same hash). */
-  private def epochShards(spark: SparkSession, dir: String): DataFrame = {
-    val shards = 8
-    Seq(0, 1).map { e =>
+    * row-locally from the same hash).
+    *
+    * Loader-facing API: (epochs, shards) are the training run's actual
+    * schedule — any (E, S) produces the same row-local assignment law.
+    * The ORACLE-PINNED instance registered as `q_epoch_shards` is
+    * (2, 8), so the DuckDB twin certifies the law once and callers
+    * rescale freely. */
+  def epochShards(epochs: Int, shards: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    require(epochs >= 1 && shards >= 1, s"epochs=$epochs shards=$shards")
+    (0 until epochs).map { e =>
       Tables(spark, dir, "documents").selectExpr(
         s"CAST($e AS BIGINT) AS epoch",
         s"md5_60(concat(CAST(doc_id AS STRING), ':', CAST($e AS STRING))) % $shards AS shard",
@@ -3285,7 +3292,7 @@ object TextQueries {
       FROM assigned
       GROUP BY source, split
       ORDER BY source, split""")),
-    QueryDef("q_epoch_shards", epochShards, Some("""
+    QueryDef("q_epoch_shards", epochShards(2, 8), Some("""
       WITH assigned AS (
         SELECT CAST(e.epoch AS BIGINT) AS epoch, doc_id, source, n_chars,
                CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(e.epoch AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard

@@ -64,6 +64,28 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("label-artifact oracle soundness: each modality's closure stays independently re-derived") {
+    // The cross-modal oracles (q_caption_conflicts, q_crossmodal_*) read
+    // the engine's persisted label artifacts via __CLUSTER_LABELS_<KIND>__
+    // tokens instead of re-deriving four closure CTE chains — sound ONLY
+    // while each kind's closure is independently re-derived and
+    // hash-certified by its own clusters query. Tie that dependency down:
+    // the four certifying queries must exist, carry an oracle, and that
+    // oracle must NOT itself read the label artifact (else the
+    // certification would be circular and removing/weakening one query
+    // would silently degrade every token-reading oracle).
+    val certifying = Seq("q_dedup_clusters", "q_media_clusters",
+      "q_audio_clusters", "q_video_clusters")
+    certifying.foreach { n =>
+      val q = Registry.all.find(_.name == n)
+      assert(q.isDefined, s"$n missing — the label-artifact tokens in the " +
+        "cross-modal oracles lost their certifying query")
+      assert(q.get.oracle.isDefined, s"$n has no oracle")
+      assert(!q.get.oracle.get.contains("__CLUSTER_LABELS_"),
+        s"$n's oracle reads the label artifact it exists to certify")
+    }
+  }
+
   test("OPERATORS.md is the current render of the registry (regenerate on drift)") {
     // the manual is generated, but generated files still drift if the
     // regen step is forgotten — sbt runs tests from the repo root, so
