@@ -4,36 +4,52 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.queries.Registry
 
-/** One-decade scale demonstration for the dedup family: generates a
-  * synthetic corpus with 10× sf0.1's rows but the SAME shape (20
-  * sources, same per-doc length distribution, same within-replica
-  * near-dup rate — each replica's tokens are salted so replicas are
-  * NOT near-dups of each other, keeping the duplicate rate constant
-  * instead of exploding cluster sizes quadratically), then times
-  * q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard /
-  * q_clusters_incremental at 1× and 10× and reports the growth
-  * ratios. The claim under test is the 100 TB design argument: every
-  * candidate generator is a banded equi-join, so TIME and CANDIDATE
-  * counts must grow ~linearly in rows (ratio ≈ 10), never
-  * quadratically (ratio ≈ 100). The synthetic corpus lives in /tmp
-  * and is never committed. Offline model training (shingle ladder,
-  * cluster labels) is timed separately — it is the once-per-lake cost,
-  * not the per-query cost.
-  * Usage: `sbt "runMain graft.ScaleDemo"` (≈ sf0.1 bench runtime ×
-  * low tens). Results recorded in PLANS.md round-17. */
+/** One-decade scale demonstration for the dedup AND vector families:
+  * generates synthetic corpora with 10× (and, for the exponent pin,
+  * 20×) sf0.1's rows but the SAME shape, then times the headline
+  * candidate-generating queries at each scale and reports growth
+  * ratios. The claim under test is the 100 TB design argument:
+  *
+  *  - text dedup — every candidate generator is a banded equi-join,
+  *    so TIME and CANDIDATE counts must grow ~linearly in rows
+  *    (ratio ≈ 10), never quadratically (ratio ≈ 100);
+  *  - q_ngram_jaccard gets an extra ×20 point: it was the family's
+  *    closest-to-linear at ×10 (×8.8, round 17), so the ×10→×20 leg
+  *    pins its growth EXPONENT (log2 of the time ratio) — postings
+  *    joins grow superlinearly only if the df cap stops binding;
+  *  - vector family — IVF probe cost is proportional to list
+  *    OCCUPANCY (N / nlist): the ×10 corpus is trained at ×10 lists
+  *    (`graft.ivf.nlist`), holding occupancy constant the way a
+  *    100 TB deployment sizes its quantizer, so probe/dedup time must
+  *    grow ~linearly (the per-vector assignment read plus a
+  *    constant-occupancy list join). One-time training (k-means,
+  *    inverted-file build, PQ codebooks) is timed separately — the
+  *    once-per-lake cost, not the per-query cost.
+  *
+  * Replica salting keeps duplicate structure constant instead of
+  * exploding it: text replicas get per-replica token suffixes (zero
+  * cross-replica shingle overlap); embedding replicas get a cyclic
+  * DIMENSION rotation (a rotation preserves every intra-replica dot
+  * product exactly, while cross-replica cosines decohere). Synthetic
+  * corpora live in /tmp and are never committed.
+  * Usage: `sbt "runMain graft.ScaleDemo"`. Results recorded in
+  * PLANS.md (round-17 text table; round-18 exponent + vector table). */
 object ScaleDemo {
-  private val Queries = Seq("q_dedup_minhash", "q_dedup_simhash",
+  private val TextQueries = Seq("q_dedup_minhash", "q_dedup_simhash",
     "q_ngram_jaccard", "q_clusters_incremental")
+  private val VecQueries = Seq("q_ann_ivf", "q_ann_ivfpq",
+    "q_semdedup_incremental")
   private val Factor = 10
 
-  private def synth(spark: SparkSession, src: String, dst: String): Unit = {
+  private def synthDocs(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
     val base = spark.read.parquet(s"$src/documents.parquet")
     val n = base.count()
-    val reps = spark.range(Factor).select(col("id").as("rep"))
+    val reps = spark.range(factor).select(col("id").as("rep"))
     // per-replica token salt: every token of replica k ends in "_k", so
     // within-replica Jaccard structure is EXACTLY the base corpus's
     // (both pair members get the same rewrite) while cross-replica
-    // shingle overlap is zero — 10× rows at a constant duplicate rate
+    // shingle overlap is zero — factor× rows at a constant duplicate rate
     base.crossJoin(broadcast(reps))
       .select(
         (col("doc_id") + col("rep") * n).as("doc_id"),
@@ -45,6 +61,27 @@ object ScaleDemo {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
+  private def synthEmb(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val n = base.count()
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    // per-replica cyclic dimension rotation: replica k's vector is the
+    // base vector rolled k·7 dims (7 is coprime-ish to 64 so replicas
+    // spread). A rotation is an orthogonal map — every intra-replica
+    // dot product (and hence every near-dup pair and its cosine) is
+    // EXACTLY the base corpus's — while cross-replica cosines decohere,
+    // so factor× vectors at a constant duplicate rate
+    base.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("rep") * n).as("vec_id"),
+        expr("""transform(sequence(0, size(embedding) - 1),
+                 i -> embedding[cast((i + rep * 7) % size(embedding) AS INT)])""")
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
   private def time3(f: => Long): (Double, Long) = {
     var rows = 0L
     val ts = (0 until 3).map { _ =>
@@ -53,22 +90,31 @@ object ScaleDemo {
     (ts(1), rows)
   }
 
+  private def timed[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime(); val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
   def main(args: Array[String]): Unit = {
     val oneDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tenDir = "/tmp/graft_scale10"
+    val twentyDir = "/tmp/graft_scale20"
+    val tenVecDir = "/tmp/graft_scale10v"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    // ---------------- text dedup family at ×10 ----------------
     println(s"[scale] generating ${Factor}x corpus at $tenDir from $oneDir")
-    synth(spark, oneDir, tenDir)
+    synthDocs(spark, oneDir, tenDir, Factor)
     val results = Seq(oneDir, tenDir).map { d =>
-      val t0 = System.nanoTime()
-      graft.queries.DedupQueries.trainShingleIndex(spark, d)
-      graft.queries.DedupQueries.trainClusterLabels(spark, d)
-      val train = (System.nanoTime() - t0) / 1e9
+      val (train, _) = timed {
+        graft.queries.DedupQueries.trainShingleIndex(spark, d)
+        graft.queries.DedupQueries.trainClusterLabels(spark, d)
+      }
       val docs = spark.read.parquet(s"$d/documents.parquet").count()
       println(f"[scale] $d: $docs rows, offline train $train%.1f s")
       // warmup pass (codegen + page cache), then 3-rep medians
-      Queries.foreach(q => Registry.byName(q).fn(spark, d).count())
-      d -> Queries.map { q =>
+      TextQueries.foreach(q => Registry.byName(q).fn(spark, d).count())
+      d -> TextQueries.map { q =>
         val (med, rows) = time3(Registry.byName(q).fn(spark, d).count())
         println(f"[scale] $d $q%-24s median=$med%.2f s rows=$rows")
         q -> (med, rows)
@@ -76,7 +122,7 @@ object ScaleDemo {
     }.toMap
     println(f"%n[scale] growth at ${Factor}x rows (linear = ${Factor}.0, quadratic = ${Factor * Factor}.0):")
     var worst = 0.0
-    Queries.foreach { q =>
+    TextQueries.foreach { q =>
       val (t1, r1) = results(oneDir)(q)
       val (t10, r10) = results(tenDir)(q)
       val tr = t10 / t1; val rr = r10.toDouble / math.max(1L, r1)
@@ -87,6 +133,74 @@ object ScaleDemo {
     // overheads amortizing differently at the two scales
     val verdict = if (worst <= Factor * 1.5) "PASS (~linear)" else "WARN"
     println(f"[scale] worst time growth x$worst%.1f -> $verdict")
+
+    // ------------- q_ngram_jaccard exponent pin at ×20 -------------
+    println(f"%n[scale] generating 20x corpus at $twentyDir")
+    synthDocs(spark, oneDir, twentyDir, 2 * Factor)
+    val (train20, _) = timed {
+      graft.queries.DedupQueries.trainShingleIndex(spark, twentyDir)
+    }
+    println(f"[scale] $twentyDir: offline train $train20%.1f s")
+    Registry.byName("q_ngram_jaccard").fn(spark, twentyDir).count() // warm
+    val (t20, r20) = time3(
+      Registry.byName("q_ngram_jaccard").fn(spark, twentyDir).count())
+    val (t10j, r10j) = results(tenDir)("q_ngram_jaccard")
+    // growth exponent over the ×10→×20 leg: time ∝ rows^e → e = log2(t20/t10)
+    val e = math.log(t20 / t10j) / math.log(2.0)
+    println(f"[scale] q_ngram_jaccard x20: median=$t20%.2f s rows=$r20 " +
+      f"(x10: $t10j%.2f s rows=$r10j)")
+    println(f"[scale] q_ngram_jaccard growth exponent (x10->x20): e=$e%.2f " +
+      s"-> ${if (e <= 1.3) "PASS (~linear — the df cap binds)" else "WARN (superlinear: raise the df cap question)"}")
+
+    // ---------------- vector family at ×10 ----------------
+    // 1x side first, with the default quantizer (nlist=16) and the
+    // already-persisted artifacts (idempotent train)
+    val (trainV1, _) = timed {
+      graft.queries.SimilarityQueries.trainIvfCentroids(spark, oneDir)
+      graft.queries.SimilarityQueries.trainIvfAssignments(spark, oneDir)
+      graft.queries.SimilarityQueries.trainPqCodebooks(spark, oneDir)
+    }
+    VecQueries.foreach(q => Registry.byName(q).fn(spark, oneDir).count())
+    val vec1 = VecQueries.map { q =>
+      val (med, rows) = time3(Registry.byName(q).fn(spark, oneDir).count())
+      println(f"[scale] $oneDir $q%-24s median=$med%.2f s rows=$rows")
+      q -> (med, rows)
+    }.toMap
+    // 10x side: ×10 vectors AND ×10 lists — the occupancy-constant
+    // scaling a 100 TB deployment uses (nlist ∝ N); the knob folds into
+    // the artifact paths, so this never touches the 1x artifacts
+    println(s"[scale] generating ${Factor}x embeddings at $tenVecDir")
+    synthEmb(spark, oneDir, tenVecDir, Factor)
+    System.setProperty("graft.ivf.nlist", (16 * Factor).toString)
+    val vec10 =
+      try {
+        val (trainV10, _) = timed {
+          graft.queries.SimilarityQueries.trainIvfCentroids(spark, tenVecDir)
+          graft.queries.SimilarityQueries.trainIvfAssignments(spark, tenVecDir)
+          graft.queries.SimilarityQueries.trainPqCodebooks(spark, tenVecDir)
+        }
+        println(f"[scale] offline vector train: 1x $trainV1%.1f s, " +
+          f"${Factor}x (nlist x$Factor) $trainV10%.1f s")
+        VecQueries.foreach(q =>
+          Registry.byName(q).fn(spark, tenVecDir).count())
+        VecQueries.map { q =>
+          val (med, rows) = time3(
+            Registry.byName(q).fn(spark, tenVecDir).count())
+          println(f"[scale] $tenVecDir $q%-24s median=$med%.2f s rows=$rows")
+          q -> (med, rows)
+        }.toMap
+      } finally System.clearProperty("graft.ivf.nlist")
+    println(f"%n[scale] vector growth at ${Factor}x vectors, nlist x$Factor (occupancy constant; linear = ${Factor}.0):")
+    var worstV = 0.0
+    VecQueries.foreach { q =>
+      val (t1, r1) = vec1(q)
+      val (t10, r10) = vec10(q)
+      val tr = t10 / t1; val rr = r10.toDouble / math.max(1L, r1)
+      worstV = math.max(worstV, tr)
+      println(f"[scale] $q%-24s time x$tr%.1f  result-rows x$rr%.1f")
+    }
+    val verdictV = if (worstV <= Factor * 1.5) "PASS (~linear)" else "WARN"
+    println(f"[scale] worst vector time growth x$worstV%.1f -> $verdictV")
     spark.stop()
   }
 }

@@ -454,7 +454,15 @@ object SimilarityQueries {
     ORDER BY query_id, rank"""
   }
 
-  private val NCENTROIDS = 16
+  /** Coarse-quantizer list count. Probe cost is proportional to list
+    * OCCUPANCY (≈ N / nlist), so at 100 TB nlist scales with the corpus
+    * — 16 is the demo default for the oracle-checked SFs, overridable
+    * per-JVM via the `graft.ivf.nlist` system property (ScaleDemo trains
+    * its ×10 corpus at ×10 lists to hold occupancy constant and
+    * demonstrate exactly that law). Read at call time and folded into
+    * the model and inverted-file paths, so differently-sized quantizers
+    * never share artifacts. */
+  private def NCENTROIDS: Int = Integer.getInteger("graft.ivf.nlist", 16)
   private val NPROBE = 3
   private val LloydIters = 3
 
@@ -473,7 +481,7 @@ object SimilarityQueries {
     val abs = new java.io.File(dir).getAbsolutePath
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"/root/repo/target/ivf/v2/${new java.io.File(dir).getName}-$tag/centroids.parquet"
+    s"/root/repo/target/ivf/v2-nl$NCENTROIDS/${new java.io.File(dir).getName}-$tag/centroids.parquet"
   }
 
   /** True iff a COMPLETE trained model exists for `dir` — the `_SUCCESS`
@@ -575,7 +583,7 @@ object SimilarityQueries {
     val abs = new java.io.File(dir).getAbsolutePath
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    s"/root/repo/target/ivf-assign/v1-m2/${new java.io.File(dir).getName}-$tag"
+    s"/root/repo/target/ivf-assign/v1-m2-nl$NCENTROIDS/${new java.io.File(dir).getName}-$tag"
   }
   /** The inverted file's slice-ladder mechanics (paths, atomic marker
     * commit, replay guard, writer locking) are
