@@ -591,8 +591,20 @@ object DedupQueries {
     // join 1.48 s vs lists 1.68 s median-of-5 — the hash join wins at
     // this scale and both layouts concentrate a hot shingle's pairs
     // identically (the df cap bounds either), so the join stays.
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") &&
+    //
+    // MERGE-hinted: both sides are the CORPUS's posting table, so
+    // broadcastability is a small-corpus accident with a mid-scale
+    // cliff — at a 50k-doc demo corpus (21 MB parquet, under the 64 MB
+    // dim threshold) Catalyst chose to broadcast one whole side, and
+    // because the index slice was a single file the exchange-free plan
+    // also inherited ONE scan partition: the entire pair generation ran
+    // in one task (17.7 s; the same corpus ×2 crossed the threshold,
+    // got the shuffle join back and ran 4.8 s — found by ScaleDemo's
+    // ×10 vs ×20 exponent pin, round 18). The hint pins the plan every
+    // deployment size wants: hash-exchange both sides on h,
+    // parallelism = shuffle partitions, no corpus-sized broadcast ever.
+    val common = sh.as("a").hint("MERGE")
+      .join(sh.as("b").hint("MERGE"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
