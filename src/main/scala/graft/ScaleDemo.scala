@@ -82,6 +82,34 @@ object ScaleDemo {
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
+  private def rmrf(p: String): Unit = {
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      f.delete()
+    }
+    if (p != null) walk(new java.io.File(p))
+  }
+
+  /** Synthetic corpora must measure a FRESH, canonical artifact state:
+    * /tmp corpus dirs persist across runs on one machine and their
+    * artifact roots are keyed by the dir path, so a rerun would
+    * silently reuse — and time — whatever ladder/model shape an
+    * earlier run (or an interrupted one) left behind, making the 10x
+    * and 20x readings incomparable (first seen as a 20x jaccard
+    * median FASTER than the 10x one). Drop everything keyed to the
+    * dir before regenerating. */
+  private def freshDir(spark: SparkSession, d: String): Unit = {
+    import graft.queries.{DedupQueries, SimilarityQueries}
+    rmrf(d)
+    DedupQueries.dropShingleIndex(spark, d)
+    Seq("text", "text-lake").foreach(k =>
+      rmrf(DedupQueries.clusterModelPath(d, k)))
+    SimilarityQueries.dropIvfAssignments(spark, d)
+    rmrf(new java.io.File(SimilarityQueries.ivfModelPath(d)).getParent)
+    rmrf(new java.io.File(SimilarityQueries.pqModelPath(d)).getParent)
+  }
+
   private def time3(f: => Long): (Double, Long) = {
     var rows = 0L
     val ts = (0 until 3).map { _ =>
@@ -104,6 +132,7 @@ object ScaleDemo {
 
     // ---------------- text dedup family at ×10 ----------------
     println(s"[scale] generating ${Factor}x corpus at $tenDir from $oneDir")
+    freshDir(spark, tenDir)
     synthDocs(spark, oneDir, tenDir, Factor)
     val results = Seq(oneDir, tenDir).map { d =>
       val (train, _) = timed {
@@ -136,6 +165,7 @@ object ScaleDemo {
 
     // ------------- q_ngram_jaccard exponent pin at ×20 -------------
     println(f"%n[scale] generating 20x corpus at $twentyDir")
+    freshDir(spark, twentyDir)
     synthDocs(spark, oneDir, twentyDir, 2 * Factor)
     val (train20, _) = timed {
       graft.queries.DedupQueries.trainShingleIndex(spark, twentyDir)
@@ -170,8 +200,14 @@ object ScaleDemo {
     // scaling a 100 TB deployment uses (nlist ∝ N); the knob folds into
     // the artifact paths, so this never touches the 1x artifacts
     println(s"[scale] generating ${Factor}x embeddings at $tenVecDir")
+    freshDir(spark, tenVecDir)
     synthEmb(spark, oneDir, tenVecDir, Factor)
     System.setProperty("graft.ivf.nlist", (16 * Factor).toString)
+    // the nlist knob folds into the artifact paths, so the scaled
+    // quantizer's artifacts need their own fresh-state drop too
+    graft.queries.SimilarityQueries.dropIvfAssignments(spark, tenVecDir)
+    rmrf(new java.io.File(
+      graft.queries.SimilarityQueries.ivfModelPath(tenVecDir)).getParent)
     val vec10 =
       try {
         val (trainV10, _) = timed {
