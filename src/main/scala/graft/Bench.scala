@@ -78,18 +78,26 @@ object Bench {
     // reported as its own "cold" column, so first-touch cost stays
     // visible instead of polluting the steady-state gate signal.
     val loadAfterWarmup = loadAvg()
-    // Per-cold load sampled immediately BEFORE and AFTER each measurement:
-    // the r17 driver run carried a 71 s q_vwap cold (117× its own median)
-    // that the phase-boundary loads could neither explain nor retry — a
-    // cold reading is a single unrepeated sample, so it needs its own
-    // contention evidence attached the way rep medians already have theirs.
-    val coldRows = headline.map { q =>
+    // THE one timed measurement: host load sampled immediately before and
+    // after, failure visibly -1.0 (never a plausible elapsed time). Every
+    // measuring site below uses this so the failure handling and load
+    // sampling cannot drift apart.
+    def timedWithLoad(f: => Unit): (Double, Double, Double) = {
       val lb = loadAvg()
       val t0 = System.nanoTime()
       val t =
-        try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { f; (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      (q.name, t, lb, loadAvg())
+      (t, lb, loadAvg())
+    }
+    // Per-cold load attached to each measurement: the r17 driver run
+    // carried a 71 s q_vwap cold (117× its own median) that the
+    // phase-boundary loads could neither explain nor retry — a cold
+    // reading is a single unrepeated sample, so it needs its own
+    // contention evidence the way rep medians already have theirs.
+    val coldRows = headline.map { q =>
+      val (t, lb, la) = timedWithLoad(q.fn(spark, sfDir).count())
+      (q.name, t, lb, la)
     }
     val coldTimes = coldRows.map { case (n, t, _, _) => (n, t) }
     // 3 reps per query, report the MEDIAN: a single-shot record lets one
@@ -120,14 +128,9 @@ object Bench {
       scala.collection.mutable.ArrayBuffer.empty[Double])
     def runRound(idxs: Seq[Int], rounds: Int): Unit =
       for (_ <- 0 until rounds; i <- idxs) {
-        val q = headline(i)
-        val t0 = System.nanoTime()
-        // a failed rep must be visibly -1, never a plausible elapsed time
-        val t =
-          try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+        val (t, _, la) = timedWithLoad(headline(i).fn(spark, sfDir).count())
         repTimes(i) += t
-        repLoads(i) += loadAvg()
+        repLoads(i) += la
       }
     runRound(headline.indices, Reps)
     def medianOf(reps: Seq[Double]): Double = {
@@ -140,27 +143,29 @@ object Bench {
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
-    // Auto re-rep: a query whose median is >2× its own same-run minimum
-    // while host load was elevated is exactly the contention signature —
-    // the fast rep proves the steady-state plan, the slow ones carry the
-    // co-tenant. Give those queries three more interleaved reps; with 6
-    // reps the median sheds up to three contaminated samples on its own
-    // and the next noisy driver run settles itself without a judge re-run.
-    // The load gate is RELATIVE to this run's own typical load (the bench
-    // itself keeps the 1-min average well above any absolute threshold on
-    // local[32], so an absolute gate was vacuous): only reps that saw load
-    // spike above 1.25× the run's median load count as contended. A
-    // genuinely bimodal CODE regression under steady load is therefore
-    // NOT re-repped (no selective resampling), and a re-repped real
-    // regression's extra reps stay slow anyway. Disclosed via
-    // rerep_load_baseline + rerepped in the JSON.
+    // Auto re-rep: a query whose median is >2× its own same-run minimum is
+    // the contention signature — the fast rep proves the steady-state
+    // plan, the slow ones carry the co-tenant. Give those queries three
+    // more interleaved reps; with 6 reps the median sheds up to three
+    // contaminated samples on its own and the next noisy driver run
+    // settles itself without a judge re-run. Deliberately UNGATED on
+    // load: an absolute load gate was vacuous (the bench's own local[32]
+    // load always exceeded it) and a relative one misses the common case
+    // — a ~10 s co-tenant burst contaminates two reps of a ~1 s query
+    // while moving the sluggish 1-min average by far less than any sane
+    // threshold. The selective-resampling risk this trades for is
+    // bounded and disclosed: re-repped queries are listed in `rerepped`,
+    // per-rep times stay in `reps`, and a genuinely bimodal CODE
+    // regression's extra reps stay slow, so its 6-rep median still
+    // carries the regression. `rerep_load_baseline` (this run's median
+    // rep load ≈ the bench's own steady state) is emitted so max_rep_load
+    // can be read against it.
     val allLoads = repLoads.flatMap(_.filter(_ >= 0))
     val runMedLoad =
       if (allLoads.isEmpty) -1.0 else allLoads.sorted.apply(allLoads.length / 2)
     val suspects = headline.indices.filter { i =>
       val ok = repTimes(i).filter(_ >= 0)
-      ok.nonEmpty && medianOf(repTimes(i).toSeq) > 2.0 * ok.min &&
-        runMedLoad > 0 && repLoads(i).max >= 1.25 * runMedLoad
+      ok.nonEmpty && medianOf(repTimes(i).toSeq) > 2.0 * ok.min
     }
     if (suspects.nonEmpty) runRound(suspects, Reps)
     val results = headline.zipWithIndex.map { case (q, i) =>
@@ -177,13 +182,8 @@ object Bench {
       val cold = coldRows(i)._2
       val med = results(i)._2
       if (cold >= 0 && med > 0 && cold > 10.0 * med) {
-        val lb = loadAvg()
-        val t0 = System.nanoTime()
-        val t =
-          try { headline(i).fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
-        Some((headline(i).name, t, lb, loadAvg()))
+        val (t, lb, la) = timedWithLoad(headline(i).fn(spark, sfDir).count())
+        Some((headline(i).name, t, lb, la))
       } else None
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -68,10 +68,14 @@ object ScaleDemo {
     val reps = spark.range(factor).select(col("id").as("rep"))
     // per-replica cyclic dimension rotation: replica k's vector is the
     // base vector rolled k·7 dims (7 is coprime-ish to 64 so replicas
-    // spread). A rotation is an orthogonal map — every intra-replica
-    // dot product (and hence every near-dup pair and its cosine) is
-    // EXACTLY the base corpus's — while cross-replica cosines decohere,
-    // so factor× vectors at a constant duplicate rate
+    // spread). A rotation is an orthogonal map, so every intra-replica
+    // dot product (and hence the near-dup structure) is the base
+    // corpus's up to float summation ORDER — the fold visits the same
+    // products rotated, which can move the sum a few ulps, so a pair
+    // sitting exactly on a 6-dp rounding edge could flip in some
+    // replica; the duplicate rate is constant to that tolerance, not
+    // bit-exact. Cross-replica cosines decohere, so factor× vectors at
+    // a ~constant duplicate rate
     base.crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("rep") * n).as("vec_id"),

@@ -70,8 +70,14 @@ class CrossProcessSpec extends SparkSpec {
     while (child.isAlive && loops < 600) {
       val m = lad.compactTiered(spark, minRun = 2)
       lad.gc(spark, graceMs = 3000L)
-      if (seenBound > 16L) mergesAfterChildCommits += m
+      // read the bound AFTER the merge before crediting it: a slow
+      // iteration can span several child appends, and a merge that
+      // consumed those slices must count even though the PREVIOUS
+      // iteration's bound read predates them (crediting against the
+      // stale bound left mergesAfterChildCommits at 0 with nothing
+      // for the post-exit retry to merge — a spurious failure)
       seenBound = math.max(seenBound, lad.bound(spark).getOrElse(0L))
+      if (seenBound > 16L) mergesAfterChildCommits += m
       Thread.sleep(250)
       loops += 1
     }
