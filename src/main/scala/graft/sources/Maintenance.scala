@@ -86,9 +86,18 @@ object Maintenance {
       MultimodalQueries.gcVideoSigIndex(spark, dir, graceMs); n
     }
     if (errors.nonEmpty) {
+      // the per-leg root causes belong in the MESSAGE: schedulers and
+      // test reports routinely print only getMessage, and a composite
+      // that says "1 leg failed" without the why costs a log dive per
+      // incident (suppressed exceptions still carry the full traces)
+      val causes = errors.map { e =>
+        val root = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).toSeq.last
+        s"${e.getMessage}: ${root.getClass.getSimpleName}: ${root.getMessage}"
+      }.mkString("; ")
       val ex = new RuntimeException(
         s"${errors.size} maintenance leg(s) failed " +
-          s"(${merges} merges completed on the others)")
+          s"(${merges} merges completed on the others): $causes")
       errors.foreach(ex.addSuppressed)
       throw ex
     }

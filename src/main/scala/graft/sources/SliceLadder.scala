@@ -172,8 +172,28 @@ final class SliceLadder(
     * next mutation's [[sweep]] finishes the interrupted cleanup). The
     * RESOLVED ladder is then validated CONTIGUOUS from 0 — a gap, or an
     * overlap that is not containment, means manifest corruption and
-    * must surface, not be read through. */
+    * must surface, not be read through.
+    *
+    * Validation failures are retried over a fresh listing before they
+    * surface: a directory listing that races a CROSS-PROCESS writer's
+    * same-dir marker rename (or this process's subsumed-marker delete)
+    * can transiently miss a dirent outright — the getdents cursor may
+    * already be past the new name's slot — and the resolved ladder then
+    * shows a spurious gap. True manifest corruption persists across
+    * re-listings; a listing race does not (seen once as a one-in-many
+    * flake of the five-artifact cross-process suite: a maintenance leg
+    * died on "gap" while the child JVM's appends were all committed). */
   def ladder(spark: SparkSession): Seq[(Long, Long)] = {
+    var last: Throwable = null
+    for (attempt <- 0 to 3) {
+      if (attempt > 0) Thread.sleep(50L * attempt)
+      try return ladderOnce(spark)
+      catch { case e: IllegalArgumentException => last = e }
+    }
+    throw last
+  }
+
+  private def ladderOnce(spark: SparkSession): Seq[(Long, Long)] = {
     val d = new Path(markerDir)
     val hfs = fs(spark, markerDir)
     if (!hfs.exists(d)) Nil
