@@ -200,6 +200,12 @@ object ScaleDemo {
       println(f"[scale] $oneDir $q%-24s median=$med%.2f s rows=$rows")
       q -> (med, rows)
     }.toMap
+    // recall alongside time (NPROBE is FIXED at both scales — see the
+    // verdict print below), and the semdedup candidate count, so the
+    // growth table separates output-bound from plan-bound growth
+    val recall1 = graft.queries.SimilarityQueries
+      .annRecallStats(spark, oneDir).find(_.route == "ivf").get
+    val cands1 = semdedupCandidates(spark, oneDir)
     // 10x side: ×10 vectors AND ×10 lists — the occupancy-constant
     // scaling a 100 TB deployment uses (nlist ∝ N); the knob folds into
     // the artifact paths, so this never touches the 1x artifacts
@@ -212,7 +218,7 @@ object ScaleDemo {
     graft.queries.SimilarityQueries.dropIvfAssignments(spark, tenVecDir)
     rmrf(new java.io.File(
       graft.queries.SimilarityQueries.ivfModelPath(tenVecDir)).getParent)
-    val vec10 =
+    val (vec10, recall10, cands10) =
       try {
         val (trainV10, _) = timed {
           graft.queries.SimilarityQueries.trainIvfCentroids(spark, tenVecDir)
@@ -223,12 +229,15 @@ object ScaleDemo {
           f"${Factor}x (nlist x$Factor) $trainV10%.1f s")
         VecQueries.foreach(q =>
           Registry.byName(q).fn(spark, tenVecDir).count())
-        VecQueries.map { q =>
+        val m = VecQueries.map { q =>
           val (med, rows) = time3(
             Registry.byName(q).fn(spark, tenVecDir).count())
           println(f"[scale] $tenVecDir $q%-24s median=$med%.2f s rows=$rows")
           q -> (med, rows)
         }.toMap
+        val r10 = graft.queries.SimilarityQueries
+          .annRecallStats(spark, tenVecDir).find(_.route == "ivf").get
+        (m, r10, semdedupCandidates(spark, tenVecDir))
       } finally System.clearProperty("graft.ivf.nlist")
     println(f"%n[scale] vector growth at ${Factor}x vectors, nlist x$Factor (occupancy constant; linear = ${Factor}.0):")
     var worstV = 0.0
@@ -241,6 +250,70 @@ object ScaleDemo {
     }
     val verdictV = if (worstV <= Factor * 1.5) "PASS (~linear)" else "WARN"
     println(f"[scale] worst vector time growth x$worstV%.1f -> $verdictV")
+    // NPROBE is FIXED (3) at both scales while nlist grows ×10, so the
+    // probed corpus FRACTION shrinks ×10 (3/16 → 3/160): the time table
+    // above is occupancy-constant, fraction-shrinking — the way a
+    // deployment that holds per-query latency constant scales — and the
+    // recall cost of that choice is reported here rather than hidden
+    println(f"[scale] ivf recall under fixed nprobe=3 (probed fraction " +
+      f"shrinks x$Factor): 1x recall@10=${recall1.recallAt10}%.2f " +
+      f"visited=${recall1.visitedFraction * 100}%.1f%%  " +
+      f"${Factor}x recall@10=${recall10.recallAt10}%.2f " +
+      f"visited=${recall10.visitedFraction * 100}%.1f%%")
+
+    // ---------- q_semdedup_incremental exponent pin at ×20 ----------
+    // the vector family's closest-to-superlinear ×10 reading (×6.1 time,
+    // output ×31.3 in round 18) gets the same treatment that caught the
+    // jaccard broadcast cliff: a ×20 leg with CANDIDATES and OUTPUT
+    // counted alongside time, so output-bound growth (pairs Σbᵢ·nᵢ over
+    // constant-occupancy lists) is separable from a plan regression
+    val twentyVecDir = "/tmp/graft_scale20v"
+    println(f"%n[scale] generating ${2 * Factor}x embeddings at $twentyVecDir")
+    freshDir(spark, twentyVecDir)
+    synthEmb(spark, oneDir, twentyVecDir, 2 * Factor)
+    System.setProperty("graft.ivf.nlist", (16 * 2 * Factor).toString)
+    graft.queries.SimilarityQueries.dropIvfAssignments(spark, twentyVecDir)
+    rmrf(new java.io.File(
+      graft.queries.SimilarityQueries.ivfModelPath(twentyVecDir)).getParent)
+    try {
+      val (trainV20, _) = timed {
+        graft.queries.SimilarityQueries.trainIvfCentroids(spark, twentyVecDir)
+        graft.queries.SimilarityQueries.trainIvfAssignments(spark, twentyVecDir)
+      }
+      println(f"[scale] ${2 * Factor}x offline vector train " +
+        f"(nlist x${2 * Factor}): $trainV20%.1f s")
+      Registry.byName("q_semdedup_incremental").fn(spark, twentyVecDir)
+        .count() // warm
+      val (t20v, r20v) = time3(
+        Registry.byName("q_semdedup_incremental").fn(spark, twentyVecDir)
+          .count())
+      val cands20 = semdedupCandidates(spark, twentyVecDir)
+      val (t10v, r10v) = vec10("q_semdedup_incremental")
+      val eV = math.log(t20v / t10v) / math.log(2.0)
+      val eOut = math.log(r20v.toDouble / math.max(1L, r10v)) / math.log(2.0)
+      val eCand = math.log(cands20.toDouble / math.max(1L, cands10)) /
+        math.log(2.0)
+      println(f"[scale] q_semdedup_incremental x20: median=$t20v%.2f s " +
+        f"rows=$r20v cands=$cands20 (x10: $t10v%.2f s rows=$r10v " +
+        f"cands=$cands10; x1 cands=$cands1)")
+      println(f"[scale] q_semdedup_incremental exponents (x10->x20): " +
+        f"time e=$eV%.2f, output e=$eOut%.2f, candidates e=$eCand%.2f -> " +
+        (if (eV <= eCand + 0.3) "PASS (time tracks candidate volume)"
+         else "WARN (time grows past the candidate count: plan regression)"))
+    } finally System.clearProperty("graft.ivf.nlist")
     spark.stop()
+  }
+
+  /** The semdedup candidate volume — the pre-cosine join size Σ over
+    * lists of batch×earlier co-occupants — counted with the SAME
+    * inverted-file read the query uses, so the exponent table can
+    * attribute time growth to candidates vs plan. */
+  private def semdedupCandidates(spark: SparkSession, d: String): Long = {
+    import graft.queries.{DedupQueries, SimilarityQueries}
+    val a = SimilarityQueries.assignmentsFromIndex(spark, d)
+    val batch = a.filter(col("vec_id") >= DedupQueries.LakeVecBound)
+    a.as("a").join(batch.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .count()
   }
 }

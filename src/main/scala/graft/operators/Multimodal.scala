@@ -518,7 +518,20 @@ object Multimodal {
       .filter(col("bucket_n") > bucketCap)
       .select("b", "v")
     val okb = bands.join(broadcast(hot), Seq("b", "v"), "left_anti")
-    okb.as("a").join(okb.as("c"),
+    // SHUFFLE_HASH-hinted on both sides (round 19): BOTH sides are the
+    // corpus's band table, so broadcastability is a small-corpus accident
+    // with a mid-scale cliff — the round-18 jaccard audit showed Catalyst
+    // statically broadcasting a corpus-sized side that sat under the
+    // 64 MB estimate, with the exchange-free probe inheriting the sig
+    // source's (often single-file) scan partitioning: the whole pair
+    // generation in ONE task. The hint pins the plan every deployment
+    // size wants — hash-exchange both sides on (b, v), parallelism =
+    // shuffle partitions — while keeping the module's no-sort-merge
+    // stance (8-byte signatures hash-join; the per-partition build side
+    // is band rows / partitions, bounded by the hot-bucket cap's skew
+    // ceiling). Same policy at every okb self-join in MultimodalQueries.
+    okb.as("a").hint("SHUFFLE_HASH")
+      .join(okb.as("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))
       .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),

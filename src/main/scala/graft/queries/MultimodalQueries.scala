@@ -448,8 +448,8 @@ object MultimodalQueries {
     val srcs = mediaSrcs(spark, dir)
     val okb = okbOf(mediaSigsCached(spark, dir)
       .join(srcs.select("media_id", "src_num"), "media_id"))
-    val drops = okb.filter(col("src_num") >= 10).as("x")
-      .join(okb.as("y"),
+    val drops = okb.filter(col("src_num") >= 10).as("x").hint("SHUFFLE_HASH")
+      .join(okb.as("y").hint("SHUFFLE_HASH"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.media_id") =!= col("y.media_id") &&
           (col("y.src_num") < 10 ||
@@ -537,12 +537,14 @@ object MultimodalQueries {
       .filter(col("src_num") < batchBound))
     val okbB = okb.filter(col("src_num") >= lakeBound)
     val okbL = okb.filter(col("src_num") < lakeBound)
-    val bb = okbB.as("a").join(okbB.as("c"),
+    val bb = okbB.as("a").hint("SHUFFLE_HASH")
+      .join(okbB.as("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))
       .filter(expr("bit_count(a.phash ^ c.phash) <= 3"))
       .select(col("a.media_id").as("doc_a"), col("c.media_id").as("doc_b"))
-    val bl = okbB.as("a").join(okbL.as("c"),
+    val bl = okbB.as("a").hint("SHUFFLE_HASH")
+      .join(okbL.as("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v"))
       .filter(expr("bit_count(a.phash ^ c.phash) <= 3"))
       .select(least(col("a.media_id"), col("c.media_id")).as("doc_a"),
@@ -849,12 +851,14 @@ object MultimodalQueries {
       .filter(col("src_num") < batchBound))
     val okbB = okb.filter(col("src_num") >= lakeBound)
     val okbL = okb.filter(col("src_num") < lakeBound)
-    val bb = okbB.as("a").join(okbB.as("c"),
+    val bb = okbB.as("a").hint("SHUFFLE_HASH")
+      .join(okbB.as("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))
       .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
       .select(col("a.media_id").as("doc_a"), col("c.media_id").as("doc_b"))
-    val bl = okbB.as("a").join(okbL.as("c"),
+    val bl = okbB.as("a").hint("SHUFFLE_HASH")
+      .join(okbL.as("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v"))
       .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
       .select(least(col("a.media_id"), col("c.media_id")).as("doc_a"),
@@ -997,8 +1001,8 @@ object MultimodalQueries {
     val srcs = mediaSrcs(spark, dir)
     val okb = okbOf(audioSigsDs(spark, dir).toDF()
       .join(srcs.select("media_id", "src_num"), "media_id"))
-    val drops = okb.filter(col("src_num") >= 10).as("x")
-      .join(okb.as("y"),
+    val drops = okb.filter(col("src_num") >= 10).as("x").hint("SHUFFLE_HASH")
+      .join(okb.as("y").hint("SHUFFLE_HASH"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.media_id") =!= col("y.media_id") &&
           (col("y.src_num") < 10 ||
@@ -1333,12 +1337,14 @@ object MultimodalQueries {
       .filter(col("src_num") < batchBound))
     val okbB = okb.filter(col("src_num") >= lakeBound)
     val okbL = okb.filter(col("src_num") < lakeBound)
-    val bb = okbB.as("a").join(okbB.as("c"),
+    val bb = okbB.as("a").hint("SHUFFLE_HASH")
+      .join(okbB.as("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))
       .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
       .select(col("a.media_id").as("doc_a"), col("c.media_id").as("doc_b"))
-    val bl = okbB.as("a").join(okbL.as("c"),
+    val bl = okbB.as("a").hint("SHUFFLE_HASH")
+      .join(okbL.as("c").hint("SHUFFLE_HASH"),
         col("a.b") === col("c.b") && col("a.v") === col("c.v"))
       .filter(expr("bit_count(a.phash ^ c.phash) <= 2"))
       .select(least(col("a.media_id"), col("c.media_id")).as("doc_a"),
@@ -1558,8 +1564,8 @@ object MultimodalQueries {
     val srcs = mediaSrcs(spark, dir)
     val okb = okbOf(videoSigsDs(spark, dir).toDF()
       .join(srcs.select("media_id", "src_num"), "media_id"))
-    val drops = okb.filter(col("src_num") >= 10).as("x")
-      .join(okb.as("y"),
+    val drops = okb.filter(col("src_num") >= 10).as("x").hint("SHUFFLE_HASH")
+      .join(okb.as("y").hint("SHUFFLE_HASH"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.media_id") =!= col("y.media_id") &&
           (col("y.src_num") < 10 ||

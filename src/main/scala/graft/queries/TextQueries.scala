@@ -1057,11 +1057,11 @@ object TextQueries {
     val toksDf = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"explode($toks) AS token")
     val freqs = toksDf.groupBy("token").agg(count(lit(1)).as("freq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("token"))
-    val top = freqs
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= VocabK).drop("rnk")
+    // top-K cut as orderBy+limit = TakeOrderedAndProject (each partition
+    // keeps a K-row heap) — the row_number-window form relied on the
+    // optimizer's InferWindowGroupLimit to avoid a single-task sort of
+    // the vocab; this idiom cannot regress (PlanSpec pins the heap)
+    val top = freqs.orderBy(col("freq").desc, col("token")).limit(VocabK)
     val total = toksDf.agg(count(lit(1)).as("total"))
     toksDf.join(broadcast(top), Seq("token"), "left")
       .crossJoin(broadcast(total))
@@ -1122,10 +1122,9 @@ object TextQueries {
     val tokStream = docs.selectExpr(s"explode($toks) AS token")
     val uniFreq = tokStream.groupBy("token").agg(count(lit(1)).as("freq"))
     val total = tokStream.agg(count(lit(1)).as("total"))
-    val wU = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("token"))
-    val uniTop = uniFreq.withColumn("rnk", row_number().over(wU))
-      .filter(col("rnk") <= VocabK).drop("rnk")
+    // same top-K heap idiom as the bigram/trigram cuts below (and the
+    // unigram scorer): TakeOrderedAndProject, never a global rank window
+    val uniTop = uniFreq.orderBy(col("freq").desc, col("token")).limit(VocabK)
     val bgCounts = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
     val bgModel = bgCounts
       .orderBy(col("c2").desc, col("prev"), col("cur")).limit(BigramK)
@@ -2769,6 +2768,46 @@ object TextQueries {
     GROUP BY decile
     ORDER BY decile"""
 
+  /** Distributed twin of [[qualityDeciles]] — identical output (it
+    * shares the exact-NTILE oracle SQL), but the binning is the scale
+    * path the exact form's comment promised: a two-pass global rank
+    * (range repartition → per-partition offsets, a bounded one-row-per-
+    * partition collect → broadcast + map-side bin arithmetic,
+    * [[graft.operators.GlobalRank]]) instead of a partition-less
+    * `ntile(10)` window that would pull the whole corpus into ONE task.
+    * PlanSpec pins the plan: no Window operator anywhere. */
+  private def qualityDecilesScaled(spark: SparkSession,
+      dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    graft.operators.GlobalRank
+      .withNtile(textQuality(spark, dir), "decile", 10,
+        Seq(col("quality_score"), col("doc_id")), parts)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"),
+        Num.r(avg("n_tokens"), 2).as("avg_tokens"))
+      .orderBy("decile")
+  }
+
+  /** Distributed twin of [[classifierCalibration]] — same output and
+    * oracle, deciles via [[graft.operators.GlobalRank]] instead of the
+    * partition-less NTILE window (see [[qualityDecilesScaled]]). */
+  private def classifierCalibrationScaled(spark: SparkSession,
+      dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    graft.operators.GlobalRank
+      .withNtile(nbScoreHeldOut(spark, dir), "decile", 10,
+        Seq(col("score"), col("doc_id")), parts)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("label"), lit(1))).as("n_pos"),
+        Num.r(avg(when(col("label"), 1.0).otherwise(0.0)), 4).as("pos_rate"),
+        min("score").as("min_score"),
+        max("score").as("max_score"))
+      .orderBy("decile")
+  }
+
   /** Top-3 terms per document by term frequency (token asc on ties) —
     * per-group top-k, the keyword-extraction primitive. The rank-≤-k
     * filter compiles to a WindowGroupLimit (pinned in PlanSpec): each
@@ -2813,10 +2852,8 @@ object TextQueries {
       .selectExpr("doc_id", s"explode($toks) AS tok")
       .distinct()
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df").desc, col("tok"))
-    val top = dfreq.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= PmiVocab).drop("rnk")
+    // vocab cap as a distributed top-K heap (TakeOrderedAndProject)
+    val top = dfreq.orderBy(col("df").desc, col("tok")).limit(PmiVocab)
     val nDocs = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val kept = dt.join(broadcast(top), Seq("tok"))
     val a = kept.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
@@ -2887,10 +2924,9 @@ object TextQueries {
       .selectExpr("doc_id", s"explode($toks) AS tok").distinct().persist()
     val (edges, nodes) = try {
       val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("df").desc, col("tok"))
-      val top = dfreq.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= PmiVocab).select("tok")
+      // vocab cap as a distributed top-K heap (TakeOrderedAndProject)
+      val top = dfreq.orderBy(col("df").desc, col("tok")).limit(PmiVocab)
+        .select("tok")
       val nodes = top.orderBy("tok").as[String].collect()
       val kept = dt.filter(col("tok").isin(nodes.toSeq: _*))
       val a = kept.select(col("doc_id"), col("tok").as("src"))
@@ -3009,10 +3045,15 @@ object TextQueries {
     val freqs = Tables(spark, dir, "documents")
       .selectExpr(s"explode($toks) AS tok")
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("tok"))
     val d38 = "decimal(38,0)"
-    freqs.withColumn("rnk", row_number().over(w).cast("long"))
+    // every vocab row needs its exact rank (the regression's x-axis), so
+    // no top-K heap applies — rank via the two-pass distributed path
+    // (GlobalRank), not a partition-less row_number window that would
+    // sort the whole vocabulary in one task
+    val (ranked, _) = graft.operators.GlobalRank.withRank(
+      freqs, "rnk", Seq(col("freq").desc, col("tok")),
+      spark.sessionState.conf.numShufflePartitions)
+    ranked
       .select(
         round((log(col("rnk").cast("double")) + lit(1e-8)) * 1e6)
           .cast("long").as("qx"),
@@ -3224,7 +3265,11 @@ object TextQueries {
     QueryDef("q_classifier_auc", classifierAuc, Some(classifierAucSql)),
     QueryDef("q_classifier_calibration", classifierCalibration,
       Some(classifierCalibrationSql)),
+    QueryDef("q_classifier_calibration_scaled", classifierCalibrationScaled,
+      Some(classifierCalibrationSql)),
     QueryDef("q_quality_deciles", qualityDeciles, Some(qualityDecilesSql)),
+    QueryDef("q_quality_deciles_scaled", qualityDecilesScaled,
+      Some(qualityDecilesSql)),
     QueryDef("q_topk_per_doc", topkPerDoc, Some(topkPerDocSql)),
     QueryDef("q_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q_tfidf", tfidf, Some(tfidfSql)),

@@ -91,8 +91,12 @@ object Maintenance {
       // that says "1 leg failed" without the why costs a log dive per
       // incident (suppressed exceptions still carry the full traces)
       val causes = errors.map { e =>
+        // bounded walk: a deserialized/hand-built cause CYCLE must not
+        // hang the error-reporting path itself (20 levels is far past
+        // any real chain; on a cycle the 20th element stands in for the
+        // root, which still names the failure)
         val root = Iterator.iterate(e: Throwable)(_.getCause)
-          .takeWhile(_ != null).toSeq.last
+          .take(20).takeWhile(_ != null).toSeq.last
         s"${e.getMessage}: ${root.getClass.getSimpleName}: ${root.getMessage}"
       }.mkString("; ")
       val ex = new RuntimeException(

@@ -183,15 +183,8 @@ final class SliceLadder(
     * re-listings; a listing race does not (seen once as a one-in-many
     * flake of the five-artifact cross-process suite: a maintenance leg
     * died on "gap" while the child JVM's appends were all committed). */
-  def ladder(spark: SparkSession): Seq[(Long, Long)] = {
-    var last: Throwable = null
-    for (attempt <- 0 to 3) {
-      if (attempt > 0) Thread.sleep(50L * attempt)
-      try return ladderOnce(spark)
-      catch { case e: IllegalArgumentException => last = e }
-    }
-    throw last
-  }
+  def ladder(spark: SparkSession): Seq[(Long, Long)] =
+    SliceLadder.retryValidation(() => ladderOnce(spark))
 
   private def ladderOnce(spark: SparkSession): Seq[(Long, Long)] = {
     val d = new Path(markerDir)
@@ -200,12 +193,12 @@ final class SliceLadder(
     else {
       val entries = resolve(rawMarkers(spark))
       entries.headOption.foreach { h =>
-        require(h._1 == 0L,
+        if (h._1 != 0L) throw new SliceLadder.LadderCorruption(
           s"$what ladder at $base is corrupt: first slice starts at " +
             s"${h._1}, not 0") }
       entries.sliding(2).foreach {
         case Seq((_, hiA), (loB, _)) =>
-          require(hiA == loB,
+          if (hiA != loB) throw new SliceLadder.LadderCorruption(
             s"$what ladder at $base is corrupt: slice boundary $hiA is " +
               s"followed by $loB (gap or overlap)")
         case _ => ()
@@ -736,6 +729,33 @@ object SliceLadder {
     * so two lakes never share a lock. */
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Manifest-validation failure: the resolved ladder is not contiguous
+    * from 0. A DEDICATED type (round-19 hardening) so the
+    * race-vs-corruption retry in [[SliceLadder.ladder]] filters by
+    * intent, not by accident of exception class: every validation path
+    * that means "this listing looks corrupt" throws this and gets the
+    * bounded re-listing; anything else (caller misuse, IO errors)
+    * surfaces immediately. Extends IllegalArgumentException so callers
+    * that matched the old contract still do. */
+  final class LadderCorruption(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Bounded re-listing for manifest validation (see [[SliceLadder
+    * .ladder]]'s doc): a directory listing that races a same-dir marker
+    * rename can transiently miss a dirent, and the resolved ladder then
+    * shows a spurious gap — retried over FRESH listings with backoff.
+    * True corruption persists across re-listings and surfaces after the
+    * last attempt; non-[[LadderCorruption]] throws surface at once. */
+  private[graft] def retryValidation[A](f: () => A): A = {
+    var last: Throwable = null
+    for (attempt <- 0 to 3) {
+      if (attempt > 0) Thread.sleep(50L * attempt)
+      try return f()
+      catch { case e: LadderCorruption => last = e }
+    }
+    throw last
+  }
 
   /** Newest modification time anywhere under `p` — the path's own or
     * any descendant's, files AND directories. This is THE liveness

@@ -92,11 +92,21 @@ class CrossProcessSpec extends SparkSpec {
     // the loop a bounded post-exit window rather than fail on timing
     // (the concurrency itself was exercised either way: every live-loop
     // merge+gc ran against a committing writer)
+    // record the LIVE-interleaved count before the post-exit window: the
+    // bounded retry below means a starved host can pass with zero live
+    // merges, and that weaker outcome must be VISIBLE in the test report
+    // (info line), not indistinguishable from the interleaved case
+    val liveMerges = mergesAfterChildCommits
     var extra = 0
     while (mergesAfterChildCommits == 0 && extra < 20) {
       mergesAfterChildCommits += lad.compactTiered(spark, minRun = 2)
       extra += 1
     }
+    info(s"live-interleaved merges: $liveMerges over $loops loops" +
+      (if (liveMerges == 0)
+        s" — NO merge raced the live child on this host; " +
+          s"$mergesAfterChildCommits landed in the post-exit window"
+      else " (maintenance raced the committing writer)"))
     assert(mergesAfterChildCommits >= 1,
       s"maintenance never merged the child's appends " +
         s"($loops live loops, $extra retries, bound reached $seenBound)")

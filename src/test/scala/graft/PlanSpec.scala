@@ -656,4 +656,53 @@ class PlanSpec extends SparkSpec {
           s"$q must not fall back to the union-trick shape:\n$plan")
       }
   }
+
+  test("scaled decile path: no window anywhere, and rows equal the exact NTILE twin") {
+    // the distributed decile path (GlobalRank two-pass rank + map-side
+    // bin) replaces the partition-less ntile(10) window — the one shape
+    // where every document lands in a single task and no group-limit
+    // rewrite can help (every row needs a bin). The scaled plan must
+    // contain NO Window operator at all; its rows must equal the exact
+    // NTILE twin, which stays registered as the oracle form
+    Seq("q_quality_deciles" -> "q_quality_deciles_scaled",
+        "q_classifier_calibration" -> "q_classifier_calibration_scaled")
+      .foreach { case (exact, scaled) =>
+        val df = Registry.byName(scaled).fn(spark, sf)
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"),
+          s"$scaled must not plan any window:\n$plan")
+        val expect = Registry.byName(exact).fn(spark, sf).collect()
+        assert(rows.map(_.toString).toSeq == expect.map(_.toString).toSeq,
+          s"$scaled diverged from $exact")
+      }
+  }
+
+  test("vocab-cut rank windows are gone: top-K cuts are distributed heaps") {
+    // round-18 verdict: the five vocab cuts were scale-safe only because
+    // InferWindowGroupLimit happened to recognize the row_number+filter
+    // form — nothing pinned it. They are now the explicit orderBy+limit
+    // idiom (TakeOrderedAndProject: per-partition K-row heaps), and this
+    // test makes a regression to a single-task vocab rank fail CI.
+    // (q_textrank's cut is the same rewrite but runs inside its model
+    // collect, so its final DataFrame plan is not inspectable here;
+    // q_zipf needs EVERY vocab rank and is pinned separately below.)
+    Seq("q_unigram_logprob", "q_pmi_pairs", "q_lm_interp").foreach { q =>
+      val plan = finalPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q vocab cut lost its distributed top-K heap:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$q must not plan any rank window:\n$plan")
+    }
+  }
+
+  test("zipf regression ranks the vocab through the two-pass path, not a window") {
+    // q_zipf needs the exact rank of EVERY vocab row (the regression's
+    // x-axis), so no heap cut applies — it must use GlobalRank's
+    // range-repartition + offset arithmetic, never a partition-less
+    // row_number window over the vocabulary
+    val plan = finalPlan("q_zipf")
+    assert(!plan.contains("Window"),
+      s"q_zipf must not plan a global rank window:\n$plan")
+  }
 }

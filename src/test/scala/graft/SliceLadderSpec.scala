@@ -163,11 +163,47 @@ class SliceLadderSpec extends SparkSpec {
     val lad = mkLadder(base)
     lad.train(spark, 6L)
     lad.append(spark, 12L)
-    // simulate a lost marker (manual deletion / partial restore)
+    // simulate a lost marker (manual deletion / partial restore) — a
+    // PERSISTENT gap: every re-listing of the retry sees it, so it must
+    // surface as the dedicated corruption type, not be read through
     val gone = new java.io.File(s"$base/ladder/e0-6")
     assert(gone.delete())
-    intercept[IllegalArgumentException] { lad.ladder(spark) }
-    intercept[IllegalArgumentException] { lad.read(spark) }
+    intercept[SliceLadder.LadderCorruption] { lad.ladder(spark) }
+    intercept[SliceLadder.LadderCorruption] { lad.read(spark) }
+  }
+
+  test("validation retry: transient gaps heal over a fresh listing, foreign throws surface at once") {
+    // the race-vs-corruption filter, tested on the retry itself: a
+    // listing race manifests as LadderCorruption that STOPS recurring
+    // once the renamed marker is visible — the retry must absorb it
+    var calls = 0
+    val healed = SliceLadder.retryValidation { () =>
+      calls += 1
+      if (calls <= 2) throw new SliceLadder.LadderCorruption("transient gap")
+      Seq((0L, 8L))
+    }
+    assert(healed == Seq((0L, 8L)) && calls == 3,
+      s"transient corruption must heal via re-listing (calls=$calls)")
+    // a validation path that throws anything OTHER than LadderCorruption
+    // is not a listing race — it must surface immediately, unretried
+    var foreign = 0
+    intercept[IllegalStateException] {
+      SliceLadder.retryValidation[Unit] { () =>
+        foreign += 1
+        throw new IllegalStateException("not a validation failure")
+      }
+    }
+    assert(foreign == 1, s"foreign exceptions must not retry (calls=$foreign)")
+    // persistent corruption exhausts the bounded retries, then surfaces
+    var persistent = 0
+    intercept[SliceLadder.LadderCorruption] {
+      SliceLadder.retryValidation[Unit] { () =>
+        persistent += 1
+        throw new SliceLadder.LadderCorruption("real gap")
+      }
+    }
+    assert(persistent == 4,
+      s"persistent corruption must exhaust all attempts (calls=$persistent)")
   }
 
   test("ladder property: random append/crash/replay sequences never corrupt committed state") {
