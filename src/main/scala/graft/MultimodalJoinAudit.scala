@@ -62,6 +62,24 @@ object MultimodalJoinAudit {
         .count(_.contains("BroadcastExchange"))
       println(f"$n%-32s initial: [${count(joins(initialP))}] " +
         f"final: [${count(joins(finalP))}] staticBroadcasts=$staticBc")
+      if (args.contains("-v")) {
+        // the build subtree under each static BroadcastExchange: the
+        // next few deeper lines name the relation being broadcast, which
+        // is what classifies it (bounded model vs corpus-derived side)
+        val lines = initialP.linesIterator.toVector
+        def depth(s: String) = s.takeWhile(c => !c.isLetter).length
+        lines.zipWithIndex
+          .filter(_._1.contains("BroadcastExchange")).foreach {
+            case (l, i) =>
+              val d = depth(l)
+              val sub = lines.drop(i + 1).takeWhile(depth(_) > d)
+                .filter(x => x.contains("Scan") || x.contains("Aggregate")
+                  || x.contains("Join") || x.contains("Project"))
+                .take(4)
+              println(s"    broadcast@$i builds:")
+              sub.foreach(s => println(s"      ${s.trim.take(150)}"))
+          }
+      }
     }
     spark.stop()
   }

@@ -50,9 +50,19 @@ object GlobalRank {
       parts: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Eager localCheckpoint: ONE materialization of the range-sorted
+    // input feeds both passes — without it pass 2 re-executes the whole
+    // upstream pipeline (for the calibration deciles that means scoring
+    // the corpus through the classifier twice). The blocks are
+    // executor-local MEMORY_AND_DISK — at cluster scale that is the
+    // same cost class as the range exchange itself (a two-pass
+    // distributed sort materializes between passes by construction) —
+    // and it also hard-guarantees both passes see identical rows, so
+    // the collected offsets can never drift from the ranked output.
     val sorted = df.repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__gr_mid", monotonically_increasing_id())
+      .localCheckpoint()
     // Pass 1: per-range-partition row counts. Bounded collect: at most
     // `parts` (pid, count) pairs — a model-sized table, never data.
     val perPart = sorted
