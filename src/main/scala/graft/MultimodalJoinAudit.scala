@@ -29,7 +29,10 @@ object MultimodalJoinAudit {
     "q_video_clusters_incremental")
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(
+    // flags must not be consumed as the sfDir positional: a bare `-v`
+    // run should audit the default dir verbosely, not train artifacts
+    // under a literal ./-v path
+    val dir = args.filterNot(_.startsWith("-")).headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     // the artifact state the queries fail-fast on
@@ -67,7 +70,14 @@ object MultimodalJoinAudit {
         // next few deeper lines name the relation being broadcast, which
         // is what classifies it (bounded model vs corpus-derived side)
         val lines = initialP.linesIterator.toVector
-        def depth(s: String) = s.takeWhile(c => !c.isLetter).length
+        // tree depth = position where the operator name (or its `*(N)`
+        // codegen marker) starts — counting all non-letters would let
+        // codegen-id digits and the `*(N) ` prefix skew sibling depths
+        // and mis-slice the very subtree the -v mode exists to show
+        def depth(s: String) = {
+          val i = s.indexWhere(c => c.isLetter || c == '*')
+          if (i < 0) s.length else i
+        }
         lines.zipWithIndex
           .filter(_._1.contains("BroadcastExchange")).foreach {
             case (l, i) =>

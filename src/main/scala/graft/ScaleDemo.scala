@@ -203,8 +203,7 @@ object ScaleDemo {
     // recall alongside time (NPROBE is FIXED at both scales — see the
     // verdict print below), and the semdedup candidate count, so the
     // growth table separates output-bound from plan-bound growth
-    val recall1 = graft.queries.SimilarityQueries
-      .annRecallStats(spark, oneDir).find(_.route == "ivf").get
+    val recall1 = graft.queries.SimilarityQueries.annRecallIvf(spark, oneDir)
     val cands1 = semdedupCandidates(spark, oneDir)
     // 10x side: ×10 vectors AND ×10 lists — the occupancy-constant
     // scaling a 100 TB deployment uses (nlist ∝ N); the knob folds into
@@ -235,8 +234,7 @@ object ScaleDemo {
           println(f"[scale] $tenVecDir $q%-24s median=$med%.2f s rows=$rows")
           q -> (med, rows)
         }.toMap
-        val r10 = graft.queries.SimilarityQueries
-          .annRecallStats(spark, tenVecDir).find(_.route == "ivf").get
+        val r10 = graft.queries.SimilarityQueries.annRecallIvf(spark, tenVecDir)
         (m, r10, semdedupCandidates(spark, tenVecDir))
       } finally System.clearProperty("graft.ivf.nlist")
     println(f"%n[scale] vector growth at ${Factor}x vectors, nlist x$Factor (occupancy constant; linear = ${Factor}.0):")

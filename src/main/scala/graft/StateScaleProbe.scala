@@ -59,31 +59,40 @@ object StateScaleProbe {
         spark.conf.set(providerKey, provider)
         val mem = MemoryStream[KeyedValue]
         val h0 = heapUsed()
-        val q = StreamingPipeline.latestPerKeyState(mem.toDS(), "10 minutes")
-          .toDF.writeStream.format("noop")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory(s"graft_ssp_$label")
-              .toString)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-        // micro-batches over the SAME keyspace: state holds nKeys rows
-        // throughout, each batch rewrites every key (the worst-case
-        // update pattern for a latest-per-key operator)
-        var last: org.apache.spark.sql.streaming.StreamingQueryProgress = null
-        (0 until nBatches).foreach { b =>
-          mem.addData(batch(b))
-          val run = q.start()
-          run.awaitTermination()
-          if (run.lastProgress != null) last = run.lastProgress
+        // per-run checkpoint dir, deleted below: the probe runs from
+        // tests too, and leaked sst/delta trees in tmpdir accumulate
+        // across CI runs
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ssp_$label")
+        try {
+          val q = StreamingPipeline.latestPerKeyState(mem.toDS(), "10 minutes")
+            .toDF.writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+          // micro-batches over the SAME keyspace: state holds nKeys rows
+          // throughout, each batch rewrites every key (the worst-case
+          // update pattern for a latest-per-key operator)
+          var last: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+          (0 until nBatches).foreach { b =>
+            mem.addData(batch(b))
+            val run = q.start()
+            run.awaitTermination()
+            if (run.lastProgress != null) last = run.lastProgress
+          }
+          val h1 = heapUsed()
+          // a misconfigured run (no progress reported, or a progress with
+          // no state operator) must surface as a named error, not an NPE
+          val so = Option(last).flatMap(_.stateOperators.headOption)
+            .getOrElse(throw new IllegalStateException(
+              s"state probe [$label]: no micro-batch reported state-operator " +
+                "progress — the pipeline did not run stateful"))
+          Reading(label, so.numRowsTotal, so.memoryUsedBytes, h1 - h0)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
-        val h1 = heapUsed()
-        // a misconfigured run (no progress reported, or a progress with
-        // no state operator) must surface as a named error, not an NPE
-        val so = Option(last).flatMap(_.stateOperators.headOption)
-          .getOrElse(throw new IllegalStateException(
-            s"state probe [$label]: no micro-batch reported state-operator " +
-              "progress — the pipeline did not run stateful"))
-        Reading(label, so.numRowsTotal, so.memoryUsedBytes, h1 - h0)
       }
     } finally before match {
       case Some(v) => spark.conf.set(providerKey, v)

@@ -50,6 +50,13 @@ object GlobalRank {
       parts: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the temp names below are dropped at the end — an input that
+    // already carries one would be silently destroyed (or ambiguous),
+    // so refuse up front
+    val clash = df.columns.toSet
+      .intersect(Set("__gr_mid", "__gr_pid", "__gr_off"))
+    require(clash.isEmpty,
+      s"GlobalRank: input columns collide with temp names: $clash")
     // Eager localCheckpoint: ONE materialization of the range-sorted
     // input feeds both passes — without it pass 2 re-executes the whole
     // upstream pipeline (for the calibration deciles that means scoring
@@ -71,6 +78,16 @@ object GlobalRank {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
+    // the local record index lives in the LOW 33 BITS of
+    // monotonically_increasing_id — a partition beyond 2^33 rows wraps
+    // into the partition-id bits and corrupts ranks SILENTLY. The
+    // counts are already on the driver, so the guard is free: fail
+    // with the fix (raise `parts`) instead of emitting wrong ranks.
+    perPart.find(_._2 >= (1L << 33)).foreach { case (p, c) =>
+      throw new IllegalStateException(
+        s"GlobalRank: range partition $p holds $c rows (>= 2^33, the " +
+          "local-index bit budget) — increase `parts` so no partition " +
+          "exceeds 8.5e9 rows") }
     var acc = 0L
     val offs = perPart.map { case (p, c) => val o = acc; acc += c; (p, o) }
     val offDf = offs.toSeq.toDF("__gr_pid", "__gr_off")
@@ -92,6 +109,8 @@ object GlobalRank {
     * arithmetic — no window anywhere in the plan. */
   def withNtile(df: DataFrame, binCol: String, n: Int, keys: Seq[Column],
       parts: Int): DataFrame = {
+    require(!df.columns.contains("__gr_rank"),
+      "GlobalRank: input already carries the __gr_rank temp column")
     val (ranked, total) = withRank(df, "__gr_rank", keys, parts)
     val base = total / n
     val rem = total % n

@@ -1239,6 +1239,32 @@ object SimilarityQueries {
     out
   }
 
+  /** IVF-only recall reading: ground truth (annBrute) + the IVF route
+    * and its probed-list fraction, nothing else — no PQ codebook
+    * training, no LSH/PQ/IVFPQ runs. This is what ScaleDemo prints at
+    * each scale point; the full four-route table stays
+    * [[annRecallStats]] (RecallEval's diagnostic). */
+  def annRecallIvf(spark: SparkSession, dir: String): AnnRouteStats = {
+    trainIvfCentroids(spark, dir)
+    trainIvfAssignments(spark, dir)
+    val n = Tables(spark, dir, "embeddings").count()
+    val brute = annBrute(spark, dir)
+      .select("query_id", "neighbor_id", "rank").cache()
+    val ranked = centroidScored(spark, dir).cache()
+    val listSizes = centroidAssigned(ranked)
+      .groupBy("c_id").agg(count(lit(1)).as("sz"))
+    val ivfVisited = centroidProbes(ranked)
+      .select("query_id", "c_id")
+      .join(listSizes, "c_id")
+      .groupBy("query_id").agg(sum("sz").as("visited"))
+      .agg(avg((col("visited") - 1.0) / (n - 1.0))).first().getDouble(0)
+    val ivfRes = annIvf(spark, dir).cache()
+    val out = AnnRouteStats("ivf", recallVs(brute, ivfRes, 1),
+      recallVs(brute, ivfRes, TOPK), ivfVisited)
+    Seq(brute, ranked, ivfRes).foreach(_.unpersist())
+    out
+  }
+
   def annRecallStats(spark: SparkSession, dir: String): Seq[AnnRouteStats] = {
     trainIvfCentroids(spark, dir)
     trainIvfAssignments(spark, dir)

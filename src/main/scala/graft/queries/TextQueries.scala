@@ -2693,17 +2693,23 @@ object TextQueries {
     * decile idiom as `q_quality_deciles`). */
   private def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    nbScoreHeldOut(spark, dir)
+    calibrationDecileAgg(nbScoreHeldOut(spark, dir)
       .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).cast("long"))
-      .groupBy("decile")
+        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).cast("long")))
+  }
+
+  /** The calibration table's aggregation over a decile-binned score
+    * frame — ONE definition shared by the exact-NTILE form and the
+    * GlobalRank scaled twin, so the "twins emit identical rows"
+    * contract is structural, not a copy that can drift. */
+  private def calibrationDecileAgg(binned: DataFrame): DataFrame =
+    binned.groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("label"), lit(1))).as("n_pos"),
         Num.r(avg(when(col("label"), 1.0).otherwise(0.0)), 4).as("pos_rate"),
         min("score").as("min_score"),
         max("score").as("max_score"))
       .orderBy("decile")
-  }
 
   private val classifierCalibrationSql = s"""
     WITH $nbScoredCtes,
@@ -2722,21 +2728,24 @@ object TextQueries {
   /** Decile curation table: rank every document into quality deciles
     * (deterministic NTILE over (score, doc_id)) and report each decile's
     * population and score/length profile — what a curation pass reads to
-    * pick its keep-threshold. At 100 TB the cutoffs would come from an
-    * approx-quantile sketch broadcast instead of a global NTILE sort;
-    * here the exact form doubles as the oracle check of the sketch path. */
+    * pick its keep-threshold. This exact form is the ORACLE twin of the
+    * scale path [[qualityDecilesScaled]] (GlobalRank two-pass rank —
+    * no partition-less NTILE window); both share one aggregation body. */
   private def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("quality_score"), col("doc_id"))
-    textQuality(spark, dir)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
-      .groupBy("decile")
+    qualityDecileAgg(textQuality(spark, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long")))
+  }
+
+  /** See [[calibrationDecileAgg]] — the shared twin-agg discipline. */
+  private def qualityDecileAgg(binned: DataFrame): DataFrame =
+    binned.groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         min("quality_score").as("min_score"),
         max("quality_score").as("max_score"),
         Num.r(avg("n_tokens"), 2).as("avg_tokens"))
       .orderBy("decile")
-  }
 
   private val qualityDecilesSql = s"""
     WITH base AS (
@@ -2779,15 +2788,9 @@ object TextQueries {
   private def qualityDecilesScaled(spark: SparkSession,
       dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    graft.operators.GlobalRank
+    qualityDecileAgg(graft.operators.GlobalRank
       .withNtile(textQuality(spark, dir), "decile", 10,
-        Seq(col("quality_score"), col("doc_id")), parts)
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"),
-        min("quality_score").as("min_score"),
-        max("quality_score").as("max_score"),
-        Num.r(avg("n_tokens"), 2).as("avg_tokens"))
-      .orderBy("decile")
+        Seq(col("quality_score"), col("doc_id")), parts))
   }
 
   /** Distributed twin of [[classifierCalibration]] — same output and
@@ -2796,16 +2799,9 @@ object TextQueries {
   private def classifierCalibrationScaled(spark: SparkSession,
       dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    graft.operators.GlobalRank
+    calibrationDecileAgg(graft.operators.GlobalRank
       .withNtile(nbScoreHeldOut(spark, dir), "decile", 10,
-        Seq(col("score"), col("doc_id")), parts)
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(col("label"), lit(1))).as("n_pos"),
-        Num.r(avg(when(col("label"), 1.0).otherwise(0.0)), 4).as("pos_rate"),
-        min("score").as("min_score"),
-        max("score").as("max_score"))
-      .orderBy("decile")
+        Seq(col("score"), col("doc_id")), parts))
   }
 
   /** Top-3 terms per document by term frequency (token asc on ties) —
