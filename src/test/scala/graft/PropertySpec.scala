@@ -205,6 +205,10 @@ class PropertySpec extends SparkSpec {
     // q_bitext_margin reads the persisted IVF inverted file
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
     graft.queries.SimilarityQueries.trainIvfAssignments(spark, sf)
+    // q_unigram_tokenize reads the trained piece table — train it here
+    // like the artifacts above instead of depending on suite order (on a
+    // clean target/ this test ran before anything else had trained it)
+    graft.queries.TextQueries.trainUnigramPieces(spark, sf)
     def run(q: String, parts: Int): Array[String] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
