@@ -92,7 +92,7 @@ object DedupQueries {
     * without an index it derives the list by scanning the corpus. */
   def lakeHotShingles(spark: SparkSession, dir: String): DataFrame =
     shingleIndexBound(spark, dir) match {
-      case Some(b) => spark.read.parquet(censusPath(dir, b))
+      case Some(b) => readCensus(spark, dir, b)
         .filter(col("df") > StopShingleDf).select("h")
       case None => hotShinglesOf(rawShingleHashesOf(
         Tables(spark, dir, "documents")), StopShingleDf)
@@ -158,6 +158,20 @@ object DedupQueries {
     if (b == ShingleSentinel) "full" else b.toString
   private def censusPath(dir: String, hi: Long): String =
     s"${shingleIndexBase(dir)}/census-b${boundToken(hi)}.parquet"
+  /** Census read with the artifact's fixed schema PINNED: the census
+    * layout is (h, df) by construction, and a bare
+    * `spark.read.parquet` would re-infer it per read — a file listing
+    * plus a footer-read Spark job at DataFrame construction, inside
+    * every query that resolves the hot set. Pinning also removes the
+    * one failure class the full-suite run has ever seen here: the
+    * inference job lists the directory and then opens the listed
+    * footers, so a listing that races a concurrent census overwrite
+    * (crash-fuzz / cross-process suites) can open a part-file the
+    * rewrite just deleted — with the schema supplied there is no
+    * footer job to race. */
+  private def readCensus(spark: SparkSession, dir: String,
+      hi: Long): DataFrame =
+    spark.read.schema("h BIGINT, df BIGINT").parquet(censusPath(dir, hi))
 
   /** Raw (uncapped) shingles of the src_num ∈ [lo, hi) doc range.
     * src_num is non-negative by the lake's source naming, so lo = 0 is
@@ -186,7 +200,7 @@ object DedupQueries {
     val batchCensus = raw.groupBy("h").agg(count(lit(1)).as("df"))
     val census =
       if (lo == 0L) batchCensus
-      else spark.read.parquet(censusPath(dir, lo))
+      else readCensus(spark, dir, lo)
         .select(col("h"), col("df").as("df_a"))
         .join(batchCensus.select(col("h"), col("df").as("df_b")),
           Seq("h"), "full_outer")
@@ -194,7 +208,7 @@ object DedupQueries {
           (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
             .as("df"))
     census.write.mode("overwrite").parquet(censusPath(dir, hi))
-    val hot = spark.read.parquet(censusPath(dir, hi))
+    val hot = readCensus(spark, dir, hi)
       .filter(col("df") > StopShingleDf).select("h")
     raw.join(broadcast(hot), Seq("h"), "left_anti")
   }
@@ -512,7 +526,7 @@ object DedupQueries {
     val cur = idx.bound(spark).getOrElse(
       throw new IllegalArgumentException(
         s"no committed shingle index for $dir"))
-    val hot = spark.read.parquet(censusPath(dir, cur))
+    val hot = readCensus(spark, dir, cur)
       .filter(col("df") > StopShingleDf).select("h")
     idx.read(spark).join(broadcast(hot), Seq("h"), "left_anti")
   }
@@ -1075,7 +1089,8 @@ object DedupQueries {
         "DedupQueries.trainClusterLabels(spark, dir) (text kinds) or " +
         "MultimodalQueries.trainMediaClusterLabels(spark, dir) first; " +
         "Bench warmup and Verify setup do this automatically")
-    spark.read.parquet(clusterModelPath(dir, kind))
+    spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+      .parquet(clusterModelPath(dir, kind))
   }
 
   /** Near-dup cluster labels: the persisted text cluster-label
@@ -1749,7 +1764,7 @@ object DedupQueries {
     // is shingled ONCE as it is compacted in, and the merge below (and
     // every later stage) reads the slice instead of re-shingling.
     if (shingleIndexBound(spark, dir).contains(lakeBound)) {
-      val priorHot = spark.read.parquet(censusPath(dir, lakeBound.toLong))
+      val priorHot = readCensus(spark, dir, lakeBound.toLong)
         .filter(col("df") > StopShingleDf).select("h")
       appendShingleIndex(spark, dir, batchBound)
       // CAP-CROSSER GUARD: the merge ≡ retraining theorem below relies
@@ -1773,7 +1788,7 @@ object DedupQueries {
         .parquet(censusPath(dir, batchBound.toLong))
         .filter(col("df") > StopShingleDf).select("h")
         .join(broadcast(priorHot), Seq("h"), "left_anti")
-        .join(spark.read.parquet(censusPath(dir, lakeBound.toLong))
+        .join(readCensus(spark, dir, lakeBound.toLong)
           .select("h"), Seq("h"), "left_semi")
         .limit(1).count()
       if (baked > 0)

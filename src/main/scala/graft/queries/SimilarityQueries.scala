@@ -629,7 +629,8 @@ object SimilarityQueries {
     * model — one broadcast join, K vectors. */
   private def scoredAgainstModel(spark: SparkSession, dir: String,
       e: DataFrame): DataFrame = {
-    val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
+    val centroids = broadcast(spark.read.schema("c_id BIGINT, cv ARRAY<DOUBLE>")
+      .parquet(ivfModelPath(dir))
       .select(col("c_id"), col("cv")))
     e.join(centroids)
       .select(col("vec_id"), col("v"), col("c_id"),
@@ -726,7 +727,8 @@ object SimilarityQueries {
     * trained coarse quantizer as its cluster assignment. */
   private[queries] def centroidScored(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsOf(spark, dir)
-    val centroids = broadcast(spark.read.parquet(ivfModelPath(dir))
+    val centroids = broadcast(spark.read.schema("c_id BIGINT, cv ARRAY<DOUBLE>")
+      .parquet(ivfModelPath(dir))
       .select(col("c_id"), col("cv")))
     e.join(centroids)
       .select(col("vec_id"), col("v"), col("c_id"),
@@ -946,7 +948,8 @@ object SimilarityQueries {
     * then a (vec_id, m) window over exactly PQ_K rows. */
   private def pqCodesOf(spark: SparkSession, dir: String): DataFrame = {
     val sub = subvectorsOf(embeddingsOf(spark, dir))
-    val cb = broadcast(spark.read.parquet(pqModelPath(dir))
+    val cb = broadcast(spark.read.schema("m INT, code INT, cv ARRAY<DOUBLE>")
+      .parquet(pqModelPath(dir))
       .select(col("m"), col("code"), col("cv")))
     sub.join(cb, "m")
       .select(col("vec_id"), col("m"), col("code"),
@@ -965,7 +968,8 @@ object SimilarityQueries {
     * NQUERIES·PQ_M·PQ_K rows, always broadcastable. */
   private def pqLutOf(spark: SparkSession, dir: String): DataFrame = {
     val sub = subvectorsOf(embeddingsOf(spark, dir))
-    val cb = broadcast(spark.read.parquet(pqModelPath(dir))
+    val cb = broadcast(spark.read.schema("m INT, code INT, cv ARRAY<DOUBLE>")
+      .parquet(pqModelPath(dir))
       .select(col("m"), col("code"), col("cv")))
     sub.filter(col("vec_id") < NQUERIES)
       .withColumnRenamed("vec_id", "query_id")

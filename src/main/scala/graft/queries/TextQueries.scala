@@ -373,7 +373,8 @@ object TextQueries {
         s"BPE merge model missing for $dir (expected at ${bpeModelPath(dir)}) " +
           "— run TextQueries.trainBpeMerges(spark, dir) first; Bench warmup " +
           "and Verify setup do this automatically")
-    spark.read.parquet(bpeModelPath(dir))
+    spark.read.schema("merge_rank BIGINT, lhs STRING, rhs STRING, n BIGINT")
+      .parquet(bpeModelPath(dir))
   }
 
   /** The learned merge table itself (rank order = training order) — the
@@ -646,7 +647,8 @@ object TextQueries {
         s"unigram piece model missing for $dir (expected at " +
           s"${unigramModelPath(dir)}) — run TextQueries.trainUnigramPieces " +
           "first; Bench warmup and Verify setup do this automatically")
-    spark.read.parquet(unigramModelPath(dir))
+    spark.read.schema("piece STRING, cost_q BIGINT, prob DOUBLE")
+      .parquet(unigramModelPath(dir))
   }
 
   /** The learned piece table: the 50 highest-probability pieces. */
@@ -2410,21 +2412,51 @@ object TextQueries {
     val p = lmParts(spark, dir)
     val feats = p.bigrams.selectExpr("doc_id", "lang",
       s"md5_60(concat(prev, ' ', cur)) % $DsirBuckets AS bucket")
-    val census = feats.groupBy("bucket").agg(
-      count(lit(1)).as("cr"),
-      count(when(col("lang") === "en", lit(1))).as("ct"))
-    val totals = census.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    // ONE hashing pass, not three: `feats` (the bigram md5 stream) used
+    // to feed the census, the totals AND the per-doc scoring as
+    // separate plan subtrees, so the corpus was exploded and hashed
+    // once per branch. The fix is the guide-§8 proxy shape: collapse to
+    // per-doc bucket counts (doc_id, lang, bucket, cnt — a few bytes
+    // per row, never text) and MATERIALIZE that proxy once with an
+    // eager localCheckpoint; every branch then reads the materialized
+    // blocks. (Plain ReuseExchange was tried first and is not reliable
+    // here: AQE's stage-reuse cache races the eagerly-submitted
+    // broadcast stages, and the executed plan kept re-deriving the
+    // scan+hash pass in 2 of 3 branches.) The weighted re-aggregations
+    // below are exactly the original per-instance sums: census counts
+    // feature instances (Σ cnt), and the per-doc score sums the
+    // integer-scaled lr once per instance (Σ round(lr·1e6)·cnt over
+    // buckets ≡ Σ round(lr·1e6) over instances, exact integer
+    // arithmetic). Same materialize-between-passes cost class as
+    // [[graft.operators.GlobalRank]], and the blocks hold the proxy,
+    // not the corpus.
+    val g = feats.groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val census = g.groupBy("bucket").agg(
+      sum("cnt").as("cr"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("ct"))
+    // totals from g directly rather than census.agg: both spell the
+    // same sums, but this keeps the broadcast-totals branch a single
+    // aggregate over the checkpointed proxy instead of stacking it on
+    // a second copy of the census exchange (A/B at sf0.1: 1.31 s via
+    // census.agg vs 0.93 s this way — the sequential
+    // totals→model→scoring broadcast chain is latency-bound, so one
+    // less exchange in the chain is wall-clock off every query)
+    val totals = g.groupBy().agg(
+      sum("cnt").as("nr"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("nt"))
     val model = census
       .crossJoin(broadcast(totals))
       .select(col("bucket"), Num.rExp(
         log10((col("ct") + lit(1.0)) / (col("nt") + lit(DsirBuckets))) -
           log10((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets))),
         6).as("lr"))
-    val perDoc = feats.join(broadcast(model), "bucket")
+    val perDoc = g.join(broadcast(model), "bucket")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"),
-        Num.r(sum(round(col("lr") * 1e6).cast("long")) / 1e6 / count(lit(1)), 4)
-          .as("avg_lr"))
+      .agg(sum("cnt").as("n_feats"),
+        Num.r(sum(round(col("lr") * 1e6).cast("long") * col("cnt")) / 1e6
+          / sum("cnt"), 4).as("avg_lr"))
     val wSel = org.apache.spark.sql.expressions.Window
       .orderBy(col("avg_lr").desc, col("doc_id"))
     val sel = perDoc.orderBy(col("avg_lr").desc, col("doc_id")).limit(DsirK)
@@ -2510,7 +2542,16 @@ object TextQueries {
   private case class NbParts(feats: DataFrame, model: DataFrame, prior: DataFrame)
 
   /** Labeled hashed-feature stream plus the fitted dense B-row model and
-    * 1-row prior — shared by the batch scorer and the serving twin. */
+    * 1-row prior — shared by the batch scorer and the serving twin.
+    * Deliberately NOT collapsed onto a materialized per-doc bucket-count
+    * proxy (the q_dsir_select shape): it was tried in r19 and MEASURED
+    * SLOWER here — the duplicate census/totals/scoring branches run as
+    * concurrently-materializing stages that overlap on idle cores,
+    * while the eager checkpoint serializes the passes behind barriers
+    * (same-tool A/B at sf0.1: classifier 0.68→1.12 s, AUC 0.72→1.13 s).
+    * The trade reverses only when the duplicated pass itself is
+    * expensive (dsir's bigram-concat+md5 — see dsirSelect); unigram
+    * explode+hash is cheap enough that duplicated-but-parallel wins. */
   private def nbParts(spark: SparkSession, dir: String): NbParts = {
     val lab = nbLabeled(spark, dir)
     val feats = Tables(spark, dir, "documents")
@@ -2844,9 +2885,17 @@ object TextQueries {
   /** PMI token pairs: pointwise mutual information over per-doc
     * distinct co-occurrence for the df-top vocabulary. */
   private def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    // per-doc distinct tokens via array_distinct BEFORE the explode:
+    // doc_id is the documents table's key (one row per doc at every
+    // SF — and at 100 TB, by the lake's ingest contract), so
+    // `.distinct()` on (doc_id, tok) can never merge across rows and
+    // the per-row array dedup is exactly equivalent — WITHOUT the
+    // corpus-wide exchange a global distinct plans (guide §2.4:
+    // a distinct on data that is already unique per group is an
+    // accidental shuffle; the dedup is array-local, so dfreq's count
+    // aggregates map-side partials straight off the scan)
     val dt = Tables(spark, dir, "documents")
-      .selectExpr("doc_id", s"explode($toks) AS tok")
-      .distinct()
+      .selectExpr("doc_id", s"explode(array_distinct($toks)) AS tok")
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     // vocab cap as a distributed top-K heap (TakeOrderedAndProject)
     val top = dfreq.orderBy(col("df").desc, col("tok")).limit(PmiVocab)
@@ -2914,24 +2963,30 @@ object TextQueries {
     * model. */
   private def textrank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cached for the TWO model collects below (vocab, then edges) so the
-    // corpus explode+distinct runs once, not once per collect
+    // per-doc distinct via array_distinct before the explode — same
+    // equivalence argument as [[pmiPairs]] (doc_id is the table key, so
+    // the global distinct could never merge across rows). That turns dt
+    // into a PURE MAP over the scan, which retires the old
+    // `.persist()`: the cache existed to amortize the distinct's
+    // corpus-wide exchange across the two model collects below, but a
+    // persist of the exploded corpus is itself O(corpus) executor
+    // storage at 100 TB (guide §5: cache only when recomputing beats
+    // the memory pressure) — two narrow scan passes are the cheaper
+    // trade at any scale, and the second pass prunes to the ≤20-token
+    // vocab before shuffling anything.
     val dt = Tables(spark, dir, "documents")
-      .selectExpr("doc_id", s"explode($toks) AS tok").distinct().persist()
-    val (edges, nodes) = try {
-      val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-      // vocab cap as a distributed top-K heap (TakeOrderedAndProject)
-      val top = dfreq.orderBy(col("df").desc, col("tok")).limit(PmiVocab)
-        .select("tok")
-      val nodes = top.orderBy("tok").as[String].collect()
-      val kept = dt.filter(col("tok").isin(nodes.toSeq: _*))
-      val a = kept.select(col("doc_id"), col("tok").as("src"))
-      val b = kept.select(col("doc_id"), col("tok").as("dst"))
-      val edges = a.join(b, Seq("doc_id")).filter(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-      (edges, nodes)
-    } finally dt.unpersist(blocking = false)
+      .selectExpr("doc_id", s"explode(array_distinct($toks)) AS tok")
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    // vocab cap as a distributed top-K heap (TakeOrderedAndProject)
+    val top = dfreq.orderBy(col("df").desc, col("tok")).limit(PmiVocab)
+      .select("tok")
+    val nodes = top.orderBy("tok").as[String].collect()
+    val kept = dt.filter(col("tok").isin(nodes.toSeq: _*))
+    val a = kept.select(col("doc_id"), col("tok").as("src"))
+    val b = kept.select(col("doc_id"), col("tok").as("dst"))
+    val edges = a.join(b, Seq("doc_id")).filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val n = nodes.length.toDouble
     val wdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val orderedEdges = edges.sortBy(e => (e._2, e._1))
