@@ -1054,19 +1054,25 @@ object MultimodalQueries {
     * rows are what a speech pipeline ships downstream (petabytes of
     * waveform in, a segment table out).
     *
-    * Cost note (audited): Catalyst pushes the energy filter below the
+    * Cost note (r19): Catalyst used to push the energy filter below the
     * feature projection by substituting the expression, so the frame
-    * decode+fold evaluates twice in the one codegen stage (visible as
-    * two `aggregate(transform(...))` in the final plan; ~0.9 s vs
-    * q_audio_frames' single-eval 0.16 s at sf0.1). That is the right
-    * trade at scale — the alternative is shuffling silent frames to
-    * dodge a map-side recompute — and both evals stay inside
-    * WholeStageCodegen with nothing materialized. */
+    * decode+fold evaluated TWICE in the one codegen stage (two
+    * `aggregate(transform(...))` in the plan; ~0.9 s vs q_audio_frames'
+    * single-eval 0.16 s at sf0.1). The earlier audit accepted that as
+    * the price of not shuffling silent frames, but there is a third
+    * option (guide §4.4, and the GlobalRank precedent of pinning
+    * evaluation with nondeterminism): a nondeterministic NO-OP added to
+    * the energy column (`+ monotonically_increasing_id() * 0` — always
+    * adds exactly 0L) makes the projection non-pushable-through, so the
+    * decode evaluates once, the filter tests the materialized column,
+    * and everything stays inside WholeStageCodegen with nothing
+    * shuffled or checkpointed. */
   private def audioSilence(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame")
     Multimodal.pcmFrameFeatures(audioBlobs(spark, dir))
-      .selectExpr("media_id AS doc_id", "frame", "energy")
+      .selectExpr("media_id AS doc_id", "frame",
+        "energy + monotonically_increasing_id() * 0L AS energy")
       .filter(col("energy") >= AudioActiveThreshold)
       .withColumn("grp", col("frame") - row_number().over(w))
       .groupBy("doc_id", "grp")
