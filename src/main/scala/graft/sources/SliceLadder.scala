@@ -270,7 +270,32 @@ final class SliceLadder(
   private def addTrash(spark: SparkSession, lo: Long, hi: Long): Unit = {
     val hfs = fs(spark, trashDir)
     hfs.mkdirs(new Path(trashDir))
-    hfs.create(new Path(trashDir, s"t${tok(lo)}-${tok(hi)}"), true).close()
+    // Benign cross-process race, absorbed with a bounded retry (the
+    // listing-race pattern of retryValidation): ChecksumFileSystem
+    // writes the entry AND its `.crc` twin in separate local-FS steps,
+    // so another process collecting the same trash name in that window
+    // (its gc, or its mutation-time sweep — maintenance runs UNLOCKED
+    // across processes by design) surfaces as an
+    // ExitCodeException(chmod)/FileNotFound from RawLocalFileSystem.
+    // Either outcome is safe — the entry exists, or the range was
+    // already collected/re-adopted — so a transient throw retries over
+    // a fresh create; a persistent one (a real permission problem)
+    // still surfaces. Seen once in a full-suite run: the five-artifact
+    // cross-process sweep's parent runAll raced the child's sweep on
+    // trash/t150-300 (r19).
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        hfs.create(new Path(trashDir, s"t${tok(lo)}-${tok(hi)}"), true)
+          .close()
+        done = true
+      } catch {
+        case e: java.io.IOException if attempt < 3 =>
+          attempt += 1
+          Thread.sleep(25L * attempt)
+      }
+    }
   }
 
   /** Collapse every committed slice with hi ≤ `upTo` into ONE merged
