@@ -67,7 +67,28 @@ object Tables {
     * cannot go stale. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.sql.types.StructType]()
+      (String, Long), org.apache.spark.sql.types.StructType]()
+
+  /** Cache key: (path, commit stamp). The stamp is the `_SUCCESS`
+    * marker's mtime — every rewrite of a table through Spark commits a
+    * fresh `_SUCCESS`, so an in-JVM overwrite at a cached path (DedupSpec
+    * and ScaleDemo overwrite documents/embeddings.parquet at fixed /tmp
+    * targets) gets a NEW key and re-infers instead of silently reading
+    * with the stale StructType. Falls back to the directory's own mtime
+    * (bare-parquet-file fixtures), and to 0 on non-local filesystems —
+    * where the key degrades to path-only, the r19 behavior. One local
+    * stat per read (~µs) vs the footer-inference job it replaces
+    * (60–110 ms). */
+  private def commitStamp(path: String): Long = {
+    val succ = new java.io.File(path, "_SUCCESS").lastModified()
+    if (succ != 0L) succ else new java.io.File(path).lastModified()
+  }
+
+  /** Test hook (clearShingleCache precedent): drop every pinned schema
+    * so the next read re-infers. The mtime key makes staleness
+    * self-healing for Spark-committed rewrites; this hook covers
+    * fixtures written by other means (raw file copies preserve mtimes). */
+  def clearSchemaCache(): Unit = schemaCache.clear()
 
   /** Read one testdata table from a scale-factor directory. `events.ts` is
     * normalized to Spark's microsecond TimestampType whichever way the
@@ -79,8 +100,8 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureConf(spark)
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    val schema = schemaCache.computeIfAbsent((path, commitStamp(path)),
+      k => spark.read.parquet(k._1).schema)
     val df = spark.read.schema(schema).parquet(path)
     if (name != "events") df
     else df.schema("ts").dataType match {

@@ -66,6 +66,15 @@ object GlobalRank {
     // distributed sort materializes between passes by construction) —
     // and it also hard-guarantees both passes see identical rows, so
     // the collected offsets can never drift from the ranked output.
+    // Durability trade, stated plainly: localCheckpoint TRUNCATES
+    // lineage, so losing an executor mid-query fails the job instead of
+    // recomputing the lost blocks. For a query engine that is the right
+    // trade (retry = re-run the query; reliable checkpointing would pay
+    // a distributed-FS round trip on EVERY query to insure the rare
+    // one); a long-lived pipeline embedding this operator should swap
+    // in `df.checkpoint()` via sparkContext.setCheckpointDir — the
+    // one-line escape hatch — rather than silently inheriting the
+    // fail-fast behavior.
     val sorted = df.repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__gr_mid", monotonically_increasing_id())

@@ -1784,8 +1784,7 @@ object DedupQueries {
       // IS the exact occurrence count over src_num < lakeBound, so
       // "crosser occurs in a lake doc" is one semi-join between two
       // census reads (the crosser side ≤ distinct-shingles / cap).
-      val baked = spark.read
-        .parquet(censusPath(dir, batchBound.toLong))
+      val baked = readCensus(spark, dir, batchBound.toLong)
         .filter(col("df") > StopShingleDf).select("h")
         .join(broadcast(priorHot), Seq("h"), "left_anti")
         .join(readCensus(spark, dir, lakeBound.toLong)

@@ -2430,6 +2430,18 @@ object TextQueries {
     // arithmetic). Same materialize-between-passes cost class as
     // [[graft.operators.GlobalRank]], and the blocks hold the proxy,
     // not the corpus.
+    // Lifecycle (vs the releaseGeneration discipline on the cluster-label
+    // checkpoints): this proxy CANNOT be released here — the query
+    // contract returns a lazy DataFrame whose plan still references the
+    // checkpointed blocks, and there is no post-action hook inside fn.
+    // ContextCleaner reclamation is sufficient instead: the blocks hold
+    // the (doc_id, lang, bucket, cnt) proxy (≤ a few bytes/doc·bucket,
+    // never text), each construction's blocks are dropped when its
+    // DataFrame becomes unreachable, and the bench's per-rep
+    // constructions bound residency at reps × proxy size — MBs, not the
+    // corpus. releaseGeneration exists for the repeated ingest LOOP,
+    // where an unreleased per-round artifact accumulates unboundedly;
+    // a per-query proxy has no loop to accumulate across.
     val g = feats.groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()

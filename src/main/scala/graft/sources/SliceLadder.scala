@@ -293,6 +293,11 @@ final class SliceLadder(
       } catch {
         case e: java.io.IOException if attempt < 3 =>
           attempt += 1
+          // leave a trace: a REAL intermittent filesystem problem (flaky
+          // permissions, disk pressure) must not be absorbed invisibly —
+          // three of these lines in a log is the diagnosis
+          System.err.println(s"[slice-ladder] addTrash retry $attempt/3 " +
+            s"on $trashDir t${tok(lo)}-${tok(hi)}: ${e.getMessage}")
           Thread.sleep(25L * attempt)
       }
     }

@@ -705,4 +705,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"q_zipf must not plan a global rank window:\n$plan")
   }
+
+  test("audio segments: the PCM decode+energy fold evaluates ONCE per frame") {
+    // the single-decode property rests on a nondeterministic no-op
+    // (`energy + monotonically_increasing_id() * 0L`,
+    // MultimodalQueries.audioSilence) blocking filter pushdown through
+    // the projection — unspecified optimizer behavior that a Spark
+    // upgrade could silently revert, reintroducing the double decode
+    // with no test failing (r19 found it as 2× `aggregate(transform`
+    // in one codegen stage: every frame decoded for the pushed filter,
+    // every survivor again for the projection).
+    val df = Registry.byName("q_audio_segments").fn(spark, sf)
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val n = "aggregate\\(transform\\(".r.findAllIn(txt).size
+    assert(n == 1,
+      s"q_audio_segments decode fold must appear exactly once in the " +
+        s"plan, found $n:\n$txt")
+  }
+
+  test("basket pairs: the collect_set baskets exchange is runtime-reused") {
+    // one lineitem scan + collect_set exchange feeds BOTH the pair
+    // explode and the per-item frequency branch; if AQE's stage reuse
+    // stops firing (it is a runtime cache, not a plan rule), the corpus
+    // is shingled into baskets twice. ReusedExchange only materializes
+    // in the EXECUTED plan — explain("formatted") before execution
+    // cannot see it (the r19 audit's unverifiable claim; pinned here).
+    val plan = executedPlan("q_basket_pairs")
+    assert(plan.contains("ReusedExchange") ||
+        plan.contains("ReusedQueryStage"),
+      s"q_basket_pairs baskets exchange no longer runtime-reused:\n$plan")
+  }
 }

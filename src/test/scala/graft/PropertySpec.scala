@@ -359,4 +359,22 @@ class PropertySpec extends SparkSpec {
     val pieces = m1.map(_._1).toSet
     assert("sparklye".forall(c => pieces.contains(c.toString)))
   }
+
+  test("documents.doc_id is unique — the pmi/textrank array_distinct rewrite invariant") {
+    // q_pmi_pairs and q_textrank (TextQueries.pmiCooc / textrank) replace
+    // the corpus-wide `.distinct()` on the exploded (doc_id, tok) stream
+    // with `explode(array_distinct(tokens))` — exactly equivalent IFF
+    // doc_id is unique in `documents` (two rows sharing a doc_id would
+    // de-dup across rows globally but not per-row). The ingest contract
+    // guarantees uniqueness; this pin makes a violation fail loudly here
+    // instead of silently diverging those two queries from the oracle.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").foreach { d =>
+      val docs = Tables(spark, d, "documents").select("doc_id")
+      val (n, distinct) = (docs.count(), docs.distinct().count())
+      assert(n == distinct,
+        s"doc_id not unique in $d/documents: $n rows, $distinct distinct — " +
+          "the pmi/textrank array_distinct rewrite is no longer equivalent")
+    }
+  }
 }
