@@ -41,7 +41,7 @@ object ScaleDemo {
     "q_semdedup_incremental")
   private val Factor = 10
 
-  private def synthDocs(spark: SparkSession, src: String, dst: String,
+  private[graft] def synthDocs(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val base = spark.read.parquet(s"$src/documents.parquet")
     val n = base.count()

@@ -51,8 +51,13 @@ object TextQueries {
       .orderBy("doc_id")
 
   /** Quality scoring: length/punctuation/stopword/mean-token-length ratios
-    * combined into one score — the standard pre-training heuristic filter. */
-  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    * combined into one score — the standard pre-training heuristic filter.
+    * The unordered body is split out for consumers that MATERIALIZE the
+    * scores (nbLabeled's checkpoint): under a join or aggregate the
+    * trailing orderBy is dead weight Catalyst strips (EliminateSorts),
+    * but a materialization boundary would execute it — a range exchange
+    * plus a global sort nothing downstream needs. */
+  private def textQualityUnordered(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .selectExpr(
         "doc_id",
@@ -66,7 +71,9 @@ object TextQueries {
         Num.r(when(col("n_tokens") >= 20, lit(0.5)).otherwise(lit(0.0)) +
           when(col("stopword_ratio") > 0.01, lit(0.3)).otherwise(lit(0.0)) +
           when(col("punct_ratio") < 0.1, lit(0.2)).otherwise(lit(0.0)), 2))
-      .orderBy("doc_id")
+
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    textQualityUnordered(spark, dir).orderBy("doc_id")
 
   /** Marker-based language ID: score = stopword-marker hits per language,
     * argmax with deterministic tie order, 'und' when no marker fires. */
@@ -1947,9 +1954,16 @@ object TextQueries {
     * exploded ONCE: tf is a (doc_id, term) groupBy with map-side partial
     * aggregation, and df derives from tf itself — tf rows are unique per
     * (doc, term), so `tf.groupBy(term).count` IS the document frequency,
-    * with no second explode pass and no distinct. The vocabulary-sized
-    * df table rides a broadcast join (counts never shuffle with the
-    * corpus); the corpus size joins in as a broadcast 1-row aggregate
+    * with no second explode pass and no distinct. The df join is left
+    * to AQE: df is VOCABULARY-sized — sublinear in the corpus but
+    * unbounded — so a static `broadcast(df)` hint is a cliff at 100 TB
+    * (the 8 GB / 512M-row broadcast cap, plus driver+executor residency
+    * for a table the planner never measured). With no hint the static
+    * plan keys the join on `term` (scale-safe at any vocabulary), and
+    * AQE's runtime size check converts it to a broadcast join exactly
+    * when the MEASURED df fits (it does at every tested SF) — the
+    * broadcast is now a measured decision instead of an assumption.
+    * The corpus size still joins in as a broadcast 1-row aggregate
     * (no driver collect). The per-doc top-3 ranks by the ROUNDED score
     * (both engines see identical ordering keys) and Spark executes the
     * rank≤3 filter as a WindowGroupLimit — a per-partition heap, not a
@@ -1962,7 +1976,7 @@ object TextQueries {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score",
         Num.rExp(col("tf") * log(col("n_docs") / col("df")), 6))
     val w = org.apache.spark.sql.expressions.Window
@@ -2544,28 +2558,50 @@ object TextQueries {
     * split of `q_split_assign` (never rand()). */
   private val NbBuckets = 256
 
-  /** doc_id → (heuristic-gate label, hash-split membership). */
+  /** doc_id → (heuristic-gate label, hash-split membership). Reads the
+    * UNORDERED quality scores: this frame is materialized by nbParts,
+    * and a checkpoint boundary would otherwise execute textQuality's
+    * trailing orderBy (range exchange + global sort) for nothing. */
   private def nbLabeled(spark: SparkSession, dir: String): DataFrame =
-    textQuality(spark, dir)
+    textQualityUnordered(spark, dir)
       .select(col("doc_id"),
         (col("quality_score") >= 0.8).as("label"),
-        (expr("md5_60(cast(doc_id AS STRING)) % 10") < 8).as("is_train"))
+        (expr("md5_60(cast(doc_id AS STRING)) % 10") < 8).as("is_train"),
+        col("n_tokens"))
 
   private case class NbParts(feats: DataFrame, model: DataFrame, prior: DataFrame)
 
-  /** Labeled hashed-feature stream plus the fitted dense B-row model and
-    * 1-row prior — shared by the batch scorer and the serving twin.
-    * Deliberately NOT collapsed onto a materialized per-doc bucket-count
-    * proxy (the q_dsir_select shape): it was tried in r19 and MEASURED
-    * SLOWER here — the duplicate census/totals/scoring branches run as
-    * concurrently-materializing stages that overlap on idle cores,
-    * while the eager checkpoint serializes the passes behind barriers
-    * (same-tool A/B at sf0.1: classifier 0.68→1.12 s, AUC 0.72→1.13 s).
+  /** Labeled hashed-feature stream plus the fitted dense B-row model
+    * (now carrying the prior) — shared by the batch scorer and the
+    * serving twin.
+    *
+    * TWO corpus explodes, not three, and no separate prior pass: the
+    * totals branch used to re-run the full explode + md5 stream just to
+    * COUNT tokens, and the prior paid a fourth (explode-free) label
+    * scan. Both fold into ONE doc-level stats aggregate: per-doc
+    * `n_tokens` (size of the token array — exactly the count the
+    * explode would recount, since explode emits one row per element
+    * and the doc_id join drops nothing) gives np/nn, and the doc
+    * counts give dp/dn. The stats row rides the model's broadcast
+    * cross join, and the prior folds into the model rows themselves,
+    * so the scorer no longer needs its own prior broadcast (one less
+    * 1-row exchange in the latency-bound totals→model→scoring chain —
+    * the dsirSelect finding).
+    *
+    * Deliberately NOT collapsed onto a materialized per-doc
+    * bucket-count proxy (the q_dsir_select shape): tried in r19
+    * (eager localCheckpoint, wall 0.68→1.12 s) and re-tried in r20
+    * with lazy RDD blocks and a task-CPU instrument — at a ×10
+    * synthetic corpus the proxy shape measured 3.7× the task CPU
+    * (4.83 vs 1.30 s) and 2.6× the wall: serializing + re-reading a
+    * docs×buckets proxy costs more than the unigram explode it saves.
     * The trade reverses only when the duplicated pass itself is
-    * expensive (dsir's bigram-concat+md5 — see dsirSelect); unigram
-    * explode+hash is cheap enough that duplicated-but-parallel wins. */
+    * expensive (dsir's bigram-concat+md5); unigram explode+hash is
+    * cheap enough that duplicated-but-parallel wins at every measured
+    * scale. */
   private def nbParts(spark: SparkSession, dir: String): NbParts = {
-    val lab = nbLabeled(spark, dir)
+    val labFull = nbLabeled(spark, dir)
+    val lab = labFull.select("doc_id", "label", "is_train")
     val feats = Tables(spark, dir, "documents")
       .selectExpr("doc_id", s"explode($toks) AS tok")
       .selectExpr("doc_id", s"md5_60(tok) % $NbBuckets AS bucket")
@@ -2573,36 +2609,46 @@ object TextQueries {
     val census = feats.filter(col("is_train")).groupBy("bucket").agg(
       count(when(col("label"), lit(1))).as("cp"),
       count(when(!col("label"), lit(1))).as("cn"))
-    val totals = census.agg(sum("cp").as("np"), sum("cn").as("nn"))
+    // token totals (np/nn) and doc counts (dp/dn) in one 1-row scan:
+    // np ≡ Σ cp because every train-split token contributes exactly one
+    // census row — sum(n_tokens) over train docs with label IS that sum
+    val stats = labFull.filter(col("is_train")).agg(
+      sum(when(col("label"), col("n_tokens")).otherwise(lit(0L))).as("np"),
+      sum(when(!col("label"), col("n_tokens")).otherwise(lit(0L))).as("nn"),
+      count(when(col("label"), lit(1))).as("dp"),
+      count(when(!col("label"), lit(1))).as("dn"))
     val model = spark.range(NbBuckets).select(col("id").as("bucket"))
       .join(census, Seq("bucket"), "left")
       .na.fill(0, Seq("cp", "cn"))
-      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(stats))
       .select(col("bucket"), Num.rExp(
         log10((col("cp") + lit(1.0)) / (col("np") + lit(NbBuckets))) -
           log10((col("cn") + lit(1.0)) / (col("nn") + lit(NbBuckets))),
-        6).as("lw"))
-    val prior = lab.filter(col("is_train")).agg(
-        count(when(col("label"), lit(1))).as("dp"),
-        count(when(!col("label"), lit(1))).as("dn"))
-      .select(Num.rExp(
-        log10((col("dp") + lit(1.0)) / (col("dn") + lit(1.0))), 6).as("prior"))
+        6).as("lw"),
+        Num.rExp(
+          log10((col("dp") + lit(1.0)) / (col("dn") + lit(1.0))), 6)
+          .as("prior"))
+    // 1-row prior frame for the serving twin's collect — derived from
+    // the model rows (the prior column is constant across them), never
+    // evaluated inside the batch query path
+    val prior = model.agg(min("prior").as("prior"))
     NbParts(feats, model, prior)
   }
 
   /** Held-out docs scored by the train-split NB model; shared by the
-    * classifier, AUC and calibration queries (and the streaming twin). */
+    * classifier, AUC and calibration queries (and the streaming twin).
+    * The prior arrives ON the model rows (constant across buckets, so
+    * min() inside the per-doc aggregate reads it back exactly). */
   private[graft] def nbScoreHeldOut(spark: SparkSession, dir: String): DataFrame = {
     val p = nbParts(spark, dir)
-    val (model, prior) = (p.model, p.prior)
     p.feats.filter(!col("is_train"))
-      .join(broadcast(model), "bucket")
+      .join(broadcast(p.model), "bucket")
       .groupBy("doc_id", "label")
       .agg(count(lit(1)).as("n_feats"),
-        sum(round(col("lw") * 1e6).cast("long")).as("s"))
-      .crossJoin(broadcast(prior))
+        sum(round(col("lw") * 1e6).cast("long")).as("s"),
+        min("prior").as("prior0"))
       .select(col("doc_id"), col("label"), col("n_feats"),
-        Num.r(col("prior") + col("s") / 1e6, 4).as("score"))
+        Num.r(col("prior0") + col("s") / 1e6, 4).as("score"))
       .withColumn("pred", col("score") > 0)
   }
 
