@@ -41,7 +41,7 @@ object Bench {
         graft.queries.DedupQueries.trainShingleIndex(spark, d)
         graft.queries.SimilarityQueries.trainIvfCentroids(spark, d)
         graft.queries.SimilarityQueries.trainIvfAssignments(spark, d)
-        graft.queries.SimilarityQueries.trainPqCodebooks(spark, d)
+        graft.queries.SimilarityQueries.trainPqCodes(spark, d)
         graft.queries.TextQueries.trainBpeMerges(spark, d)
         graft.queries.TextQueries.trainUnigramPieces(spark, d)
         graft.queries.DedupQueries.trainClusterLabels(spark, d)

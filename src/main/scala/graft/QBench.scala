@@ -32,7 +32,7 @@ object QBench {
     graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sfDir)
     graft.queries.SimilarityQueries.trainIvfAssignments(spark, sfDir)
-    graft.queries.SimilarityQueries.trainPqCodebooks(spark, sfDir)
+    graft.queries.SimilarityQueries.trainPqCodes(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
     graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)

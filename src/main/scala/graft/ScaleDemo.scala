@@ -192,7 +192,7 @@ object ScaleDemo {
     val (trainV1, _) = timed {
       graft.queries.SimilarityQueries.trainIvfCentroids(spark, oneDir)
       graft.queries.SimilarityQueries.trainIvfAssignments(spark, oneDir)
-      graft.queries.SimilarityQueries.trainPqCodebooks(spark, oneDir)
+      graft.queries.SimilarityQueries.trainPqCodes(spark, oneDir)
     }
     VecQueries.foreach(q => Registry.byName(q).fn(spark, oneDir).count())
     val vec1 = VecQueries.map { q =>
@@ -222,7 +222,7 @@ object ScaleDemo {
         val (trainV10, _) = timed {
           graft.queries.SimilarityQueries.trainIvfCentroids(spark, tenVecDir)
           graft.queries.SimilarityQueries.trainIvfAssignments(spark, tenVecDir)
-          graft.queries.SimilarityQueries.trainPqCodebooks(spark, tenVecDir)
+          graft.queries.SimilarityQueries.trainPqCodes(spark, tenVecDir)
         }
         println(f"[scale] offline vector train: 1x $trainV1%.1f s, " +
           f"${Factor}x (nlist x$Factor) $trainV10%.1f s")

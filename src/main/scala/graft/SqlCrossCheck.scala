@@ -578,7 +578,7 @@ object SqlCrossCheck {
     graft.queries.DedupQueries.trainShingleIndex(spark, sfDir)
     SimilarityQueries.trainIvfCentroids(spark, sfDir)
     SimilarityQueries.trainIvfAssignments(spark, sfDir)
-    SimilarityQueries.trainPqCodebooks(spark, sfDir)
+    SimilarityQueries.trainPqCodes(spark, sfDir)
     graft.queries.TextQueries.trainBpeMerges(spark, sfDir)
     graft.queries.TextQueries.trainUnigramPieces(spark, sfDir)
     graft.queries.DedupQueries.trainClusterLabels(spark, sfDir)

@@ -28,7 +28,7 @@ class PlanSpec extends SparkSpec {
   override def beforeAll(): Unit = {
     super.beforeAll()
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
-    graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
+    graft.queries.SimilarityQueries.trainPqCodes(spark, sf)
     graft.queries.DedupQueries.trainClusterLabels(spark, sf)
     graft.queries.MultimodalQueries.trainMediaClusterLabels(spark, sf)
     graft.queries.MultimodalQueries.trainAudioClusterLabels(spark, sf)
@@ -81,13 +81,19 @@ class PlanSpec extends SparkSpec {
       s"q_skew_join must shuffle-hash join on (key, salt):\n$plan")
   }
 
-  test("PQ code assignment plans aggregate, not sort") {
-    // the code assignment passes must be max_by/min_by groupBys;
-    // the only Window allowed is the query-side top-k (group-limited)
+  test("PQ queries read codes from the persisted artifact, never re-encode the corpus") {
+    // the corpus encode (broadcast-codebook join + per-(vec, m) min_by
+    // over the full vector table) is offline maintenance now
+    // (trainPqCodes) — the r19 shape re-derived it inside every query,
+    // a full raw-vector scan per run for bits frozen with the quantizer.
+    // The quantizer may run ZERO times in the query path: the only
+    // min_by left would be a reintroduced corpus encode.
     Seq("q_ann_pq", "q_ann_ivfpq").foreach { q =>
-      val plan = finalPlan(q)
-      assert(plan.contains("max_by") || plan.contains("min_by"),
-        s"$q assignment must use max_by/min_by:\n$plan")
+      val df = Registry.byName(q).fn(spark, sf)
+      assert(df.inputFiles.exists(_.contains("codes.parquet")),
+        s"$q must scan the persisted PQ codes")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("min_by"),
+        s"$q re-encodes the corpus at query time")
     }
   }
 

@@ -15,7 +15,7 @@ class RegistrySpec extends SparkSpec {
     // mirror Bench/Verify.
     graft.queries.SimilarityQueries.trainIvfCentroids(spark, sf)
     graft.queries.SimilarityQueries.trainIvfAssignments(spark, sf)
-    graft.queries.SimilarityQueries.trainPqCodebooks(spark, sf)
+    graft.queries.SimilarityQueries.trainPqCodes(spark, sf)
     graft.queries.TextQueries.trainBpeMerges(spark, sf)
     graft.queries.TextQueries.trainUnigramPieces(spark, sf)
     graft.queries.DedupQueries.trainClusterLabels(spark, sf)
