@@ -177,39 +177,9 @@ object LinearRecurrence {
         expr("size(_pref)").as("_len"),
         expr("element_at(_pref, -1).l").as("_sl"),
         expr("element_at(_pref, -1).t").as("_st"))
-    // Block END states for the carry fold, via a SCALAR fold over
-    // (_pos, _x) only — never through `blocks`: the carry branch used to
-    // re-run the full `blocks` aggregation (collect_list of the ENTIRE
-    // row payload, sort, O(B²) prefix-array concat per block) just to
-    // read element_at(_pref, -1) — the blocks exchange was
-    // runtime-reused but the post-shuffle payload collect + O(B²) fold
-    // executed once per consumer branch. The scalar branch re-shuffles
-    // (_pos, _x) pairs instead (light rows, ~2 MB at sf0.1 vs the
-    // payload), and the payload prefix fold runs ONCE (r20 CpuBench:
-    // q_holt task CPU 1.12 → 1.03 s at sf0.1; the fold, not the light
-    // shuffle, is the term that grows with payload width at scale).
-    // Equivalence is bit-exact: same array_sort order (_pos is unique
-    // within a block, so the shorter sort key picks identical order),
-    // same per-element arithmetic in the same sequence — the scalar
-    // state IS the last prefix element, just without materializing the
-    // prefix.
-    val ends = rows.groupBy(col(key), col("_blk"))
-      .agg(expr("array_sort(collect_list(struct(_pos, _x)))").as("_xs"))
-      .select(col(key), col("_blk"),
-        expr("size(_xs)").as("_len"),
-        expr(
-          s"""aggregate(_xs, named_struct('l', 0.0D, 't', 0.0D),
-                (acc, e) -> named_struct(
-                  'l', IF(_blk = 0 AND e._pos = 1, e._x,
-                          $a11 * acc.l + $a12 * acc.t + $bl * e._x),
-                  't', IF(_blk = 0 AND e._pos = 1, 0.0D,
-                          $a21 * acc.l + $a22 * acc.t + $bt * e._x)))""")
-          .as("_end"))
-      .select(col(key), col("_blk"), col("_len"),
-        col("_end.l").as("_sl"), col("_end.t").as("_st"))
     // per-key carry fold over sorted block summaries: carry INTO block
     // k+1 = A^len_k · carry_k + T_k (matrix power via the literal table)
-    val carries = ends
+    val carries = blocks
       .groupBy(col(key))
       .agg(sort_array(collect_list(
         expr("named_struct('_blk', _blk, '_len', _len, '_sl', _sl, '_st', _st)")))
